@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated star schema.
+  *
+  * Timestamps: the driver's parquet carries naive (isAdjustedToUTC=false)
+  * timestamps; we force Spark to read them as session-UTC `TimestampType`
+  * (not NTZ) so every datetime function is available and semantics equal
+  * DuckDB's naive timestamps under a UTC session.
+  *
+  * Scale note: loaders return the *pruned* scan only when callers
+  * `.select` early; every operator in [[graft.ops]] projects the columns
+  * it needs immediately after load so Catalyst pushes pruning/filters
+  * into the parquet scan.
+  */
+object Tables {
+  private def prep(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    prep(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

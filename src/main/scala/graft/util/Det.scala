@@ -1,0 +1,26 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers for DuckDB-oracle parity.
+  *
+  * Doubles summed across partitions are order-dependent; the oracle
+  * compare hashes values, so money/quantity aggregates are computed in
+  * exact integer cents: `floor(x*100 + 0.5)` is a pure IEEE-double op
+  * sequence that is bit-identical in Spark and DuckDB, and LONG sums are
+  * associative (exact). Distances are rounded to 6 dp after computing in
+  * double. Outputs avoid raw timestamps (Spark writes instant-adjusted
+  * parquet, DuckDB naive) — use dates or epoch seconds.
+  */
+object Det {
+  /** x (double) → exact integer cents, bit-identical to
+    * `CAST(floor(x*100+0.5) AS BIGINT)` in DuckDB. */
+  def cents(c: Column): Column = floor(c * lit(100) + lit(0.5)).cast("long")
+
+  /** SQL fragment mirroring [[cents]]. */
+  def centsSql(expr: String): String = s"CAST(floor(($expr)*100+0.5) AS BIGINT)"
+
+  /** Round a double column to 6 dp (distance outputs). */
+  def r6(c: Column): Column = round(c, 6)
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Reads oracle_sql.json, registers each table parquet as a view, runs the
+oracle SQL, loads the Spark result parquet, sorts columns by name and
+rows by all values, and compares cell-by-cell.
+"""
+import sys, json, glob, math
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, cols):
+    # sort columns by name, then rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in order]
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-12 * max(1.0, abs(fa), abs(fb))
+    return a == b or str(a) == str(b)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        scols = [d[0] for d in cur.description]
+        srows = cur.fetchall()
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        so, _ = canon(srows, scols)
+        oo, _ = canon(orows, ocols)
+        if len(so) != len(oo):
+            print(f"FAIL {name}: rows spark={len(so)} oracle={len(oo)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (sr, orow) in enumerate(zip(so, oo)):
+            if not all(eq(x, y) for x, y in zip(sr, orow)):
+                bad = (i, sr, orow)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(so)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
