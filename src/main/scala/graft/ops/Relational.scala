@@ -50,9 +50,211 @@ object Relational {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** Q3: shipping-priority style 3-way join + top-10 revenue.
+    * Catalyst/AQE picks broadcast for the segment-filtered customer side
+    * when small; at 100 TB both sides shuffle on the join key and AQE
+    * re-plans at runtime — no hand scheduling. */
+  def q3JoinTopk: Q = (spark, dir) => {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String = s"""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      CAST(SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_c DESC, o_orderkey LIMIT 10"""
+
+  /** Q4: EXISTS semi-join (left_semi — no row duplication, early out). */
+  def q4Semijoin: Q = (spark, dir) => {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val bigLines = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey")
+    ord.join(bigLines, ord("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4SemijoinSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Q5: 5-way star join — revenue by nation for one region. Dims
+    * (region, nation, supplier) broadcast; fact joins shuffle with AQE. */
+  def q5Multijoin: Q = (spark, dir) => {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String = s"""
+    SELECT n_name,
+      CAST(SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue_c DESC, n_name"""
+
+  /** Q7: window functions — monthly revenue per supplier with rank and
+    * running total. One shuffle on l_suppkey serves both windows. */
+  def q7Window: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+      .groupBy("l_suppkey", "month")
+      .agg(sum("rev_c").as("rev_c"))
+    val bySupp = Window.partitionBy("l_suppkey")
+    monthly
+      .withColumn("rev_rank",
+        rank().over(bySupp.orderBy(col("rev_c").desc, col("month"))))
+      .withColumn("running_c",
+        sum("rev_c").over(bySupp.orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rev_rank") <= 3)
+      .orderBy("l_suppkey", "month")
+  }
+
+  val q7WindowSql: String = s"""
+    WITH monthly AS (
+      SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        CAST(SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_suppkey, month, rev_c,
+      rank() OVER (PARTITION BY l_suppkey ORDER BY rev_c DESC, month) AS rev_rank,
+      CAST(SUM(rev_c) OVER (PARTITION BY l_suppkey ORDER BY month
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+    FROM monthly
+    QUALIFY rev_rank <= 3
+    ORDER BY l_suppkey, month"""
+
+  /** Q8: ROLLUP multi-level aggregate (partial aggregation per level). */
+  def q8Rollup: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q8RollupSql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+      COUNT(*) AS n,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus"""
+
+  /** Q9: NOT EXISTS anti-join — customers with no very large order. */
+  def q9Antijoin: Q = (spark, dir) => {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal")
+    val big = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice")
+      .filter(col("o_totalprice") > 450000)
+      .select("o_custkey")
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acctbal_c"))
+      .orderBy("c_custkey")
+  }
+
+  val q9AntijoinSql: String = s"""
+    SELECT c_custkey, c_name, ${centsSql("c_acctbal")} AS acctbal_c
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    ORDER BY c_custkey"""
+
+  /** Q10: per-group top-N via one window shuffle on the group key. */
+  def q10TopnGroup: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"), col("rn"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val q10TopnGroupSql: String = s"""
+    SELECT c_mktsegment, o_orderkey, ${centsSql("o_totalprice")} AS price_c,
+      row_number() OVER (PARTITION BY c_mktsegment
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    QUALIFY rn <= 3
+    ORDER BY c_mktsegment, rn"""
+
   val queries: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg)
+    "q1_agg" -> q1Agg,
+    "q3_join_topk" -> q3JoinTopk,
+    "q4_semijoin" -> q4Semijoin,
+    "q5_multijoin" -> q5Multijoin,
+    "q7_window" -> q7Window,
+    "q8_rollup" -> q8Rollup,
+    "q9_antijoin" -> q9Antijoin,
+    "q10_topn_group" -> q10TopnGroup)
 
   val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql)
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q4_semijoin" -> q4SemijoinSql,
+    "q5_multijoin" -> q5MultijoinSql,
+    "q7_window" -> q7WindowSql,
+    "q8_rollup" -> q8RollupSql,
+    "q9_antijoin" -> q9AntijoinSql,
+    "q10_topn_group" -> q10TopnGroupSql)
 }
