@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst vector kernels (single pass, whole-stage codegen).
+  *
+  * Re-expresses the reference's pgvector distance operator `<=>`
+  * (reference: src/main.rs:86-96 `ORDER BY vector <=> $q LIMIT 10`) as
+  * codegen'd Spark expressions over `array<float|double>` columns.
+  *
+  * Scale notes: each kernel is one fused loop over `ArrayData` with double
+  * accumulators — no boxing, no UDF serialization, stays inside
+  * WholeStageCodegen so a 100 TB scan×distance pipeline is CPU-bound on
+  * the multiply-adds, not on row marshalling. Accumulation order is
+  * strictly sequential (index 0..n-1) so results are bit-deterministic
+  * and reproducible against the DuckDB oracle.
+  */
+object VectorKernel {
+  /** Element read as double, for FloatType/DoubleType arrays (interpreted path). */
+  private[functions] def get(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType  => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType   => arr.getLong(i).toDouble
+    case other      => throw new IllegalArgumentException(s"unsupported vector element type $other")
+  }
+}
+
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  protected def leftElem: DataType = left.dataType.asInstanceOf[ArrayType].elementType
+  protected def rightElem: DataType = right.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** dot(a, b) — sequential double accumulation. */
+case class InnerProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "inner_product"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var dot = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { dot += VectorKernel.get(x, leftElem, i) * VectorKernel.get(y, rightElem, i); i += 1 }
+    dot
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, dot) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("dot"))
+      s"""
+        |int $n = $a.numElements();
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double) ${CodeGenerator.getValue(a, leftElem, i)}
+        |        * (double) ${CodeGenerator.getValue(b, rightElem, i)};
+        |}
+        |${ev.value} = $dot;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** cosine_similarity(a, b) = dot / sqrt(|a|²·|b|²), one fused pass. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_similarity"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val va = VectorKernel.get(x, leftElem, i); val vb = VectorKernel.get(y, rightElem, i)
+      dot += va * vb; na += va * va; nb += vb * vb; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, dot, na, nb, va, vb) =
+        Seq("i", "n", "dot", "na", "nb", "va", "vb").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $va = (double) ${CodeGenerator.getValue(a, leftElem, i)};
+        |  double $vb = (double) ${CodeGenerator.getValue(b, rightElem, i)};
+        |  $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
+        |}
+        |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** l2_distance(a, b) = sqrt(Σ (aᵢ−bᵢ)²). */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l2_distance"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val d = VectorKernel.get(x, leftElem, i) - VectorKernel.get(y, rightElem, i)
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, acc, d) = Seq("i", "n", "acc", "d").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = (double) ${CodeGenerator.getValue(a, leftElem, i)}
+        |            - (double) ${CodeGenerator.getValue(b, rightElem, i)};
+        |  $acc += $d * $d;
+        |}
+        |${ev.value} = java.lang.Math.sqrt($acc);
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** vector_norm(a) = sqrt(Σ aᵢ²). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vector_norm"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { val v = VectorKernel.get(x, elem, i); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(i, n, acc, v) = Seq("i", "n", "acc", "v").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $v = (double) ${CodeGenerator.getValue(a, elem, i)};
+        |  $acc += $v * $v;
+        |}
+        |${ev.value} = java.lang.Math.sqrt($acc);
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** vector_normalize(a) = a / |a| as array<double> (|a|=0 → zero vector). */
+case class VectorNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vector_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) { val v = VectorKernel.get(x, elem, i); acc += v * v; i += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = if (norm == 0.0) 0.0 else VectorKernel.get(x, elem, i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(i, n, acc, v, out, norm) = Seq("i", "n", "acc", "v", "out", "norm").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $v = (double) ${CodeGenerator.getValue(a, elem, i)};
+        |  $acc += $v * $v;
+        |}
+        |double $norm = java.lang.Math.sqrt($acc);
+        |double[] $out = new double[$n];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $out[$i] = $norm == 0.0 ? 0.0
+        |    : ((double) ${CodeGenerator.getValue(a, elem, i)}) / $norm;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

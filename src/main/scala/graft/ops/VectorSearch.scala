@@ -1,0 +1,310 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions._
+import graft.util.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Vector search suite — reference parity (aqora-io/vector_search_playground).
+  *
+  * The reference is a pgvector CLI: ingest = embed+INSERT (src/main.rs:53-80),
+  * search = cosine-distance threshold top-k (src/main.rs:86-96
+  * `WHERE vector <=> $q < 0.6 ORDER BY vector <=> $q ASC LIMIT 10`),
+  * count = SELECT count(*) (src/main.rs:82-85). Re-expressed Spark-first:
+  * distances are native codegen'd Catalyst expressions
+  * ([[graft.functions.CosineSimilarity]] et al.), top-k is window row_number
+  * over a broadcast query set, and the scale paths are bucketed (LSH bands,
+  * IVF cells) rather than O(n²) cross joins.
+  *
+  * Determinism: every distance is computed in double with strictly
+  * sequential accumulation (bit-identical to DuckDB `list_inner_product`),
+  * rounded to 6 dp, and every ordering is tie-broken by id.
+  */
+object VectorSearch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+
+  /** SQL: embeddings projected to DOUBLE[] (exact float→double widening). */
+  private val eSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+  /** SQL dot product — DuckDB list_inner_product is bit-identical to the
+    * kernels' sequential double accumulation (verified empirically). */
+  private def dotSql(a: String, b: String) = s"list_inner_product($a, $b)"
+  /** SQL cosine similarity spelled out to match the kernel exactly:
+    * dot/sqrt(|a|²·|b|²). (DuckDB's list_cosine_similarity uses a
+    * different op order and is NOT bit-identical.) */
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+  private def distSql(a: String, b: String) = s"round(1 - ${cosSql(a, b)}, 6)"
+
+  private def dist(a: Column, b: Column): Column = r6(lit(1.0) - cosine_similarity(a, b))
+
+  // ── vs_count — reference `Count` ─────────────────────────────────────
+  def vsCount: Q = (spark, dir) => emb(spark, dir).agg(count(lit(1)).as("n"))
+  val vsCountSql = "SELECT COUNT(*) AS n FROM embeddings"
+
+  // ── vec_functions — kernel parity over every vector vs query vec 0 ──
+  def vecFunctions: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        r6(cosine_similarity(col("embedding"), col("qv"))).as("cos_sim"),
+        r6(l2_distance(col("embedding"), col("qv"))).as("l2_dist"),
+        r6(inner_product(col("embedding"), col("qv"))).as("inner_prod"),
+        r6(vector_norm(col("embedding"))).as("norm"),
+        r6(aggregate(vector_normalize(col("embedding")), lit(0.0), (acc, x) => acc + x))
+          .as("norm_sum"))
+      .orderBy("vec_id")
+  }
+  val vecFunctionsSql = s"""
+    WITH e AS ($eSql), q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+      round(${cosSql("v", "qv")}, 6) AS cos_sim,
+      round(list_distance(v, qv), 6) AS l2_dist,
+      round(${dotSql("v", "qv")}, 6) AS inner_prod,
+      round(sqrt(${dotSql("v", "v")}), 6) AS norm,
+      round(list_reduce(list_transform(v, x -> x / sqrt(${dotSql("v", "v")})),
+                        (a, b) -> a + b), 6) AS norm_sum
+    FROM e, q ORDER BY vec_id"""
+
+  // ── vs_search_topk — reference `Search`: dist<0.6, ORDER ASC, LIMIT 10 ──
+  def vsSearchTopk: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .filter(col("dist") < 0.6)
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+  val vsSearchTopkSql = s"""
+    WITH e AS ($eSql), q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, ${distSql("v", "qv")} AS dist
+    FROM e, q
+    WHERE ${distSql("v", "qv")} < 0.6
+    ORDER BY dist, vec_id LIMIT 10"""
+
+  // ── vs_knn_join — batch kNN: bounded query set × corpus, top-5 each ──
+  /** Broadcast the (bounded) query set; one pass over the corpus computes
+    * all query distances; top-k per query via window on q_id. At 100 TB the
+    * corpus never shuffles — only the k·|Q| candidate rows do. */
+  def vsKnnJoin: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    e.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("q_id", "rn")
+  }
+  val vsKnnJoinSql = s"""
+    WITH e AS ($eSql), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0)
+    SELECT q_id, vec_id AS c_id, ${distSql("v", "qv")} AS dist,
+      row_number() OVER (PARTITION BY q_id ORDER BY ${distSql("v", "qv")}, vec_id) AS rn
+    FROM e, q
+    QUALIFY rn <= 5
+    ORDER BY q_id, rn"""
+
+  // ── vs_range_search — all pairs with sim ≥ 0.4 (exact baseline) ──────
+  /** Exact O(n²) baseline with id<id dedup. This is the *oracle* path with
+    * a bounded corpus; the 100 TB path is [[vsLshSearch]] (bucketed). */
+  def vsRangeSearch: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+  val vsRangeSearchSql = s"""
+    WITH e AS ($eSql)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+    ORDER BY a_id, b_id"""
+
+  // ── vs_ingest — reference `Create`: text → deterministic embedding ───
+  /** Hashing-trick embedder standing in for AllMiniLM (zero-egress — see
+    * SURVEY §6): token → poly_hash → signed count at hash%64. All-integer
+    * arithmetic, so the oracle rebuilds the identical vector in SQL.
+    * Output checksum Σ vec[i]·(i+1) proves the assembled vector matches.
+    * Scale: tokenize+hash is map-only codegen; one shuffle on (doc_id,idx)
+    * with map-side combine, one on doc_id. */
+  def vsIngest: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val h = poly_hash(col("tok"))
+    val cells = toks.select(col("doc_id"),
+      (h % 64).cast("int").as("idx"),
+      when(shiftright(h, 6) % 2 === 0, 1L).otherwise(-1L).as("sign"))
+    cells.groupBy(col("doc_id"), col("idx")).agg(sum(col("sign")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_arrays(collect_list(col("idx")), collect_list(col("v"))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), i => coalesce(element_at(col("m"), i), lit(0L)))
+          .as("vector"))
+      .select(col("doc_id"), size(col("vector")).cast("long").as("dim"),
+        aggregate(zip_with(col("vector"), sequence(lit(1), lit(64)), (v, i) => v * i),
+          lit(0L), (a, x) => a + x).as("checksum"))
+      .orderBy("doc_id")
+  }
+  val vsIngestSql = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        list_reduce(list_transform(range(1, len(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT)),
+                    (a, b) -> (a*31 + b) % 1000000007) AS h
+      FROM toks WHERE tok <> ''),
+    cells AS (
+      SELECT doc_id, h % 64 AS idx,
+        CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h)
+    SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+      CAST(SUM(sign * (idx + 1)) AS BIGINT) AS checksum
+    FROM cells GROUP BY doc_id ORDER BY doc_id"""
+
+  // ── vs_ivf_search — IVF coarse quantizer + nprobe probe ──────────────
+  /** IVF: centroids (vec_id<8, the deterministic coarse codebook), corpus
+    * cell assignment is a map-only argmin over broadcast-literal centroids
+    * (no shuffle, stays in codegen), probing joins the bounded query set's
+    * nprobe=2 nearest cells against cell-assigned corpus. At 100 TB the
+    * only corpus-sized op is the map-side assignment + one hash join on
+    * cell id; no window over the corpus. */
+  def vsIvfSearch: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val cents: Array[(Long, Seq[Float])] = e.filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def cellStructs(v: Column): Seq[Column] = cents.toSeq.map { case (cid, cvec) =>
+      struct(dist(v, typedlit(cvec)).as("dist"), lit(cid).as("cid"))
+    }
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      least(cellStructs(col("embedding")): _*).getField("cid").as("cell"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probes = q.select(col("q_id"), col("qv"),
+        explode(slice(array_sort(array(cellStructs(col("qv")): _*)), 1, 2)).as("probe"))
+      .select(col("q_id"), col("qv"), col("probe.cid").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    assigned.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("vec_id").as("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("q_id", "rn")
+  }
+  val vsIvfSearchSql = s"""
+    WITH e AS ($eSql),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cent.cid AS cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${distSql("e.v", "cent.cv")}, cent.cid) AS rn
+        FROM e, cent) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT q.q_id, q.qv, cent.cid AS cell,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY ${distSql("q.qv", "cent.cv")}, cent.cid) AS rn
+        FROM q, cent) WHERE rn <= 2),
+    cand AS (
+      SELECT p.q_id, e.vec_id AS c_id, ${distSql("e.v", "p.qv")} AS dist
+      FROM probes p JOIN assign a ON a.cell = p.cell JOIN e ON e.vec_id = a.vec_id)
+    SELECT q_id, c_id, dist,
+      row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
+    FROM cand QUALIFY rn <= 5 ORDER BY q_id, rn"""
+
+  // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
+  /** 16 hyperplanes → 4 bands × 4 bits; candidate pairs share a band
+    * bucket, then verified with the exact kernel. This is the scale path
+    * for [[vsRangeSearch]]: the only join is a hash join on
+    * (band_idx, band_val) — never O(n²). Hyperplane values come from an
+    * integer LCG mapped to [-0.5, 0.5) with power-of-two division, so
+    * every coordinate is exactly representable and the SQL oracle
+    * regenerates bit-identical planes. */
+  final val LshPlanes = 16
+  final val LshBands = 4
+  private def planeVal(j: Int, i: Int): Double =
+    ((1103515245L * (j * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+  private def planes: IndexedSeq[Seq[Double]] =
+    (0 until LshPlanes).map(j => (0 until 64).map(i => planeVal(j, i)))
+
+  def vsLshSearch: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val p = planes
+    val bandCols = (0 until LshBands).map { b =>
+      (0 until 4).map { k =>
+        when(inner_product(col("embedding"), typedlit(p(4 * b + k))) >= 0, lit(1 << (3 - k)))
+          .otherwise(lit(0))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    val sig = e.select(col("vec_id") +: col("embedding") +: bandCols: _*)
+    val exploded = sig.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        r6(cosine_similarity(col("x.embedding"), col("y.embedding"))).as("sim"))
+      .distinct()
+      .filter(col("sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+  val vsLshSearchSql = s"""
+    WITH e AS ($eSql),
+    planes AS (
+      SELECT range AS j,
+        list_transform(range(0, 64),
+          i -> ((1103515245*(j*64 + i) + 12345) % 2147483648) / 2147483648.0 - 0.5) AS p
+      FROM range(0, $LshPlanes)),
+    bits AS (
+      SELECT vec_id, j,
+        CASE WHEN ${dotSql("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM e, planes),
+    bands AS (
+      SELECT vec_id, j // 4 AS band_idx,
+        SUM(bit * (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS band_val
+      FROM bits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
+    SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
+    FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+    WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+    ORDER BY a_id, b_id"""
+
+  val queries: Map[String, Q] = Map(
+    "vs_count" -> vsCount,
+    "vec_functions" -> vecFunctions,
+    "vs_search_topk" -> vsSearchTopk,
+    "vs_knn_join" -> vsKnnJoin,
+    "vs_range_search" -> vsRangeSearch,
+    "vs_ingest" -> vsIngest,
+    "vs_ivf_search" -> vsIvfSearch,
+    "vs_lsh_search" -> vsLshSearch)
+
+  val oracles: Map[String, String] = Map(
+    "vs_count" -> vsCountSql,
+    "vec_functions" -> vecFunctionsSql,
+    "vs_search_topk" -> vsSearchTopkSql,
+    "vs_knn_join" -> vsKnnJoinSql,
+    "vs_range_search" -> vsRangeSearchSql,
+    "vs_ingest" -> vsIngestSql,
+    "vs_ivf_search" -> vsIvfSearchSql,
+    "vs_lsh_search" -> vsLshSearchSql)
+}
