@@ -7,9 +7,11 @@ object SparkEntry {
     ops.Relational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.VectorSearch.queries
+    ops.Relational.queries ++ ops.VectorSearch.queries ++
+      ops.Dedup.queries ++ ops.TextAnalysis.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.VectorSearch.oracles
+    ops.Relational.oracles ++ ops.VectorSearch.oracles ++
+      ops.Dedup.oracles ++ ops.TextAnalysis.oracles
 }

@@ -18,4 +18,16 @@ package object functions {
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vector_normalize(a: Column): Column = col(VectorNormalize(expr(a)))
   def poly_hash(s: Column): Column = col(PolyHash(expr(s)))
+
+  /** Register all graft kernels as session SQL functions (usable in
+    * `expr(...)`, SQL text, and higher-order-function lambdas). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge.registerFunction
+    registerFunction(spark, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
+    registerFunction(spark, "inner_product", es => InnerProduct(es(0), es(1)))
+    registerFunction(spark, "l2_distance", es => L2Distance(es(0), es(1)))
+    registerFunction(spark, "vector_norm", es => VectorNorm(es.head))
+    registerFunction(spark, "vector_normalize", es => VectorNormalize(es.head))
+    registerFunction(spark, "poly_hash", es => PolyHash(es.head))
+  }
 }

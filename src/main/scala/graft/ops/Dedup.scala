@@ -1,0 +1,260 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions._
+import graft.util.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication suite for the LLM-training-data pipeline (documents +
+  * embeddings tables) — the operator family a 100 TB corpus clean-up needs.
+  *
+  * Scale posture: every near-dup operator generates candidate pairs through
+  * a *bucketing key* (MinHash LSH band, SimHash chunk, source block) and
+  * only verifies candidates exactly — never an O(n²) all-pairs join over
+  * the corpus. Exact dedup is a single hash aggregate with map-side
+  * combine. All hash arithmetic is integer (poly_hash mod 1e9+7) so the
+  * DuckDB oracle regenerates identical buckets.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private final val M = 1000000007L
+
+  /** Lowercased alnum tokens, as both a Column helper and SQL fragment. */
+  private def toksCol: Column =
+    filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  /** SQL polyhash of a string column `c` — mirrors [[graft.functions.PolyHash]]. */
+  private def polySql(c: String) =
+    s"list_reduce(list_transform(range(1, len($c)+1), i -> CAST(unicode($c[i]) AS BIGINT)), (a, b) -> (a*31 + b) % $M)"
+
+  // ── dedup_exact — md5(text) hash-group, keep min id ──────────────────
+  /** One hash aggregate (map-side combined); the canonical survivor is the
+    * min doc_id per content hash. At 100 TB: shuffle on the 128-bit hash,
+    * perfectly parallel, no skew (hashes uniform). */
+  def dedupExact: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("keep_id")
+  }
+  val dedupExactSql = """
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+    FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  // ── dedup_minhash_lsh — 3-shingle → 16 minhashes → 4 bands → Jaccard ─
+  /** Word 3-shingles → poly_hash → K=16 permuted minhashes → 4 bands of 4.
+    * Candidates share a band key (hash join on the band string — the 100 TB
+    * path: corpus-sized data only shuffles on band keys, and banding keys
+    * can be salted if a degenerate bucket appears). Candidates are then
+    * verified with exact shingle-set Jaccard ≥ 0.7. */
+  def dedupMinhashLsh: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+        .as("shingles"))
+    val hx = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), poly_hash(col("s")).as("h"))
+    val mh = hx.groupBy("doc_id").agg(
+      min((col("h") * 1 + 0L) % M).as("mh0"),
+      (1 until 16).map(k => min((col("h") * (2 * k + 1) + 1000003L * k) % M).as(s"mh$k")): _*)
+    val bandKeys = (0 until 4).map { b =>
+      concat_ws(":", lit(b) +: (0 until 4).map(j => col(s"mh${4 * b + j}")): _*)
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val j = {
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      r6(inter / (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))))
+    }
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy("a_id", "b_id")
+  }
+  val dedupMinhashLshSql = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tt),
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hx AS (SELECT doc_id, ${polySql("s")} AS h FROM shx),
+    ks AS (SELECT range AS k FROM range(0, 16)),
+    mh AS (SELECT doc_id, k, MIN((h * (2*k+1) + 1000003*k) % $M) AS mh
+           FROM hx, ks GROUP BY 1, 2),
+    bands AS (SELECT doc_id, (k // 4) || ':' || string_agg(mh::VARCHAR, ':' ORDER BY k) AS bk
+              FROM mh GROUP BY doc_id, k // 4),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+    jj AS (SELECT a_id, b_id,
+             round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+           FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
+    SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.7 ORDER BY a_id, b_id"""
+
+  // ── dedup_simhash — 64-bit SimHash as 4×16-bit chunks, Hamming ≤ 12 ──
+  /** Token-hash sign votes per bit; the 64-bit signature is kept as four
+    * 16-bit chunks. Candidate pairs share at least one identical chunk
+    * (pigeonhole-exact for Hamming ≤ 3, high-recall heuristic beyond);
+    * the chunk value is the join key, so corpus-sized data shuffles only
+    * on (chunk_idx, chunk_val). Verified with exact bit_count(xor). */
+  def dedupSimhash: Q = (spark, dir) => {
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .select(col("doc_id"), poly_hash(col("tok")).as("h"))
+    val sums = h.groupBy("doc_id").agg(
+      sum(when((col("h") * 3 % M) % 2 === 0, 1).otherwise(-1)).as("s0"),
+      (1 until 64).map(i =>
+        sum(when((col("h") * (2 * i + 3) % M) % 2 === 0, 1).otherwise(-1)).as(s"s$i")): _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map { j =>
+        when(col(s"s${16 * c + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$c")
+    }
+    val chunks = sums.select(col("doc_id") +: chunkCols: _*)
+    val expl = chunks.select(col("doc_id"),
+      posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("ci", "cv")))
+    val cand = expl.as("x").join(expl.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"ac$c").bitwiseXOR(col(s"bc$c")))).reduce(_ + _).cast("long")
+    cand
+      .join(chunks.select(col("doc_id").as("a_id"),
+        col("c0").as("ac0"), col("c1").as("ac1"), col("c2").as("ac2"), col("c3").as("ac3")), "a_id")
+      .join(chunks.select(col("doc_id").as("b_id"),
+        col("c0").as("bc0"), col("c1").as("bc1"), col("c2").as("bc2"), col("c3").as("bc3")), "b_id")
+      .select(col("a_id"), col("b_id"), ham.as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("a_id", "b_id")
+  }
+  val dedupSimhashSql = s"""
+    WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+    h AS (SELECT doc_id, ${polySql("tok")} AS h FROM tok),
+    bits AS (SELECT doc_id, i,
+               SUM(CASE WHEN (h * (2*i+3) % $M) % 2 = 0 THEN 1 ELSE -1 END) AS s
+             FROM h, (SELECT range AS i FROM range(0, 64)) GROUP BY 1, 2),
+    chunks AS (SELECT doc_id, i // 16 AS ci,
+                 CAST(SUM(CASE WHEN s >= 0 THEN 1 << (i % 16) ELSE 0 END) AS BIGINT) AS cv
+               FROM bits GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM chunks x JOIN chunks y
+               ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+    wide AS (SELECT doc_id,
+               MAX(CASE WHEN ci = 0 THEN cv END) AS c0, MAX(CASE WHEN ci = 1 THEN cv END) AS c1,
+               MAX(CASE WHEN ci = 2 THEN cv END) AS c2, MAX(CASE WHEN ci = 3 THEN cv END) AS c3
+             FROM chunks GROUP BY 1)
+    SELECT a_id, b_id,
+      CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+         + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+    FROM cand JOIN wide a ON a.doc_id = a_id JOIN wide b ON b.doc_id = b_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 2
+    ORDER BY a_id, b_id"""
+
+  // ── dedup_ngram_jaccard — exact char-3-gram Jaccard, length-blocked ──
+  /** Exact character-3-gram Jaccard with length-band blocking: each doc
+    * emits keys ⌊len/16⌋ and ⌊len/16⌋+1, so any pair within 16 chars of
+    * each other shares a key (high-Jaccard dups are always near-length).
+    * Blocking bounds the pair space: at 100 TB pairs shuffle on the band
+    * key, never all-pairs. */
+  def dedupNgramJaccard: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    // Grams are poly_hashed to longs: set ops over long arrays are ~10×
+    // cheaper than string arrays and deterministic on both engines.
+    val g = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") / 16).cast("long").as("lb"),
+        expr("array_distinct(transform(sequence(1, length(lower(text))-2), " +
+          "i -> poly_hash(substr(lower(text), i, 3))))").as("grams"))
+    val keyed = g.select(col("doc_id"), explode(array(col("lb"), col("lb") + 1)).as("bk"))
+    // Dedup candidate ids BEFORE the expensive set intersection.
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("a_id"), col("grams").as("ga")), "a_id")
+      .join(g.select(col("doc_id").as("b_id"), col("grams").as("gb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .select(col("a_id"), col("b_id"),
+        r6(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+  /** Unrolled 3-byte polyhash: ((c1·31+c2) mod M ·31 + c3) mod M. */
+  val dedupNgramJaccardSql = s"""
+    WITH g AS (SELECT doc_id, len(text) // 16 AS lb,
+        list_distinct(list_transform(range(1, len(lower(text))-1),
+          i -> ((((CAST(unicode(lower(text)[i]) AS BIGINT) * 31
+                 + unicode(lower(text)[i+1])) % $M) * 31
+                 + unicode(lower(text)[i+2])) % $M))) AS grams
+      FROM documents WHERE len(text) >= 3),
+    keyed AS (SELECT doc_id, unnest([lb, lb + 1]) AS bk FROM g),
+    cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    jj AS (SELECT a_id, b_id,
+        round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+          / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+      FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+    SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY a_id, b_id"""
+
+  // ── dedup_embedding — embedding-cosine near-dup keep/drop decision ───
+  /** Cosine near-dup pairs (≥ 0.4 on this corpus) reduced to a dedup
+    * decision: each duplicate maps to its lowest-id retained neighbor.
+    * Exact pair generation here is the bounded oracle baseline; the 100 TB
+    * candidate path is the LSH band join of
+    * [[graft.ops.VectorSearch.vsLshSearch]]. */
+  def dedupEmbedding: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val w = Window.partitionBy("dup_id").orderBy("keep_id")
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"),
+        r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_id"), col("keep_id"), col("sim"))
+      .orderBy("dup_id")
+  }
+  val dedupEmbeddingSql = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        round(list_inner_product(a.v, b.v)
+          / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT dup_id, keep_id, sim FROM p
+    WHERE sim >= 0.4
+    QUALIFY row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) = 1
+    ORDER BY dup_id"""
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

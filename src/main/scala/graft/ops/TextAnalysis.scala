@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions._
+import graft.util.Det._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text analysis suite for the LLM-training-data pipeline (documents
+  * table): language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All map-side (per-document) computations followed by at most one
+  * aggregate — embarrassingly parallel at 100 TB. Ratios are exact
+  * integer-count divisions in double (bit-identical in DuckDB), rounded
+  * to 6 dp; composite scores are integerized floor(x·1000 + 0.5).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toksCol: Column =
+    filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  // ── text_lang_id — stopword-profile language ID ──────────────────────
+  /** Per-doc stopword hit counts per profile; prediction = max hits with
+    * lexicographic tie-break (via min over (-hits, lang) structs). One
+    * explode + one aggregate — map-side combined, no dimension joins. */
+  def textLangId: Q = (spark, dir) => {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+    val hits = tok.groupBy("doc_id").agg(
+      sum(when(col("tok").isin(StopwordProfiles.head._2: _*), 1L).otherwise(0L))
+        .as(s"${StopwordProfiles.head._1}_hits"),
+      StopwordProfiles.tail.map { case (lang, words) =>
+        sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"${lang}_hits")
+      }: _*)
+    val pred = array_min(array(StopwordProfiles.map { case (lang, _) =>
+      struct((col(s"${lang}_hits") * -1).as("neg"), lit(lang).as("lang"))
+    }: _*)).getField("lang")
+    hits.select(col("doc_id") +:
+      StopwordProfiles.map { case (lang, _) => col(s"${lang}_hits") } :+
+      pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+  val textLangIdSql: String = {
+    val hitCols = StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(SUM(CASE WHEN tok IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n      ")
+    val structs = StopwordProfiles.map { case (lang, _) =>
+      s"{'neg': -${lang}_hits, 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+    hits AS (SELECT doc_id,
+      $hitCols
+    FROM tok GROUP BY doc_id)
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+      (list_sort([$structs]))[1].lang AS pred_lang
+    FROM hits ORDER BY doc_id"""
+  }
+
+  // ── text_quality — length/uniqueness/alpha-ratio composite ───────────
+  def textQuality: Q = (spark, dir) => {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+      toksCol.as("toks"))
+    val nTok = size(col("toks"))
+    val uniq = r6(size(array_distinct(col("toks"))).cast("double") / nTok)
+    val alpha = r6(length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+      / length(col("text")))
+    base
+      .filter(nTok > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tok"),
+        uniq.as("uniq_ratio"),
+        alpha.as("alpha_ratio"))
+      .withColumn("score",
+        floor((col("uniq_ratio") * 0.4 + col("alpha_ratio") * 0.3
+          + least(lit(1.0), col("n_tok") / 100.0) * 0.3) * 1000 + 0.5).cast("long"))
+      .orderBy("doc_id")
+  }
+  val textQualitySql = s"""
+    WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+    q AS (SELECT doc_id,
+        CAST(len(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tok,
+        round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio,
+        round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(text), 6) AS alpha_ratio
+      FROM base WHERE len(toks) > 0)
+    SELECT doc_id, n_chars, n_tok, uniq_ratio, alpha_ratio,
+      CAST(floor((uniq_ratio * 0.4 + alpha_ratio * 0.3
+        + least(1.0, n_tok / 100.0) * 0.3) * 1000 + 0.5) AS BIGINT) AS score
+    FROM q ORDER BY doc_id"""
+
+  // ── text_tokens — whitespace + BPE-ish regex token counts per source ─
+  def textTokens: Q = (spark, dir) => {
+    val ws = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+    val bpe = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    Tables.documents(spark, dir)
+      .select(col("source"), ws.as("ws"), bpe.as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").cast("long").as("sum_ws_tok"),
+        sum("bpe").cast("long").as("sum_bpe_tok"))
+      .withColumn("avg_bpe_tok", floor(col("sum_bpe_tok") / col("n_docs")).cast("long"))
+      .orderBy("source")
+  }
+  val textTokensSql = raw"""
+    WITH t AS (SELECT source,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(ws) AS BIGINT) AS sum_ws_tok,
+      CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tok,
+      CAST(floor(CAST(SUM(bpe) AS BIGINT) / COUNT(*)) AS BIGINT) AS avg_bpe_tok
+    FROM t GROUP BY source ORDER BY source"""
+
+  // ── text_fingerprint — rolling-hash winnow-min + distinct windows ────
+  /** 8-char window poly_hash fingerprint: min hash (winnowing anchor),
+    * window count, distinct count. Explode + aggregate; the poly_hash is
+    * the codegen'd [[graft.functions.PolyHash]] on the hot path. */
+  def textFingerprint: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr("sequence(1, length(t) - 7)")).as("i"), col("t"))
+      .select(col("doc_id"), poly_hash(expr("substr(t, i, 8)")).as("h"))
+      .groupBy("doc_id")
+      .agg(min("h").as("min_hash"),
+        count(lit(1)).as("n_windows"),
+        countDistinct(col("h")).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+  val textFingerprintSql = s"""
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 8),
+    w AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM t),
+    h AS (SELECT doc_id,
+        list_reduce(list_transform(range(1, 9), j -> CAST(unicode(substr(t, i, 8)[j]) AS BIGINT)),
+                    (a, b) -> (a*31 + b) % 1000000007) AS h
+      FROM w)
+    SELECT doc_id, MIN(h) AS min_hash, COUNT(*) AS n_windows,
+      COUNT(DISTINCT h) AS n_distinct
+    FROM h GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "text_lang_id" -> textLangId,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_lang_id" -> textLangIdSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.VectorSearch
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import graft.functions._
+
+  test("kernels agree with hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(
+      inner_product(col("a"), col("b")).as("ip"),
+      l2_distance(col("a"), col("b")).as("l2"),
+      cosine_similarity(col("a"), col("b")).as("cs"),
+      vector_norm(col("a")).as("nm"),
+      vector_normalize(col("a")).as("nz")).head()
+    assert(r.getAs[Double]("ip") == 32.0)
+    assert(math.abs(r.getAs[Double]("l2") - math.sqrt(27.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cs") - 32.0 / math.sqrt(14.0 * 77.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nm") - math.sqrt(14.0)) < 1e-12)
+    val nz = r.getAs[scala.collection.Seq[Double]]("nz")
+    assert(math.abs(nz.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("kernels survive whole-stage codegen and interpreted eval identically") {
+    import spark.implicits._
+    val df = Seq((Array(0.5f, -0.25f), Array(-1.0f, 2.0f))).toDF("a", "b")
+    val gen = df.select(cosine_similarity(col("a"), col("b"))).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = df.select(cosine_similarity(col("a"), col("b"))).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(gen == interp)
+  }
+
+  test("poly_hash matches the reference formula") {
+    import spark.implicits._
+    val got = Seq("abc").toDF("s").select(poly_hash(col("s"))).head().getLong(0)
+    val want = (("a".codePointAt(0) * 31L + 'b'.toLong) % 1000000007L * 31L + 'c'.toLong) % 1000000007L
+    assert(got == want)
+  }
+
+  test("vs_search_topk returns at most 10 under-threshold neighbors, nearest first") {
+    val rows = VectorSearch.vsSearchTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val dists = rows.map(_.getAs[Double]("dist")).toSeq
+    assert(dists == dists.sorted && dists.forall(_ < 0.6))
+  }
+
+  test("vs_knn_join returns exactly 5 neighbors per query") {
+    val rows = VectorSearch.vsKnnJoin(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5))
+  }
+
+  test("vs_range_search pairs are deduped (a<b) and above threshold") {
+    val rows = VectorSearch.vsRangeSearch(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    assert(rows.forall(_.getAs[Double]("sim") >= 0.4))
+  }
+
+  test("vs_ingest emits one 64-dim vector checksum per document") {
+    val rows = VectorSearch.vsIngest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("dim") == 64L))
+  }
+
+  test("vs_ivf_search candidates are a subset of exact search space with k=5 per query") {
+    val rows = VectorSearch.vsIvfSearch(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall(_.length <= 5))
+  }
+
+  test("vs_lsh_search finds only verified above-threshold pairs") {
+    val rows = VectorSearch.vsLshSearch(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("sim") >= 0.4))
+  }
+
+  test("vs_lsh_search pairs are a subset of vs_range_search pairs (recall check)") {
+    def key(r: Row) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+    val exact = VectorSearch.vsRangeSearch(spark, sf).collect().map(key).toSet
+    val lsh = VectorSearch.vsLshSearch(spark, sf).collect().map(key).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
