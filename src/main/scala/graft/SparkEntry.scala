@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.VectorSearch.queries ++
-      ops.Dedup.queries ++ ops.TextAnalysis.queries
+      ops.Dedup.queries ++ ops.TextAnalysis.queries ++
+      ops.Events.queries ++ ops.Multimodal.queries ++ streaming.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.VectorSearch.oracles ++
-      ops.Dedup.oracles ++ ops.TextAnalysis.oracles
+      ops.Dedup.oracles ++ ops.TextAnalysis.oracles ++
+      ops.Events.oracles ++ ops.Multimodal.oracles ++ streaming.Streaming.oracles
 }

@@ -18,6 +18,10 @@ object Tables {
   private def prep(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
+    // read it as raw BIGINT nanoseconds. Ops convert to integer µs
+    // (`ts div 1000`) which equals DuckDB's epoch_us(ts) exactly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

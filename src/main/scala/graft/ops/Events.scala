@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Events / time-series suite (events table).
+  *
+  * Time axis: integer epoch-microseconds. Spark reads the parquet
+  * TIMESTAMP(NANOS) column as BIGINT ns (`nanosAsLong`) and floors to µs
+  * (`ts div 1000`); DuckDB's parquet reader truncates ns→µs at read, so
+  * `epoch_us(ts)` is the identical integer — all window/gap/funnel math
+  * is exact integer arithmetic on both engines.
+  *
+  * Scale posture: tumbling windows and sessionization shuffle once on
+  * their natural key (event_type×hour, user); funnel stages are
+  * per-user aggregates with map-side combine. No driver-side loops.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private final val HourUs = 3600L * 1000000L
+  private final val GapUs = 30L * 60L * 1000000L // 30-min session gap
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+
+  // ── ev_window_agg — tumbling 1-hour windows per event type ───────────
+  def evWindowAgg: Q = (spark, dir) => {
+    ev(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("event_type", "hour_idx")
+  }
+  val evWindowAggSql = s"""
+    SELECT event_type, epoch_us(ts) // $HourUs AS hour_idx,
+      COUNT(*) AS n, CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2 ORDER BY event_type, hour_idx"""
+
+  // ── ev_sessionize — 30-min-gap sessions per user ─────────────────────
+  /** lag → gap flag → running sum = session index; one shuffle on user_id
+    * serves both windows and the final per-session aggregate. */
+  def evSessionize: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(spark, dir)
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("user_id", "sid")
+  }
+  val evSessionizeSql = s"""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),
+    flagged AS (SELECT user_id, ts_us, value,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (SELECT user_id, ts_us, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, sid, COUNT(*) AS n_events,
+      MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM sess GROUP BY 1, 2 ORDER BY user_id, sid"""
+
+  // ── ev_funnel — ordered view→click→purchase funnel per user ──────────
+  /** Stage k timestamp = first stage-k event strictly after stage k−1.
+    * Three per-user aggregates chained by broadcast-able user-level
+    * results — no window over the full event stream. */
+  def evFunnel: Q = (spark, dir) => {
+    val e = ev(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L).otherwise(1L).as("stage"))
+      .orderBy("user_id")
+  }
+  val evFunnelSql = """
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+    v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(ts_us) AS t_click FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+    SELECT v.user_id, t_view, t_click, t_purchase,
+      CASE WHEN t_purchase IS NOT NULL THEN 3
+           WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id"""
+
+  val queries: Map[String, Q] = Map(
+    "ev_window_agg" -> evWindowAgg,
+    "ev_sessionize" -> evSessionize,
+    "ev_funnel" -> evFunnel)
+
+  val oracles: Map[String, String] = Map(
+    "ev_window_agg" -> evWindowAggSql,
+    "ev_sessionize" -> evSessionizeSql,
+    "ev_funnel" -> evFunnelSql)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.util.Det._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming variants of the event analytics.
+  *
+  * The stream source is the same events parquet directory read
+  * incrementally (`readStream`); event time is the parquet ns timestamp
+  * converted to TimestampType µs. Watermark + tumbling window make the
+  * aggregation incremental and state-bounded — at 100 TB/day this is the
+  * path that replaces nightly batch: state per (window × event_type) only,
+  * late data beyond 1 hour dropped deterministically.
+  *
+  * [[windowAggBatch]] is the exact batch equivalent registered as the
+  * driver-checkable query (`stream_window_agg`); the ScalaTest spec proves
+  * stream (AvailableNow → memory sink) ≡ batch on the same input.
+  */
+object Streaming {
+  final val WinUs = 15L * 60L * 1000000L // 15-minute tumbling windows
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events directory (ts as BIGINT ns). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Streaming file sources take a directory; select just the events
+    // table out of the scale-factor dir with a glob filter.
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming tumbling-window aggregate with a 1-hour watermark. */
+  def windowAggStream(spark: SparkSession, dir: String): DataFrame = {
+    readEvents(spark, dir)
+      .select(col("event_type"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+        col("n"), col("sum_value_c"))
+  }
+
+  /** Batch equivalent of [[windowAggStream]] (same windows, same output). */
+  def windowAggBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), expr("ts div 1000").as("ts_us"))
+      .groupBy(expr(s"(ts_us div $WinUs) * $WinUs").as("win_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("win_us"), col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy("win_us", "event_type")
+  }
+
+  val windowAggBatchSql = s"""
+    SELECT (epoch_us(ts) // $WinUs) * $WinUs AS win_us, event_type,
+      COUNT(*) AS n, CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> windowAggBatch)
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> windowAggBatchSql)
+}

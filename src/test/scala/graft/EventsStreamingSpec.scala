@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.{Events, Multimodal}
+import graft.streaming.Streaming
+import org.apache.spark.sql.Row
+
+class EventsStreamingSpec extends SparkSpec {
+
+  test("ev_window_agg covers all event types with positive counts") {
+    val rows = Events.evWindowAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("event_type")).distinct.sorted.toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+
+  test("ev_sessionize: session ids are dense from 1 and ranges are ordered") {
+    val rows = Events.evSessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { sessions =>
+      val sids = sessions.map(_.getAs[Long]("sid")).sorted.toSeq
+      assert(sids == (1L to sids.length.toLong))
+    }
+    assert(rows.forall(r => r.getAs[Long]("start_us") <= r.getAs[Long]("end_us")))
+  }
+
+  test("ev_funnel stages are monotone in time") {
+    val rows = Events.evFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getAs[Long]("stage")
+      if (stage >= 2) assert(r.getAs[Long]("t_click") > r.getAs[Long]("t_view"))
+      if (stage == 3) assert(r.getAs[Long]("t_purchase") > r.getAs[Long]("t_click"))
+    }
+  }
+
+  test("streaming window agg (AvailableNow → memory sink) equals batch result") {
+    val stream = Streaming.windowAggStream(spark, sf)
+    val q = stream.writeStream
+      .format("memory").queryName("stream_win")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getAs[Long]("win_us"), r.getAs[String]("event_type"),
+      r.getAs[Long]("n"), r.getAs[Long]("sum_value_c"))
+    val streamed = spark.table("stream_win").collect().map(key).toSet
+    val batch = Streaming.windowAggBatch(spark, sf).collect().map(key).toSet
+    assert(streamed == batch)
+  }
+
+  test("mm_features: batched stub featurize keeps schema, rows, determinism") {
+    val a = Multimodal.mmFeatures(spark, sf).collect()
+    val b = Multimodal.mmFeatures(spark, sf).collect()
+    assert(a.nonEmpty && a.length == b.length)
+    assert(a.head.schema == Multimodal.outputSchema)
+    val fa = a.head.getAs[scala.collection.Seq[Double]]("features")
+    val fb = b.head.getAs[scala.collection.Seq[Double]]("features")
+    assert(fa == fb && fa.length == Multimodal.FeatDim)
+    assert(a.forall(_.getAs[Long]("n_bytes") > 0))
+  }
+}
