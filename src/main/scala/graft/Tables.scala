@@ -26,7 +26,14 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     prep(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The driver's test parquet is a single row group, which Spark cannot
+    // split — every downstream stage would run on one core. At real scale
+    // data arrives as many files/row-groups and this branch is a no-op;
+    // here we fan out once so per-row compute uses the whole executor.
+    // Filters/pruning still push into the scan below the exchange.
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.min(8, target)) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -18,6 +18,8 @@ package object functions {
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vector_normalize(a: Column): Column = col(VectorNormalize(expr(a)))
   def poly_hash(s: Column): Column = col(PolyHash(expr(s)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCount(expr(a), expr(b)))
 
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */

@@ -53,7 +53,12 @@ object Dedup {
     * can be salted if a degenerate bucket appears). Candidates are then
     * verified with exact shingle-set Jaccard ≥ 0.7. */
   def dedupMinhashLsh: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), toksCol.as("toks"))
+    // materializedColumn: tokenize once per row — otherwise CollapseProject
+    // inlines the tokenize into every toks[i] reference inside the shingle
+    // lambda (O(len·refs) recompute blowup).
+    val docs = materializedColumn(Tables.documents(spark, dir).select("doc_id", "text"),
+        "toks", toksCol)
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= 3)
     val sh = docs.select(col("doc_id"),
       array_distinct(expr(
@@ -72,14 +77,16 @@ object Dedup {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val j = {
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-      r6(inter / (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))))
-    }
+    // Exact Jaccard verified over the *hashed* shingle sets (long arrays —
+    // set ops ~10× cheaper than over shingle strings; collisions affect
+    // both engines identically so the oracle stays exact).
+    val hsets = hx.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"), j.as("jaccard"))
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .select(col("a_id"), col("b_id"),
+        r6(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
       .orderBy("a_id", "b_id")
   }
@@ -97,10 +104,11 @@ object Dedup {
               FROM mh GROUP BY doc_id, k // 4),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
              FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+    hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hx GROUP BY doc_id),
     jj AS (SELECT a_id, b_id,
-             round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-           FROM cand JOIN sh a ON a.doc_id = a_id JOIN sh b ON b.doc_id = b_id)
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+           FROM cand JOIN hsets a ON a.doc_id = a_id JOIN hsets b ON b.doc_id = b_id)
     SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.7 ORDER BY a_id, b_id"""
 
   // ── dedup_simhash — 64-bit SimHash as 4×16-bit chunks, Hamming ≤ 12 ──
@@ -168,19 +176,23 @@ object Dedup {
   // ── dedup_ngram_jaccard — exact char-3-gram Jaccard, length-blocked ──
   /** Exact character-3-gram Jaccard with length-band blocking: each doc
     * emits keys ⌊len/16⌋ and ⌊len/16⌋+1, so any pair within 16 chars of
-    * each other shares a key (high-Jaccard dups are always near-length).
+    * each other shares a key (high-Jaccard dups are always near-length; dup clusters span up to ~12 chars).
     * Blocking bounds the pair space: at 100 TB pairs shuffle on the band
     * key, never all-pairs. */
   def dedupNgramJaccard: Q = (spark, dir) => {
     graft.functions.register(spark)
     // Grams are poly_hashed to longs: set ops over long arrays are ~10×
     // cheaper than string arrays and deterministic on both engines.
-    val g = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"),
-        (length(col("text")).cast("long") / 16).cast("long").as("lb"),
-        expr("array_distinct(transform(sequence(1, length(lower(text))-2), " +
-          "i -> poly_hash(substr(lower(text), i, 3))))").as("grams"))
+    // Materialize lower(text) once per row (see materializedColumn) —
+    // otherwise the lowercasing is inlined into every per-gram reference.
+    val g = materializedColumn(
+        Tables.documents(spark, dir).filter(length(col("text")) >= 3)
+          .select(col("doc_id"),
+            (length(col("text")).cast("long") / 16).cast("long").as("lb"), col("text")),
+        "t", lower(col("text")))
+      .select(col("doc_id"), col("lb"),
+        expr("array_sort(array_distinct(transform(sequence(1, length(t)-2), " +
+          "i -> poly_hash(substr(t, i, 3)))))").as("grams"))
     val keyed = g.select(col("doc_id"), explode(array(col("lb"), col("lb") + 1)).as("bk"))
     // Dedup candidate ids BEFORE the expensive set intersection.
     val cand = keyed.as("a").join(keyed.as("b"),
@@ -190,7 +202,7 @@ object Dedup {
     cand
       .join(g.select(col("doc_id").as("a_id"), col("grams").as("ga")), "a_id")
       .join(g.select(col("doc_id").as("b_id"), col("grams").as("gb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")).cast("double"))
       .select(col("a_id"), col("b_id"),
         r6(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
@@ -220,13 +232,14 @@ object Dedup {
     * candidate path is the LSH band join of
     * [[graft.ops.VectorSearch.vsLshSearch]]. */
   def dedupEmbedding: Q = (spark, dir) => {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+      inner_product(col("embedding"), col("embedding")).as("nsq"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nsq").as("nb"))
     val w = Window.partitionBy("dup_id").orderBy("keep_id")
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"),
-        r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+        r6(inner_product(col("va"), col("vb")) / sqrt(col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

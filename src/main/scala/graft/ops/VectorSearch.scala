@@ -115,11 +115,16 @@ object VectorSearch {
   /** Exact O(n²) baseline with id<id dedup. This is the *oracle* path with
     * a bounded corpus; the 100 TB path is [[vsLshSearch]] (bucketed). */
   def vsRangeSearch: Q = (spark, dir) => {
-    val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    // Squared norms are computed once per vector (not per pair): the pair
+    // kernel is then a single dot product. sim = dot/sqrt(na·nb) is the
+    // same IEEE op sequence as the fused kernel, so results are identical.
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      inner_product(col("embedding"), col("embedding")).as("nsq"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nsq").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        r6(inner_product(col("va"), col("vb")) / sqrt(col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .orderBy("a_id", "b_id")
   }

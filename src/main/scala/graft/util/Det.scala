@@ -23,4 +23,15 @@ object Det {
 
   /** Round a double column to 6 dp (distance outputs). */
   def r6(c: Column): Column = round(c, 6)
+
+  /** Optimizer barrier for an expensive computed column that downstream
+    * code references many times (esp. inside higher-order-function
+    * lambdas). CollapseProject inlines plain `Project` aliases into every
+    * reference — including through Filter and RepartitionByExpression —
+    * turning an O(len) tokenize into O(len·refs). Wrapping the expression
+    * in a single-element explode puts a `Generate` node in the plan, which
+    * projections cannot collapse across, so the value is computed exactly
+    * once per row. Zero shuffle, negligible overhead. */
+  def materializedColumn(df: org.apache.spark.sql.DataFrame, name: String, c: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn(name, explode(array(c)))
 }
