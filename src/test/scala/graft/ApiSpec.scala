@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Library-surface specs: extensions registration, VectorStore facade
+  * (reference CLI parity), and plan-shape assertions that lock in the
+  * scale design (pushdown, broadcast, top-k pushdown). */
+class ApiSpec extends SparkSpec {
+
+  test("GraftExtensions registers kernels as SQL functions at session build") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+        "poly_hash('abc') h").head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getLong(1) == (("a".codePointAt(0) * 31L + 'b') % 1000000007L * 31L + 'c') % 1000000007L)
+    } finally s2.close()
+  }
+
+  test("VectorStore mirrors the reference CLI: count + threshold top-k search") {
+    val store = VectorStore.fromParquet(spark, sf)
+    assert(store.count() > 0)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val hits = store.search(q, k = 10, threshold = 0.6).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    assert(hits.head.getAs[Long]("vec_id") == 0L) // self-match at distance 0
+    val dists = hits.map(_.getAs[Double]("dist")).toSeq
+    assert(dists == dists.sorted && dists.forall(_ < 0.6))
+  }
+
+  test("VectorStore.ingestText embeds documents into unit-norm vectors") {
+    val store = VectorStore.ingestText(
+      Tables.documents(spark, sf).limit(20), "doc_id", "text")
+    val rows = store.df.collect()
+    assert(rows.length == 20)
+    val v = rows.head.getAs[scala.collection.Seq[Double]]("embedding")
+    assert(v.length == VectorStore.Dim)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
+  test("plan shape: q1 pushes the shipdate filter into the parquet scan") {
+    val plan = ops.Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("plan shape: q5 broadcasts the dimension tables") {
+    val plan = ops.Relational.q5Multijoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("plan shape: knn join broadcasts the query side and pushes down top-k") {
+    val plan = ops.VectorSearch.vsKnnJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("plan shape: lsh pair search joins on band key, not cross join") {
+    val plan = ops.VectorSearch.vsLshSearch(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
+}
