@@ -90,7 +90,9 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
       .orderBy("a_id", "b_id")
   }
-  val dedupMinhashLshSql = s"""
+  /** Shared CTE chain: tokenize → shingle → minhash → bands → verified
+    * near-dup pairs (used by both the pair query and the cluster query). */
+  private val minhashCtes = s"""
     WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
     sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
@@ -108,8 +110,52 @@ object Dedup {
     jj AS (SELECT a_id, b_id,
              round(len(list_intersect(a.hs, b.hs))::DOUBLE
                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
-           FROM cand JOIN hsets a ON a.doc_id = a_id JOIN hsets b ON b.doc_id = b_id)
-    SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.7 ORDER BY a_id, b_id"""
+           FROM cand JOIN hsets a ON a.doc_id = a_id JOIN hsets b ON b.doc_id = b_id)"""
+
+  val dedupMinhashLshSql: String = minhashCtes +
+    "\n    SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.7 ORDER BY a_id, b_id"
+
+  // ── dedup_clusters — connected components over near-dup pairs ────────
+  /** Min-id label propagation over the verified MinHash pair graph:
+    * every duplicate document resolves to the smallest doc_id in its
+    * connected component (the retained canonical). Bounded synchronous
+    * iterations (dup-cluster diameters are tiny; at 100 TB this is the
+    * standard alternating large-star/small-star loop, each round one
+    * shuffle on the label key). Oracle: DuckDB recursive reachability. */
+  final val ClusterIters = 5
+  def dedupClusters: Q = (spark, dir) => {
+    val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+    // Symmetric edge list + self-loops = neighborhood including self.
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .union(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
+      .union(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
+    for (_ <- 0 until ClusterIters) {
+      labels = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min("lbl").as("lbl"))
+        .select(col("id2").as("id"), col("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+  val dedupClustersSql: String = minhashCtes + s""",
+    pairs AS (SELECT a_id, b_id FROM jj WHERE jaccard >= 0.7),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+      UNION SELECT a_id, a_id FROM pairs
+      UNION SELECT b_id, b_id FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+      SELECT * FROM r)
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id"""
 
   // ── dedup_simhash — 64-bit SimHash as 4×16-bit chunks, Hamming ≤ 12 ──
   /** Token-hash sign votes per bit; the 64-bit signature is kept as four
@@ -262,12 +308,14 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

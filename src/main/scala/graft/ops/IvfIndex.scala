@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.functions._
+import graft.util.Det._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** IVF coarse quantizer trained with Lloyd (k-means) iterations as
+  * DataFrame jobs — the index-build half of a vector search system
+  * (reference stores vectors in pgvector and searches exactly;
+  * at 100 TB the Spark-native answer is: build the IVF codebook in
+  * batch, assign cells, and probe only nprobe cells at query time —
+  * see [[VectorSearch.vsIvfSearch]] for the oracle-checked probe).
+  *
+  * Scale posture per iteration: one map-only assignment pass (argmin over
+  * k broadcast-literal centroids, stays in codegen) + one aggregation
+  * keyed by (cell, dim) with map-side combine. Centroids (k×dim doubles)
+  * live on the driver between iterations — the classic Spark k-means
+  * shape. Deterministic: init = first k vectors by id, ties broken by
+  * centroid id, fixed iteration count.
+  */
+object IvfIndex {
+  final case class Model(centroids: IndexedSeq[(Int, IndexedSeq[Double])]) {
+    def k: Int = centroids.length
+  }
+
+  private def toDouble(v: Any): IndexedSeq[Double] = v match {
+    case s: scala.collection.Seq[_] => s.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toIndexedSeq
+  }
+
+  /** Nearest-centroid cell id as a codegen-friendly expression. */
+  def cellOf(v: Column, model: Model): Column =
+    least(model.centroids.map { case (cid, cv) =>
+      struct(r6(lit(1.0) - cosine_similarity(v, typedlit(cv))).as("dist"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
+
+  /** Train with deterministic init (first k rows by id) + `iters` Lloyd
+    * rounds (mean of assigned vectors, cosine geometry on raw vectors). */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var model = Model(base.orderBy("id").limit(k).collect().zipWithIndex
+      .map { case (r, i) => (i, toDouble(r.get(1))) }.toIndexedSeq)
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn("cell", cellOf(col("v"), model))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      model = Model(model.centroids.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val dim = old.length
+            val mean = Array.fill(dim)(0.0)
+            rows.foreach { r =>
+              mean(r.getAs[Int]("dim")) = r.getAs[Double]("s") / r.getAs[Long]("n")
+            }
+            (cid, mean.toIndexedSeq)
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      })
+    }
+    model
+  }
+
+  /** Mean cosine distance of each vector to its assigned centroid —
+    * the quantization error Lloyd iterations should not increase. */
+  def quantizationError(vectors: DataFrame, vecCol: String, model: Model): Double = {
+    val d = least(model.centroids.map { case (_, cv) =>
+      lit(1.0) - cosine_similarity(col(vecCol), typedlit(cv))
+    }: _*)
+    vectors.select(avg(d)).head().getDouble(0)
+  }
+
+  /** nprobe-cell approximate kNN over a fitted model. */
+  def search(vectors: DataFrame, idCol: String, vecCol: String, model: Model,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobe: Int, kNeighbors: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeStructs = model.centroids.map { case (cid, cv) =>
+      struct(r6(lit(1.0) - cosine_similarity(col("qv"), typedlit(cv))).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val assigned = vectors.select(col(idCol).as("c_id"), col(vecCol).as("cv0"))
+      .withColumn("cell", cellOf(col("cv0"), model))
+    val probes = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+      .select(col("q_id"), col("qv"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cid").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    assigned.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("c_id"),
+        r6(lit(1.0) - cosine_similarity(col("cv0"), col("qv"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kNeighbors)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage-layout helpers: partitioned + bucketed parquet tables.
+  *
+  * At 100 TB the single biggest shuffle saving is co-located storage:
+  * writing both sides of a recurring join bucketed by the join key lets
+  * every subsequent join run with ZERO exchange (SortMergeJoin reads
+  * bucket i of A against bucket i of B). The reference keeps everything
+  * in one Postgres table; the Spark-native layout is a lake of bucketed
+  * parquet tables registered in the catalog.
+  */
+object Sinks {
+
+  /** Write `df` as a catalog-managed parquet table bucketed (and sorted)
+    * by `key` into `buckets` buckets. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+  }
+
+  /** Write a date/hour-partitioned parquet directory (pruning path for
+    * time-range scans — partition filters never touch excluded files). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -63,6 +63,52 @@ object Streaming {
       COUNT(*) AS n, CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
     FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""
 
+  // ── Stateful sessionization (flatMapGroupsWithState) ─────────────────
+
+  final val SessionGapUs = 30L * 60L * 1000000L
+
+  case class SessEvent(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(start_us: Long, end_us: Long, n_events: Long, sum_value_c: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value_c: Long)
+
+  /** Gap-based sessionization as arbitrary streaming state: per-user
+    * `GroupState[SessionState]` holds the open session; a >30-min gap
+    * closes and emits it. This is the always-on form of
+    * [[graft.ops.Events.evSessionize]] — state is one record per active
+    * user regardless of history size, the property that makes it viable
+    * on an unbounded 100 TB/day stream. */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .as[SessEvent]
+    def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.value))
+          val closed = IndexedSeq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.end_us <= SessionGapUs =>
+                cur = Some(SessionState(s.start_us, e.ts_us, s.n_events + 1,
+                  s.sum_value_c + centsOf(e.value)))
+              case Some(s) =>
+                closed += SessionOut(user, s.start_us, s.end_us, s.n_events, s.sum_value_c)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, centsOf(e.value)))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, centsOf(e.value)))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAggBatch)
   val oracles: Map[String, String] = Map(

@@ -17,4 +17,12 @@ object Bridge {
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Apply a SparkSessionExtensions' injected functions to a live session
+    * (spark.sql.extensions is a static conf — it only takes effect for the
+    * first session of a JVM; this applies the same registrations to an
+    * existing session, e.g. under test). */
+  def applyFunctionExtensions(spark: org.apache.spark.sql.SparkSession,
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

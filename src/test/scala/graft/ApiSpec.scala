@@ -8,20 +8,17 @@ import org.apache.spark.sql.functions._
   * scale design (pushdown, broadcast, top-k pushdown). */
 class ApiSpec extends SparkSpec {
 
-  test("GraftExtensions registers kernels as SQL functions at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val r = s2.sql(
-        "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
-        "poly_hash('abc') h").head()
-      assert(r.getDouble(0) == 1.0)
-      assert(r.getLong(1) == (("a".codePointAt(0) * 31L + 'b') % 1000000007L * 31L + 'c') % 1000000007L)
-    } finally s2.close()
+  test("GraftExtensions registers kernels as SQL functions") {
+    // spark.sql.extensions is a static conf (first session of the JVM
+    // only), so apply the same injections to the shared test session.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.Bridge.applyFunctionExtensions(spark, ext)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+      "poly_hash('abc') h").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == (("a".codePointAt(0) * 31L + 'b') % 1000000007L * 31L + 'c') % 1000000007L)
   }
 
   test("VectorStore mirrors the reference CLI: count + threshold top-k search") {

@@ -50,6 +50,29 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful stream sessionization emits exactly the closed batch sessions") {
+    val q = Streaming.sessionizeStream(spark, sf).writeStream
+      .format("memory").queryName("stream_sess")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+      r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_c"))
+    val streamed = spark.table("stream_sess").collect().map(key).toSet
+    // One batch processes all events per user: every session except the
+    // still-open last one per user must have been emitted.
+    val batch = graft.ops.Events.evSessionize(spark, sf).collect()
+    val lastSid = batch.groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) => u -> rows.map(_.getAs[Long]("sid")).max }
+    val expected = batch.filter(r =>
+        r.getAs[Long]("sid") != lastSid(r.getAs[Long]("user_id")))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_c")))
+      .toSet
+    assert(streamed == expected)
+  }
+
   test("mm_features: batched stub featurize keeps schema, rows, determinism") {
     val a = Multimodal.mmFeatures(spark, sf).collect()
     val b = Multimodal.mmFeatures(spark, sf).collect()

@@ -1,0 +1,36 @@
+package graft
+
+import graft.ops.IvfIndex
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  private lazy val vectors = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+
+  test("Lloyd iterations do not increase quantization error") {
+    val m0 = IvfIndex.fit(vectors, "vec_id", "embedding", k = 8, iters = 0)
+    val m3 = IvfIndex.fit(vectors, "vec_id", "embedding", k = 8, iters = 3)
+    val e0 = IvfIndex.quantizationError(vectors, "embedding", m0)
+    val e3 = IvfIndex.quantizationError(vectors, "embedding", m3)
+    assert(e3 <= e0 + 1e-9, s"error went up: $e0 -> $e3")
+  }
+
+  test("fit is deterministic across runs") {
+    val a = IvfIndex.fit(vectors, "vec_id", "embedding", k = 4, iters = 2)
+    val b = IvfIndex.fit(vectors, "vec_id", "embedding", k = 4, iters = 2)
+    assert(a == b)
+  }
+
+  test("probe search returns k neighbors per query with sane recall vs exact") {
+    val model = IvfIndex.fit(vectors, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = vectors.filter(col("vec_id") % 100 === 0)
+    val approx = IvfIndex.search(vectors, "vec_id", "embedding", model,
+      queries, "vec_id", "embedding", nprobe = 4, kNeighbors = 5).collect()
+    val byQ = approx.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5))
+    // Self-match must always be found (query's own cell is its nearest
+    // probe), at distance 0.
+    byQ.foreach { case (q, rows) =>
+      assert(rows.exists(r => r.getAs[Long]("c_id") == q && r.getAs[Double]("dist") == 0.0))
+    }
+  }
+}
