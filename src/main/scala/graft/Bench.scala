@@ -17,12 +17,17 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation of every output column (count()
-      // would let Catalyst prune the computed columns away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Two timed executions, report the min: the first run absorbs
+      // codegen compilation + JIT for that query's operators.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation of every output column (count()
+        // would let Catalyst prune the computed columns away).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -124,7 +124,12 @@ object Dedup {
     * shuffle on the label key). Oracle: DuckDB recursive reachability. */
   final val ClusterIters = 5
   def dedupClusters: Q = (spark, dir) => {
+    // Materialize the pair graph ONCE before iterating: lazy lineage would
+    // re-run the whole minhash pipeline in every propagation round (and
+    // the label DF's plan would nest i copies of it by round i). The
+    // cluster-scale equivalent is checkpointing to reliable storage.
     val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+      .localCheckpoint(true)
     // Symmetric edge list + self-loops = neighborhood including self.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -137,6 +142,7 @@ object Dedup {
         .groupBy(col("src").as("id2"))
         .agg(min("lbl").as("lbl"))
         .select(col("id2").as("id"), col("lbl"))
+        .localCheckpoint(true) // keep each round's plan flat
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
