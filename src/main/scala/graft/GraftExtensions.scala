@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     fn(ext, "inner_product", es => InnerProduct(es(0), es(1)))
     fn(ext, "l2_distance", es => L2Distance(es(0), es(1)))
+    fn(ext, "l1_distance", es => L1Distance(es(0), es(1)))
     fn(ext, "vector_norm", es => VectorNorm(es.head))
     fn(ext, "vector_normalize", es => VectorNormalize(es.head))
     fn(ext, "poly_hash", es => PolyHash(es.head))

@@ -120,6 +120,34 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** l1_distance(a, b) = Σ |aᵢ−bᵢ| (Manhattan). */
+case class L1Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l1_distance"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      acc += math.abs(VectorKernel.get(x, leftElem, i) - VectorKernel.get(y, rightElem, i))
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, acc) = Seq("i", "n", "acc").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += java.lang.Math.abs((double) ${CodeGenerator.getValue(a, leftElem, i)}
+        |                           - (double) ${CodeGenerator.getValue(b, rightElem, i)});
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** vector_norm(a) = sqrt(Σ aᵢ²). */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vector_norm"

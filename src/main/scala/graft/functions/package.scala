@@ -14,6 +14,7 @@ package object functions {
   def cosine_distance(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.lit(1.0) - cosine_similarity(a, b)
   def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
+  def l1_distance(a: Column, b: Column): Column = col(L1Distance(expr(a), expr(b)))
   def inner_product(a: Column, b: Column): Column = col(InnerProduct(expr(a), expr(b)))
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vector_normalize(a: Column): Column = col(VectorNormalize(expr(a)))
@@ -28,6 +29,7 @@ package object functions {
     registerFunction(spark, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     registerFunction(spark, "inner_product", es => InnerProduct(es(0), es(1)))
     registerFunction(spark, "l2_distance", es => L2Distance(es(0), es(1)))
+    registerFunction(spark, "l1_distance", es => L1Distance(es(0), es(1)))
     registerFunction(spark, "vector_norm", es => VectorNorm(es.head))
     registerFunction(spark, "vector_normalize", es => VectorNormalize(es.head))
     registerFunction(spark, "poly_hash", es => PolyHash(es.head))

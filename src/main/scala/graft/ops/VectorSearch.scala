@@ -54,6 +54,7 @@ object VectorSearch {
       .select(col("vec_id"),
         r6(cosine_similarity(col("embedding"), col("qv"))).as("cos_sim"),
         r6(l2_distance(col("embedding"), col("qv"))).as("l2_dist"),
+        r6(l1_distance(col("embedding"), col("qv"))).as("l1_dist"),
         r6(inner_product(col("embedding"), col("qv"))).as("inner_prod"),
         r6(vector_norm(col("embedding"))).as("norm"),
         r6(aggregate(vector_normalize(col("embedding")), lit(0.0), (acc, x) => acc + x))
@@ -65,6 +66,8 @@ object VectorSearch {
     SELECT vec_id,
       round(${cosSql("v", "qv")}, 6) AS cos_sim,
       round(list_distance(v, qv), 6) AS l2_dist,
+      round(list_reduce(list_transform(range(1, len(v)+1), i -> abs(v[i] - qv[i])),
+                        (a, b) -> a + b), 6) AS l1_dist,
       round(${dotSql("v", "qv")}, 6) AS inner_prod,
       round(sqrt(${dotSql("v", "v")}), 6) AS norm,
       round(list_reduce(list_transform(v, x -> x / sqrt(${dotSql("v", "v")})),

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** Property-style tests: the codegen'd kernels must agree with plain
+  * Scala reference implementations on many pseudo-random vectors
+  * (fixed seed — deterministic). */
+class KernelPropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def randVec(): Array[Float] = {
+    val n = 1 + rnd.nextInt(16)
+    Array.fill(n)(rnd.nextFloat() * 200f - 100f)
+  }
+
+  test("kernels match sequential reference implementations on arbitrary vectors") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val a = randVec()
+      val b = a.map(x => x * 0.5f - 1.0f)
+      val r = Seq((a, b)).toDF("a", "b").select(
+        inner_product(col("a"), col("b")),
+        l2_distance(col("a"), col("b")),
+        l1_distance(col("a"), col("b")),
+        cosine_similarity(col("a"), col("b")),
+        vector_norm(col("a"))).head()
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var sq = 0.0; var ab = 0.0
+      a.indices.foreach { i =>
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y
+        val d = x - y; sq += d * d; ab += math.abs(d)
+      }
+      assert(r.getDouble(0) == dot)
+      assert(r.getDouble(1) == math.sqrt(sq))
+      assert(r.getDouble(2) == ab)
+      assert(r.getDouble(3) == dot / math.sqrt(na * nb))
+      assert(r.getDouble(4) == math.sqrt(na))
+    }
+  }
+
+  test("vector_normalize yields unit vectors") {
+    import spark.implicits._
+    (1 to 10).foreach { _ =>
+      val a = randVec()
+      val n = Seq(Tuple1(a)).toDF("a")
+        .select(vector_norm(vector_normalize(col("a")))).head().getDouble(0)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
+  test("poly_hash stays in [0, 1e9+7) and distributes across cells") {
+    import spark.implicits._
+    val words = (0 until 1000).map(i => s"tok$i")
+    val hs = words.toDF("w").select(poly_hash(col("w")).as("h"))
+      .select(col("h"), (col("h") % 64).as("cell")).collect()
+    assert(hs.forall(r => r.getAs[Long]("h") >= 0 && r.getAs[Long]("h") < 1000000007L))
+    val cells = hs.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length > 48) // all-but-a-few of 64 cells hit by 1000 tokens
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      val r = Seq((a, b)).toDF("a", "b").select(
+        sorted_intersect_count(col("a"), col("b")),
+        size(array_intersect(col("a"), col("b"))).cast("long")).head()
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+}
