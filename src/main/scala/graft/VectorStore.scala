@@ -33,9 +33,18 @@ final class VectorStore(val df: DataFrame, idCol: String = "vec_id",
 
   /** Reference `Search`: cosine-distance threshold top-k, nearest first,
     * ties broken by id. */
-  def search(query: Seq[Float], k: Int = 10, threshold: Double = 0.6): DataFrame = {
+  def search(query: Seq[Float], k: Int = 10, threshold: Double = 0.6): DataFrame =
+    searchVec(typedlit(query), k, threshold)
+
+  /** Reference `Search <query>` end-to-end: embed the text client-side
+    * (exactly like main.rs:86-90 embeds the query before the SQL) with
+    * the same embedder as [[VectorStore.ingestText]], then search. */
+  def searchText(query: String, k: Int = 10, threshold: Double = 0.6): DataFrame =
+    searchVec(typedlit(VectorStore.embedTextLocal(query).toSeq), k, threshold)
+
+  private def searchVec(q: Column, k: Int, threshold: Double): DataFrame = {
     df.select(col(idCol), col(vecCol))
-      .withColumn("dist", r6(lit(1.0) - cosine_similarity(col(vecCol), typedlit(query))))
+      .withColumn("dist", r6(lit(1.0) - cosine_similarity(col(vecCol), q)))
       .filter(col("dist") < threshold)
       .orderBy(col("dist"), col(idCol))
       .limit(k)
@@ -73,6 +82,21 @@ object VectorStore {
     vector_normalize(counts)
   }
   private def PolyHashCol(c: Column): Column = poly_hash(c)
+
+  /** Driver-side twin of [[embedText]] for embedding a single query
+    * string (the reference embeds the query in the client process too,
+    * main.rs:86-90). Bit-identical to the distributed column version. */
+  def embedTextLocal(text: String): Array[Double] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val v = new Array[Double](Dim)
+    toks.foreach { t =>
+      val h = functions.PolyHash.hashBytes(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sign = if ((h >> 6) % 2 == 0) 1.0 else -1.0
+      v((h % Dim).toInt) += sign
+    }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
 
   /** Reference `Create` path for a whole DataFrame: text → vector store
     * rows (id, content, vector). */

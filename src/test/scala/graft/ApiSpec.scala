@@ -43,6 +43,16 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("VectorStore.searchText: ingest then text-search finds the source doc first") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val store = VectorStore.ingestText(docs, "doc_id", "text")
+    val probe = docs.filter(col("doc_id") === 3).head().getAs[String]("text")
+    val hits = store.searchText(probe, k = 5, threshold = 0.6).collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[Long]("vec_id") == 3L)
+    assert(hits.head.getAs[Double]("dist") == 0.0)
+  }
+
   test("plan shape: q1 pushes the shipdate filter into the parquet scan") {
     val plan = ops.Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
