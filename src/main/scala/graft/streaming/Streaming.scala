@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.util.Det._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Structured Streaming variants of the event analytics.
@@ -107,6 +107,31 @@ object Streaming {
           cur.foreach(state.update)
           closed.result().iterator
       }.toDF()
+  }
+
+  /** Streaming exact dedup: content-hash dedup within the watermark —
+    * the always-on form of [[graft.ops.Dedup.dedupExact]]. State is one
+    * (hash → seen) entry per distinct document inside the watermark
+    * horizon, which is what keeps it bounded on an unbounded stream. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("text", StringType),
+      org.apache.spark.sql.types.StructField("lang", StringType),
+      org.apache.spark.sql.types.StructField("source", StringType),
+      org.apache.spark.sql.types.StructField("n_chars", LongType)))
+    spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        // synthetic ingest time: docs table has no timestamp; derive a
+        // deterministic one so the watermark machinery is exercised.
+        // (+1: the initial watermark is epoch 0, and a row AT the
+        // watermark is already late — epoch-0 events would be dropped.)
+        timestamp_micros((col("doc_id") + 1) * 1000000L).as("ingest_time"))
+      .withWatermark("ingest_time", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

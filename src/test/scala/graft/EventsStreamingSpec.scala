@@ -73,6 +73,19 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming dedup emits one row per distinct content hash") {
+    val q = Streaming.dedupStream(spark, sf).writeStream
+      .format("memory").queryName("stream_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_dedup").collect()
+    val batchDistinct = graft.ops.Dedup.dedupExact(spark, sf).count()
+    assert(streamed.length.toLong == batchDistinct)
+    assert(streamed.map(_.getAs[String]("h")).distinct.length == streamed.length)
+  }
+
   test("mm_features: batched stub featurize keeps schema, rows, determinism") {
     val a = Multimodal.mmFeatures(spark, sf).collect()
     val b = Multimodal.mmFeatures(spark, sf).collect()
