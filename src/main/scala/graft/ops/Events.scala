@@ -107,13 +107,80 @@ object Events {
     FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
     ORDER BY v.user_id"""
 
+  // ── ev_asof_join — most recent prior click for every purchase ────────
+  /** AS-OF join (an operator Spark lacks natively) composed from
+    * built-ins: union both sides tagged, one window sorted by
+    * (ts, side, id), running max of the left side's timestamp = the
+    * as-of match. ONE shuffle on the join key, no inequality join, no
+    * BNL — this is the shape that survives 100 TB (vs. the naive
+    * `a.ts <= b.ts` theta-join, which cannot hash-partition). */
+  def evAsofJoin: Q = (spark, dir) => {
+    val e = ev(spark, dir).filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "click", 0L).otherwise(1L).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_us", max(when(col("kind") === 0L, col("ts_us"))).over(w))
+      .filter(col("kind") === 1L)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
+      .orderBy("event_id")
+  }
+  val evAsofJoinSql = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT event_id, user_id, ts_us, kind,
+        MAX(CASE WHEN kind = 0 THEN ts_us END) OVER (
+          PARTITION BY user_id ORDER BY ts_us, kind, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      FROM e)
+    SELECT event_id, user_id, ts_us, last_click_us
+    FROM m WHERE kind = 1 ORDER BY event_id"""
+
+  // ── ev_range_join — errors near purchases, bucketed interval join ────
+  /** Range join (interval containment) via time-bucket blocking: each
+    * error emits its hour bucket, each purchase probes its own and the
+    * next bucket, so every |Δt| ≤ 1 h pair co-locates on a hash key.
+    * Equivalent to the `BETWEEN` theta-join but hash-partitionable —
+    * the 100 TB answer to Spark's BNL fallback on inequality joins. */
+  def evRangeJoin: Q = (spark, dir) => {
+    val e = ev(spark, dir)
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts_us").as("err_us"), expr(s"ts_us div $HourUs").as("bk"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_us"),
+        explode(array(expr(s"ts_us div $HourUs - 1"), expr(s"ts_us div $HourUs"))).as("bk"))
+    errs.join(purch, Seq("user_id", "bk"))
+      .filter(col("err_us") >= col("p_us") - HourUs && col("err_us") <= col("p_us"))
+      .select(col("user_id"), col("p_id"), col("err_id"), col("p_us"), col("err_us"))
+      .distinct()
+      .orderBy("p_id", "err_id")
+  }
+  val evRangeJoinSql = s"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+    SELECT DISTINCT p.user_id, p.event_id AS p_id, x.event_id AS err_id,
+      p.ts_us AS p_us, x.ts_us AS err_us
+    FROM e p JOIN e x ON p.user_id = x.user_id
+    WHERE p.event_type = 'purchase' AND x.event_type = 'error'
+      AND x.ts_us BETWEEN p.ts_us - $HourUs AND p.ts_us
+    ORDER BY p_id, err_id"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
     "ev_sessionize" -> evSessionize,
-    "ev_funnel" -> evFunnel)
+    "ev_funnel" -> evFunnel,
+    "ev_asof_join" -> evAsofJoin,
+    "ev_range_join" -> evRangeJoin)
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
     "ev_sessionize" -> evSessionizeSql,
-    "ev_funnel" -> evFunnelSql)
+    "ev_funnel" -> evFunnelSql,
+    "ev_asof_join" -> evAsofJoinSql,
+    "ev_range_join" -> evRangeJoinSql)
 }

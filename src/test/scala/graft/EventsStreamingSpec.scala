@@ -35,6 +35,24 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("ev_asof_join: every match is the latest click at or before the purchase") {
+    val rows = Events.evAsofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Long]("last_click_us") <= r.getAs[Long]("ts_us"))
+    }
+    assert(rows.exists(!_.isNullAt(3))) // at least some purchases have prior clicks
+  }
+
+  test("ev_range_join: every pair is within the hour window, error before purchase") {
+    val rows = Events.evRangeJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("p_us") - r.getAs[Long]("err_us")
+      assert(d >= 0 && d <= 3600L * 1000000L)
+    }
+  }
+
   test("streaming window agg (AvailableNow → memory sink) equals batch result") {
     val stream = Streaming.windowAggStream(spark, sf)
     val q = stream.writeStream
