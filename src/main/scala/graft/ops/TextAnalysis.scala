@@ -152,15 +152,60 @@ object TextAnalysis {
       COUNT(DISTINCT h) AS n_distinct
     FROM h GROUP BY doc_id ORDER BY doc_id"""
 
+  // ── text_kmv_sketch — deterministic distinct-count sketch per source ─
+  /** KMV (k-minimum-values) cardinality sketch over token hashes:
+    * keep the k smallest distinct poly_hash values per source; estimate
+    * distinct = (k−1)·M / h_k. Unlike HLL the sketch state is a pure
+    * order-statistic — merge- and partition-order independent, so the
+    * estimate is bit-deterministic and the DuckDB oracle reproduces it
+    * exactly. Sketch state is k longs per group regardless of corpus
+    * size; the exact distinct count is computed alongside for the
+    * error check. */
+  final val KmvK = 64
+  def textKmvSketch: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hx = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksCol).as("tok"))
+      .select(col("source"), poly_hash(col("tok")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("source").orderBy("h")
+    val ranked = hx.withColumn("rn", row_number().over(w))
+    val exact = hx.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val kth = ranked.filter(col("rn") === KmvK)
+      .select(col("source"), col("h").as("hk"))
+    exact.join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        r6(when(col("hk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * 1000000007.0 / col("hk").cast("double")))
+          .as("kmv_estimate"))
+      .orderBy("source")
+  }
+  val textKmvSketchSql = s"""
+    WITH hx AS (
+      SELECT DISTINCT source,
+        list_reduce(list_transform(range(1, len(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT)),
+                    (a, b) -> (a*31 + b) % 1000000007) AS h
+      FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+    ranked AS (
+      SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hx),
+    exact AS (SELECT source, COUNT(*) AS n_exact FROM hx GROUP BY source),
+    kth AS (SELECT source, h AS hk FROM ranked WHERE rn = $KmvK)
+    SELECT e.source, n_exact,
+      round(CASE WHEN hk IS NULL THEN n_exact::DOUBLE
+                 ELSE ${(KmvK - 1).toDouble} * 1000000007.0 / hk::DOUBLE END, 6) AS kmv_estimate
+    FROM exact e LEFT JOIN kth USING (source) ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "text_lang_id" -> textLangId,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_kmv_sketch" -> textKmvSketch)
 
   val oracles: Map[String, String] = Map(
     "text_lang_id" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_kmv_sketch" -> textKmvSketchSql)
 }

@@ -61,6 +61,18 @@ class DedupTextSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("sum_bpe_tok") >= r.getAs[Long]("sum_ws_tok")))
   }
 
+  test("text_kmv_sketch estimates distinct tokens within sketch error bounds") {
+    val rows = TextAnalysis.textKmvSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("kmv_estimate")
+      // KMV with k=64 has ~1/sqrt(k-2) ≈ 13% stddev; allow 3σ.
+      assert(math.abs(est - exact) <= math.max(3.0, 0.4 * exact),
+        s"${r.getAs[String]("source")}: exact=$exact est=$est")
+    }
+  }
+
   test("text_fingerprint emits min-hash and distinct-window stats per doc") {
     val rows = TextAnalysis.textFingerprint(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_windows")))
