@@ -35,7 +35,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failures (-1 markers) must not shrink the headline total.
+    val total = results.map(_._2).filter(_ >= 0).sum + results.count(_._2 < 0) * 1e6
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

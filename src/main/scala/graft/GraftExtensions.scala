@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "vector_norm", es => VectorNorm(es.head))
     fn(ext, "vector_normalize", es => VectorNormalize(es.head))
     fn(ext, "poly_hash", es => PolyHash(es.head))
+    fn(ext, "poly_hash_cp", es => PolyHashCp(es.head))
     fn(ext, "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)))
   }
 }

@@ -73,15 +73,15 @@ object VectorStore {
     * array<double>. Map-side only; codegen'd hash. */
   def embedText(text: Column): Column = {
     val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
-    val counts = transform(sequence(lit(0), lit(Dim - 1)), i =>
-      aggregate(toks, lit(0L), (acc, t) => {
-        val h = PolyHashCol(t)
-        acc + when(h % Dim === i,
-          when(shiftright(h, 6) % 2 === 0, 1L).otherwise(-1L)).otherwise(0L)
-      }))
+    // Hash each token ONCE, then fold the hash stream into the count
+    // vector (one O(Dim) array update per token, no re-hashing per dim).
+    val hashes = transform(toks, t => poly_hash(t))
+    val counts = aggregate(hashes, array_repeat(lit(0L), Dim), (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(Dim - 1)), (v, i) =>
+        v + when(h % Dim === i,
+          when(shiftright(h, 6) % 2 === 0, 1L).otherwise(-1L)).otherwise(0L)))
     vector_normalize(counts)
   }
-  private def PolyHashCol(c: Column): Column = poly_hash(c)
 
   /** Driver-side twin of [[embedText]] for embedding a single query
     * string (the reference embeds the query in the client process too,

@@ -45,4 +45,32 @@ object PolyHash {
     while (i < b.length) { acc = (acc * 31L + (b(i) & 0xFF).toLong) % Mod; i += 1 }
     acc
   }
+  /** Codepoint variant — matches DuckDB `unicode()` folding on ANY
+    * string (byte folding only matches for pure-ASCII input). */
+  def hashCodepoints(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L; var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp.toLong) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Polynomial rolling hash over Unicode CODEPOINTS — use for char-gram
+  * hashing of raw text, where the DuckDB oracle's `unicode(c[i])` sees
+  * codepoints, not UTF-8 bytes. (For alnum tokens the byte variant
+  * [[PolyHash]] is equivalent and cheaper.) */
+case class PolyHashCp(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "poly_hash_cp"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    PolyHash.hashCodepoints(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PolyHash.hashCodepoints($s);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

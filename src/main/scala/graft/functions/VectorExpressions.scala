@@ -61,9 +61,12 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** cosine_similarity(a, b) = dot / sqrt(|a|²·|b|²), one fused pass. */
+/** cosine_similarity(a, b) = dot / sqrt(|a|²·|b|²), one fused pass.
+  * NULL when either norm is zero (undefined angle) — matching SQL
+  * engines where division by zero yields NULL, so oracles agree. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "cosine_similarity"
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
@@ -71,7 +74,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val va = VectorKernel.get(x, leftElem, i); val vb = VectorKernel.get(y, rightElem, i)
       dot += va * vb; na += va * va; nb += vb * vb; i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) null else dot / math.sqrt(na * nb)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -85,7 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
         |  double $vb = (double) ${CodeGenerator.getValue(b, rightElem, i)};
         |  $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
         |}
-        |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+        |if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
       """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -176,10 +180,12 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** vector_normalize(a) = a / |a| as array<double> (|a|=0 → zero vector). */
+/** vector_normalize(a) = a / |a| as array<double>; NULL when |a| = 0
+  * (matching SQL division-by-zero → NULL so oracles agree). */
 case class VectorNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vector_normalize"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
   override def nullSafeEval(a: Any): Any = {
@@ -188,10 +194,13 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
     var acc = 0.0; var i = 0
     while (i < n) { val v = VectorKernel.get(x, elem, i); acc += v * v; i += 1 }
     val norm = math.sqrt(acc)
-    val out = new Array[Double](n)
-    i = 0
-    while (i < n) { out(i) = if (norm == 0.0) 0.0 else VectorKernel.get(x, elem, i) / norm; i += 1 }
-    new GenericArrayData(out)
+    if (norm == 0.0) null
+    else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = VectorKernel.get(x, elem, i) / norm; i += 1 }
+      new GenericArrayData(out)
+    }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -204,12 +213,14 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
         |  $acc += $v * $v;
         |}
         |double $norm = java.lang.Math.sqrt($acc);
-        |double[] $out = new double[$n];
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $out[$i] = $norm == 0.0 ? 0.0
-        |    : ((double) ${CodeGenerator.getValue(a, elem, i)}) / $norm;
+        |if ($norm == 0.0) { ${ev.isNull} = true; }
+        |else {
+        |  double[] $out = new double[$n];
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $out[$i] = ((double) ${CodeGenerator.getValue(a, elem, i)}) / $norm;
+        |  }
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         |}
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

@@ -19,8 +19,12 @@ package object functions {
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vector_normalize(a: Column): Column = col(VectorNormalize(expr(a)))
   def poly_hash(s: Column): Column = col(PolyHash(expr(s)))
+  def poly_hash_cp(s: Column): Column = col(PolyHashCp(expr(s)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
+  /** Aggregate: k-th smallest long with bounded (k-entry) state. */
+  def kth_min(c: Column, k: Int): Column =
+    col(KthMin(expr(c), k).toAggregateExpression())
 
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */
@@ -33,5 +37,6 @@ package object functions {
     registerFunction(spark, "vector_norm", es => VectorNorm(es.head))
     registerFunction(spark, "vector_normalize", es => VectorNormalize(es.head))
     registerFunction(spark, "poly_hash", es => PolyHash(es.head))
+    registerFunction(spark, "poly_hash_cp", es => PolyHashCp(es.head))
   }
 }

@@ -20,16 +20,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private final val M = 1000000007L
-
-  /** Lowercased alnum tokens, as both a Column helper and SQL fragment. */
-  private def toksCol: Column =
-    filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-  /** SQL polyhash of a string column `c` — mirrors [[graft.functions.PolyHash]]. */
-  private def polySql(c: String) =
-    s"list_reduce(list_transform(range(1, len($c)+1), i -> CAST(unicode($c[i]) AS BIGINT)), (a, b) -> (a*31 + b) % $M)"
+  private final val M = graft.util.TextUtil.HashMod
+  private def toksCol: Column = graft.util.TextUtil.toksCol
+  private val toksSql = graft.util.TextUtil.toksSql
+  private def polySql(c: String) = graft.util.TextUtil.polySql(c)
 
   // ── dedup_exact — md5(text) hash-group, keep min id ──────────────────
   /** One hash aggregate (map-side combined); the canonical survivor is the
@@ -122,7 +116,7 @@ object Dedup {
     * iterations (dup-cluster diameters are tiny; at 100 TB this is the
     * standard alternating large-star/small-star loop, each round one
     * shuffle on the label key). Oracle: DuckDB recursive reachability. */
-  final val ClusterIters = 5
+  final val ClusterIters = 50 // convergence-loop hard cap
   def dedupClusters: Q = (spark, dir) => {
     // Materialize the pair graph ONCE before iterating: lazy lineage would
     // re-run the whole minhash pipeline in every propagation round (and
@@ -137,12 +131,22 @@ object Dedup {
       .union(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
       .distinct()
     var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
-    for (_ <- 0 until ClusterIters) {
+      .localCheckpoint(true)
+    // Iterate to convergence (labels only decrease, so a stable sum is a
+    // fixed point — matching the oracle's full transitive closure), with
+    // a hard cap as a runaway guard.
+    var prevSum = -1L
+    var curSum = labels.agg(sum("lbl")).head().getLong(0)
+    var rounds = 0
+    while (curSum != prevSum && rounds < ClusterIters) {
       labels = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min("lbl").as("lbl"))
         .select(col("id2").as("id"), col("lbl"))
         .localCheckpoint(true) // keep each round's plan flat
+      prevSum = curSum
+      curSum = labels.agg(sum("lbl")).head().getLong(0)
+      rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
@@ -244,7 +248,7 @@ object Dedup {
         "t", lower(col("text")))
       .select(col("doc_id"), col("lb"),
         expr("array_sort(array_distinct(transform(sequence(1, length(t)-2), " +
-          "i -> poly_hash(substr(t, i, 3)))))").as("grams"))
+          "i -> poly_hash_cp(substr(t, i, 3)))))").as("grams"))
     val keyed = g.select(col("doc_id"), explode(array(col("lb"), col("lb") + 1)).as("bk"))
     // Dedup candidate ids BEFORE the expensive set intersection.
     val cand = keyed.as("a").join(keyed.as("b"),

@@ -60,12 +60,12 @@ object Events {
   }
   val evSessionizeSql = s"""
     WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),
-    flagged AS (SELECT user_id, ts_us, value,
+    flagged AS (SELECT user_id, event_id, ts_us, value,
         CASE WHEN lag(ts_us) OVER w IS NULL
                OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
     sess AS (SELECT user_id, ts_us, value,
-        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged)
     SELECT user_id, sid, COUNT(*) AS n_events,

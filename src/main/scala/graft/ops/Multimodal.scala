@@ -26,6 +26,7 @@ object Multimodal {
 
   val outputSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
@@ -51,14 +52,16 @@ object Multimodal {
         struct(lit("application/octet-stream").as("mime"),
           length(col("text")).cast("long").as("n_bytes")).as("meta"))
     val encoder = org.apache.spark.sql.Encoders.row(outputSchema)
-    media.select(col("doc_id"), col("payload"))
+    media.select(col("doc_id"), col("payload"), col("meta"))
       .mapPartitions { rows =>
         rows.grouped(BatchSize).flatMap { batch =>
           // One batch = one stub "decoder call" (real decoders amortize
           // model/codec setup across the batch exactly like this).
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]]("payload")
-            Row(r.getAs[Long]("doc_id"), bytes.length.toLong, fakeDecodeFeatures(bytes))
+            val meta = r.getAs[Row]("meta")
+            Row(r.getAs[Long]("doc_id"), meta.getAs[String]("mime"),
+              meta.getAs[Long]("n_bytes"), fakeDecodeFeatures(bytes))
           }
         }
       }(encoder)

@@ -17,10 +17,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  private def toksCol: Column =
-    filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def toksCol: Column = graft.util.TextUtil.toksCol
+  private val toksSql = graft.util.TextUtil.toksSql
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
@@ -134,7 +132,7 @@ object TextAnalysis {
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"), explode(expr("sequence(1, length(t) - 7)")).as("i"), col("t"))
-      .select(col("doc_id"), poly_hash(expr("substr(t, i, 8)")).as("h"))
+      .select(col("doc_id"), poly_hash_cp(expr("substr(t, i, 8)")).as("h"))
       .groupBy("doc_id")
       .agg(min("h").as("min_hash"),
         count(lit(1)).as("n_windows"),
@@ -163,17 +161,15 @@ object TextAnalysis {
     * error check. */
   final val KmvK = 64
   def textKmvSketch: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val hx = Tables.documents(spark, dir)
       .select(col("source"), explode(toksCol).as("tok"))
       .select(col("source"), poly_hash(col("tok")).as("h"))
       .distinct()
-    val w = Window.partitionBy("source").orderBy("h")
-    val ranked = hx.withColumn("rn", row_number().over(w))
-    val exact = hx.groupBy("source").agg(count(lit(1)).as("n_exact"))
-    val kth = ranked.filter(col("rn") === KmvK)
-      .select(col("source"), col("h").as("hk"))
-    exact.join(kth, Seq("source"), "left")
+    // kth_min is a bounded-heap TypedImperativeAggregate: state is k
+    // longs per group with map-side combine — the actual sketch, not a
+    // full per-group sort.
+    hx.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"), kth_min(col("h"), KmvK).as("hk"))
       .select(col("source"), col("n_exact"),
         r6(when(col("hk").isNull, col("n_exact").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) * 1000000007.0 / col("hk").cast("double")))

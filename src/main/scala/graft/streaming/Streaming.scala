@@ -95,7 +95,10 @@ object Streaming {
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.ts_us - s.end_us <= SessionGapUs =>
-                cur = Some(SessionState(s.start_us, e.ts_us, s.n_events + 1,
+                // min/max, not overwrite: a late event from an earlier
+                // micro-batch must extend, never regress, the session.
+                cur = Some(SessionState(math.min(s.start_us, e.ts_us),
+                  math.max(s.end_us, e.ts_us), s.n_events + 1,
                   s.sum_value_c + centsOf(e.value)))
               case Some(s) =>
                 closed += SessionOut(user, s.start_us, s.end_us, s.n_events, s.sum_value_c)

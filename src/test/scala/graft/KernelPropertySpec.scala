@@ -49,6 +49,36 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors yield NULL (not NaN) from cosine and normalize") {
+    import spark.implicits._
+    val r = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("z", "v").select(
+      cosine_similarity(col("z"), col("v")),
+      vector_normalize(col("z")),
+      cosine_similarity(col("v"), col("v"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("kth_min aggregates the k-th smallest with bounded state across partitions") {
+    import spark.implicits._
+    val df = spark.range(1000).select((col("id") * 7919 % 1000).as("v")).repartition(8)
+    val got = df.agg(kth_min(col("v"), 10)).head().getLong(0)
+    assert(got == 9L) // values are a permutation of 0..999
+    val tooFew = spark.range(5).agg(kth_min(col("id"), 10)).head()
+    assert(tooFew.isNullAt(0))
+  }
+
+  test("poly_hash_cp equals poly_hash on ASCII but folds codepoints on non-ASCII") {
+    import spark.implicits._
+    val r = Seq(("abc", "café")).toDF("a", "u").select(
+      poly_hash(col("a")), poly_hash_cp(col("a")),
+      poly_hash(col("u")), poly_hash_cp(col("u"))).head()
+    assert(r.getLong(0) == r.getLong(1)) // ASCII: byte == codepoint folding
+    assert(r.getLong(2) != r.getLong(3)) // é: 2 UTF-8 bytes vs 1 codepoint
+    val cafeCp = Seq('c', 'a', 'f').map(_.toLong).foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    assert(r.getLong(3) == (cafeCp * 31 + 0xe9L) % 1000000007L)
+  }
+
   test("poly_hash stays in [0, 1e9+7) and distributes across cells") {
     import spark.implicits._
     val words = (0 until 1000).map(i => s"tok$i")
