@@ -238,8 +238,37 @@ object Relational {
     QUALIFY rn <= 3
     ORDER BY c_mktsegment, rn"""
 
+  /** Q11: correlated scalar subquery — customers whose balance exceeds
+    * 5% of their own average order value (exact integer predicate). Spark expresses the decorrelated
+    * form directly (aggregate + join) — the plan Catalyst rewrites a
+    * correlated subquery into anyway; the oracle keeps the correlated
+    * SQL shape to prove semantic equivalence. */
+  def q11CorrSubquery: Q = (spark, dir) => {
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("p_c"))
+      .groupBy("o_custkey")
+      .agg(floor(sum("p_c") / count(lit(1))).cast("long").as("avg_order_c"),
+        count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select(col("c_custkey"), cents(col("c_acctbal")).as("acctbal_c"))
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .filter(col("acctbal_c") * 20 > col("avg_order_c"))
+      .select("c_custkey", "acctbal_c", "avg_order_c", "n_orders")
+      .orderBy("c_custkey")
+  }
+  val q11CorrSubquerySql: String = s"""
+    SELECT c_custkey, ${centsSql("c_acctbal")} AS acctbal_c,
+      (SELECT CAST(floor(SUM(${centsSql("o_totalprice")}) / COUNT(*)) AS BIGINT)
+       FROM orders WHERE o_custkey = c_custkey) AS avg_order_c,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    WHERE ${centsSql("c_acctbal")} * 20 >
+      (SELECT CAST(floor(SUM(${centsSql("o_totalprice")}) / COUNT(*)) AS BIGINT)
+       FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "q11_corr_subquery" -> q11CorrSubquery,
     "q3_join_topk" -> q3JoinTopk,
     "q4_semijoin" -> q4Semijoin,
     "q5_multijoin" -> q5Multijoin,
@@ -250,6 +279,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q11_corr_subquery" -> q11CorrSubquerySql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q4_semijoin" -> q4SemijoinSql,
     "q5_multijoin" -> q5MultijoinSql,

@@ -191,8 +191,34 @@ object TextAnalysis {
                  ELSE ${(KmvK - 1).toDouble} * 1000000007.0 / hk::DOUBLE END, 6) AS kmv_estimate
     FROM exact e LEFT JOIN kth USING (source) ORDER BY source"""
 
+  // ── text_top_terms — term-frequency leaders per source ───────────────
+  /** Top-5 tokens per source by count (all-integer ranking: count desc,
+    * token asc — no idf logs, so no float-parity risk). One shuffle on
+    * (source, tok) with map-side combine, then a window over the small
+    * per-source aggregate. */
+  def textTopTerms: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksCol).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("source", "rn")
+  }
+  val textTopTermsSql = s"""
+    WITH c AS (
+      SELECT source, tok, COUNT(*) AS n
+      FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+      GROUP BY 1, 2)
+    SELECT source, tok, n,
+      row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
+    FROM c QUALIFY rn <= 5 ORDER BY source, rn"""
+
   val queries: Map[String, Q] = Map(
     "text_lang_id" -> textLangId,
+    "text_top_terms" -> textTopTerms,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
@@ -200,6 +226,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_lang_id" -> textLangIdSql,
+    "text_top_terms" -> textTopTermsSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
