@@ -137,6 +137,47 @@ object Streaming {
       .dropDuplicatesWithinWatermark("h")
   }
 
+  // ── Stream-stream interval join ──────────────────────────────────────
+
+  /** Watermarked stream-stream join: purchases joined to the clicks of
+    * the same user within the preceding hour. Both sides carry a 1-hour
+    * watermark and the join condition bounds the time range, so each
+    * side's buffered state is one hour of events — the property that
+    * lets two unbounded 100 TB/day streams join with finite memory. */
+  def clickPurchaseJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("c_time"))
+      .withWatermark("c_time", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        timestamp_micros(expr("ts div 1000")).as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("p_time") >= col("c_time") &&
+      col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("p_id"),
+        unix_micros(col("c_time")).as("c_us"), unix_micros(col("p_time")).as("p_us"))
+  }
+
+  /** Batch twin of [[clickPurchaseJoinStream]] for the equivalence spec. */
+  def clickPurchaseJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts_us").as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts_us").as("p_us"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("p_us") >= col("c_us") &&
+      col("p_us") <= col("c_us") + 3600L * 1000000L)
+      .select(col("c_user").as("user_id"), col("click_id"), col("p_id"), col("c_us"), col("p_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAggBatch)
   val oracles: Map[String, String] = Map(

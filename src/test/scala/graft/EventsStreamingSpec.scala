@@ -91,6 +91,20 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = Streaming.clickPurchaseJoinStream(spark, sf).writeStream
+      .format("memory").queryName("stream_ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+      r.getAs[Long]("p_id"), r.getAs[Long]("c_us"), r.getAs[Long]("p_us"))
+    val streamed = spark.table("stream_ssj").collect().map(key).toSet
+    val batch = Streaming.clickPurchaseJoinBatch(spark, sf).collect().map(key).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming dedup emits one row per distinct content hash") {
     val q = Streaming.dedupStream(spark, sf).writeStream
       .format("memory").queryName("stream_dedup")
