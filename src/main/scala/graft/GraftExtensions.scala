@@ -34,7 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "poly_hash", es => PolyHash(es.head))
     fn(ext, "poly_hash_cp", es => PolyHashCp(es.head))
     fn(ext, "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)))
-    fn(ext, "kth_min", es => KthMin(es(0),
-      es(1).eval().asInstanceOf[Number].intValue()))
+    fn(ext, "kth_min", es => {
+      require(es.length == 2 && es(1).foldable, "kth_min(col, k) needs a literal k")
+      KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 }

@@ -39,8 +39,11 @@ final class VectorStore(val df: DataFrame, idCol: String = "vec_id",
   /** Reference `Search <query>` end-to-end: embed the text client-side
     * (exactly like main.rs:86-90 embeds the query before the SQL) with
     * the same embedder as [[VectorStore.ingestText]], then search. */
-  def searchText(query: String, k: Int = 10, threshold: Double = 0.6): DataFrame =
-    searchVec(typedlit(VectorStore.embedTextLocal(query).toSeq), k, threshold)
+  def searchText(query: String, k: Int = 10, threshold: Double = 0.6): DataFrame = {
+    val q = VectorStore.embedTextLocal(query)
+    require(q != null, s"query has no embeddable tokens: '$query'")
+    searchVec(typedlit(q.toSeq), k, threshold)
+  }
 
   private def searchVec(q: Column, k: Int, threshold: Double): DataFrame = {
     df.select(col(idCol), col(vecCol))
@@ -50,10 +53,11 @@ final class VectorStore(val df: DataFrame, idCol: String = "vec_id",
       .limit(k)
   }
 
-  /** Batch kNN for a whole query DataFrame (broadcast query side). */
+  /** Batch kNN for a whole query DataFrame (broadcast query side).
+    * NULL distances (zero-norm vectors) rank last, as in SQL engines. */
   def searchAll(queries: DataFrame, qId: String, qVec: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
     df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(queries.select(col(qId).as("q_id"), col(qVec).as("qv"))))
       .select(col("q_id"), col("c_id"),
@@ -85,7 +89,9 @@ object VectorStore {
 
   /** Driver-side twin of [[embedText]] for embedding a single query
     * string (the reference embeds the query in the client process too,
-    * main.rs:86-90). Bit-identical to the distributed column version. */
+    * main.rs:86-90). Bit-identical to the distributed column version —
+    * including null (not a zero vector) when the text has no tokens or
+    * all signs cancel, mirroring vector_normalize's NULL on |a|=0. */
   def embedTextLocal(text: String): Array[Double] = {
     val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     val v = new Array[Double](Dim)
@@ -95,7 +101,7 @@ object VectorStore {
       v((h % Dim).toInt) += sign
     }
     val n = math.sqrt(v.map(x => x * x).sum)
-    if (n == 0.0) v else v.map(_ / n)
+    if (n == 0.0) null else v.map(_ / n)
   }
 
   /** Reference `Create` path for a whole DataFrame: text → vector store

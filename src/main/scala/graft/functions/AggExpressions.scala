@@ -31,6 +31,14 @@ case class KthMin(child: Expression, k: Int,
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kth_min requires a BIGINT column, got ${child.dataType.simpleString}")
+    }
+
   override def createAggregationBuffer(): PriorityQueue[java.lang.Long] =
     new PriorityQueue[java.lang.Long](k, Comparator.reverseOrder[java.lang.Long]())
 

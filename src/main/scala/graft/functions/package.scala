@@ -38,5 +38,10 @@ package object functions {
     registerFunction(spark, "vector_normalize", es => VectorNormalize(es.head))
     registerFunction(spark, "poly_hash", es => PolyHash(es.head))
     registerFunction(spark, "poly_hash_cp", es => PolyHashCp(es.head))
+    registerFunction(spark, "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)))
+    registerFunction(spark, "kth_min", es => {
+      require(es.length == 2 && es(1).foldable, "kth_min(col, k) needs a literal k")
+      KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 }

@@ -135,8 +135,14 @@ object Dedup {
     // Iterate to convergence (labels only decrease, so a stable sum is a
     // fixed point — matching the oracle's full transitive closure), with
     // a hard cap as a runaway guard.
+    // sum over an EMPTY frame is NULL — coalesce so a pair-free corpus
+    // converges immediately instead of NPE-ing.
+    def labelSum(): Long = {
+      val v = labels.agg(sum("lbl")).head().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
     var prevSum = -1L
-    var curSum = labels.agg(sum("lbl")).head().getLong(0)
+    var curSum = labelSum()
     var rounds = 0
     while (curSum != prevSum && rounds < ClusterIters) {
       labels = edges.join(labels, edges("dst") === labels("id"))
@@ -145,7 +151,7 @@ object Dedup {
         .select(col("id2").as("id"), col("lbl"))
         .localCheckpoint(true) // keep each round's plan flat
       prevSum = curSum
-      curSum = labels.agg(sum("lbl")).head().getLong(0)
+      curSum = labelSum()
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

@@ -50,7 +50,7 @@ object Multimodal {
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         struct(lit("application/octet-stream").as("mime"),
-          length(col("text")).cast("long").as("n_bytes")).as("meta"))
+          length(col("text").cast("binary")).cast("long").as("n_bytes")).as("meta"))
     val encoder = org.apache.spark.sql.Encoders.row(outputSchema)
     media.select(col("doc_id"), col("payload"), col("meta"))
       .mapPartitions { rows =>

@@ -172,15 +172,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_exact"), kth_min(col("h"), KmvK).as("hk"))
       .select(col("source"), col("n_exact"),
         r6(when(col("hk").isNull, col("n_exact").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * 1000000007.0 / col("hk").cast("double")))
+          .otherwise(lit((KmvK - 1).toDouble) * graft.util.TextUtil.HashMod.toDouble / col("hk").cast("double")))
           .as("kmv_estimate"))
       .orderBy("source")
   }
   val textKmvSketchSql = s"""
     WITH hx AS (
-      SELECT DISTINCT source,
-        list_reduce(list_transform(range(1, len(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT)),
-                    (a, b) -> (a*31 + b) % 1000000007) AS h
+      SELECT DISTINCT source, ${graft.util.TextUtil.polySql("tok")} AS h
       FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
     ranked AS (
       SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hx),
@@ -188,7 +186,7 @@ object TextAnalysis {
     kth AS (SELECT source, h AS hk FROM ranked WHERE rn = $KmvK)
     SELECT e.source, n_exact,
       round(CASE WHEN hk IS NULL THEN n_exact::DOUBLE
-                 ELSE ${(KmvK - 1).toDouble} * 1000000007.0 / hk::DOUBLE END, 6) AS kmv_estimate
+                 ELSE ${(KmvK - 1).toDouble} * ${graft.util.TextUtil.HashMod.toDouble} / hk::DOUBLE END, 6) AS kmv_estimate
     FROM exact e LEFT JOIN kth USING (source) ORDER BY source"""
 
   // ── text_top_terms — term-frequency leaders per source ───────────────

@@ -99,7 +99,7 @@ object VectorSearch {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
     e.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id").as("c_id"), dist(col("embedding"), col("qv")).as("dist"))
       .withColumn("rn", row_number().over(w))
@@ -204,7 +204,7 @@ object VectorSearch {
     val probes = q.select(col("q_id"), col("qv"),
         explode(slice(array_sort(array(cellStructs(col("qv")): _*)), 1, 2)).as("probe"))
       .select(col("q_id"), col("qv"), col("probe.cid").as("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
     assigned.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id").as("c_id"), dist(col("embedding"), col("qv")).as("dist"))
       .withColumn("rn", row_number().over(w))

@@ -117,7 +117,6 @@ object Streaming {
     * (hash → seen) entry per distinct document inside the watermark
     * horizon, which is what keeps it bounded on an unbounded stream. */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", LongType),
       org.apache.spark.sql.types.StructField("text", StringType),
@@ -129,10 +128,12 @@ object Streaming {
       .parquet(dir)
       .select(col("doc_id"), md5(col("text")).as("h"),
         // synthetic ingest time: docs table has no timestamp; derive a
-        // deterministic one so the watermark machinery is exercised.
+        // deterministic one (1 ms per doc) so the watermark machinery is
+        // exercised while any corpus ≤ 3.6M docs stays inside the 1-hour
+        // horizon (state never evicts mid-test, so dedup stays global).
         // (+1: the initial watermark is epoch 0, and a row AT the
         // watermark is already late — epoch-0 events would be dropped.)
-        timestamp_micros((col("doc_id") + 1) * 1000000L).as("ingest_time"))
+        timestamp_micros((col("doc_id") + 1) * 1000L).as("ingest_time"))
       .withWatermark("ingest_time", "1 hour")
       .dropDuplicatesWithinWatermark("h")
   }
