@@ -170,8 +170,34 @@ object Events {
       AND x.ts_us BETWEEN p.ts_us - $HourUs AND p.ts_us
     ORDER BY p_id, err_id"""
 
+  // ── ev_retention — cohort retention matrix ───────────────────────────
+  /** Users cohorted by first-activity day; active-user counts per
+    * (cohort_day, day_offset). Two aggregations: per-user first day
+    * (map-side combined min), then distinct (cohort, offset, user) →
+    * counts. The per-user result re-joins events broadcast-ably at
+    * oracle scale and shuffles on user_id at 100 TB. */
+  private final val DayUs = 86400L * 1000000L
+  def evRetention: Q = (spark, dir) => {
+    val e = ev(spark, dir).select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(first, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  val evRetentionSql = s"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    act AS (SELECT DISTINCT cohort_day, day - cohort_day AS day_offset, e.user_id
+            FROM e JOIN first ON e.user_id = first.user_id)
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
+    "ev_retention" -> evRetention,
     "ev_sessionize" -> evSessionize,
     "ev_funnel" -> evFunnel,
     "ev_asof_join" -> evAsofJoin,
@@ -179,6 +205,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
+    "ev_retention" -> evRetentionSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_funnel" -> evFunnelSql,
     "ev_asof_join" -> evAsofJoinSql,

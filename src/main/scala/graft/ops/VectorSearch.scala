@@ -145,7 +145,11 @@ object VectorSearch {
     * Output checksum Σ vec[i]·(i+1) proves the assembled vector matches.
     * Scale: tokenize+hash is map-only codegen; one shuffle on (doc_id,idx)
     * with map-side combine, one on doc_id. */
-  def vsIngest: Q = (spark, dir) => {
+  /** Hashing-trick count vectors for every document: (doc_id,
+    * vector: array<long>[64]). The embedder's distributed form —
+    * tokenize+hash map-only, one (doc_id, idx) combine, one doc_id
+    * assembly. Shared by [[vsIngest]] and [[vsHybridSearch]]. */
+  private[ops] def docVectors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -159,6 +163,10 @@ object VectorSearch {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(63)), i => coalesce(element_at(col("m"), i), lit(0L)))
           .as("vector"))
+  }
+
+  def vsIngest: Q = (spark, dir) => {
+    docVectors(spark, dir)
       .select(col("doc_id"), size(col("vector")).cast("long").as("dim"),
         aggregate(zip_with(col("vector"), sequence(lit(1), lit(64)), (v, i) => v * i),
           lit(0L), (a, x) => a + x).as("checksum"))
@@ -296,8 +304,63 @@ object VectorSearch {
     WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
     ORDER BY a_id, b_id"""
 
+  // ── vs_hybrid_search — lexical + semantic retrieval, fused score ─────
+  /** The vector-DB "hybrid search" pattern: score = ½·cosine(embedding)
+    * + ½·token-set Jaccard, top-10. Semantic side uses the hashing-trick
+    * doc vectors (integer-valued — the double accumulation is exact, so
+    * the oracle's sparse dot product matches the kernel's dense one
+    * bit-for-bit); lexical side is sorted-merge set Jaccard over token
+    * hashes. Query side (one doc) broadcasts; corpus-side work is one
+    * pass. */
+  def vsHybridSearch: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val toksets = materializedColumn(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "toks", graft.util.TextUtil.toksCol)
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(transform(toks, t -> poly_hash(t))))").as("hs"))
+    val docs = docVectors(spark, dir).join(toksets, "doc_id")
+    val q = docs.filter(col("doc_id") === 0)
+      .select(col("vector").as("qv"), col("hs").as("qhs"))
+    val inter = sorted_intersect_count(col("hs"), col("qhs")).cast("double")
+    docs.crossJoin(broadcast(q))
+      .withColumn("sem", cosine_similarity(col("vector"), col("qv")))
+      .withColumn("lex", inter / (size(col("hs")) + size(col("qhs"))
+        - sorted_intersect_count(col("hs"), col("qhs"))))
+      .select(col("doc_id"), r6(col("sem")).as("sem"), r6(col("lex")).as("lex"),
+        r6(col("sem") * 0.5 + col("lex") * 0.5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+  val vsHybridSearchSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(${graft.util.TextUtil.toksSql}) AS tok FROM documents),
+    h AS (SELECT doc_id, ${graft.util.TextUtil.polySql("tok")} AS h FROM toks),
+    cells AS (SELECT doc_id, h % 64 AS idx,
+        SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS v
+      FROM h GROUP BY 1, 2),
+    hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM h GROUP BY doc_id),
+    qc AS (SELECT idx, v FROM cells WHERE doc_id = 0),
+    qn AS (SELECT SUM(v*v) AS nq FROM qc),
+    dots AS (SELECT c.doc_id, SUM(c.v * qc.v) AS dot
+             FROM cells c JOIN qc ON c.idx = qc.idx GROUP BY 1),
+    norms AS (SELECT doc_id, SUM(v*v) AS nd FROM cells GROUP BY 1),
+    qh AS (SELECT hs AS qhs FROM hsets WHERE doc_id = 0),
+    lexj AS (SELECT doc_id,
+        len(list_intersect(hs, qhs))::DOUBLE
+          / (len(hs) + len(qhs) - len(list_intersect(hs, qhs))) AS lex
+      FROM hsets, qh),
+    semc AS (SELECT n.doc_id,
+        COALESCE(dot, 0)::DOUBLE / sqrt(n.nd::DOUBLE * qn.nq::DOUBLE) AS sem
+      FROM norms n LEFT JOIN dots ON n.doc_id = dots.doc_id, qn)
+    SELECT s.doc_id, round(sem, 6) AS sem, round(lex, 6) AS lex,
+      round(sem * 0.5 + lex * 0.5, 6) AS score
+    FROM semc s JOIN lexj l ON s.doc_id = l.doc_id
+    ORDER BY score DESC, s.doc_id LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "vs_count" -> vsCount,
+    "vs_hybrid_search" -> vsHybridSearch,
     "vec_functions" -> vecFunctions,
     "vs_search_topk" -> vsSearchTopk,
     "vs_knn_join" -> vsKnnJoin,
@@ -308,6 +371,7 @@ object VectorSearch {
 
   val oracles: Map[String, String] = Map(
     "vs_count" -> vsCountSql,
+    "vs_hybrid_search" -> vsHybridSearchSql,
     "vec_functions" -> vecFunctionsSql,
     "vs_search_topk" -> vsSearchTopkSql,
     "vs_knn_join" -> vsKnnJoinSql,

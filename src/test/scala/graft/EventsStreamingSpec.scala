@@ -35,6 +35,17 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("ev_retention: offset-0 cell equals the cohort's full user count") {
+    val rows = Events.evRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_day"))
+    byCohort.values.foreach { cells =>
+      val zero = cells.find(_.getAs[Long]("day_offset") == 0L)
+      assert(zero.isDefined) // every user is active on their first day
+      assert(cells.forall(_.getAs[Long]("n_users") <= zero.get.getAs[Long]("n_users")))
+    }
+  }
+
   test("ev_asof_join: every match is the latest click at or before the purchase") {
     val rows = Events.evAsofJoin(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -77,6 +77,15 @@ class VectorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("sim") >= 0.4))
   }
 
+  test("vs_hybrid_search ranks the query doc first with score 1.0") {
+    val rows = VectorSearch.vsHybridSearch(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("doc_id") == 0L)
+    assert(rows.head.getAs[Double]("score") == 1.0)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
+
   test("vs_lsh_search pairs are a subset of vs_range_search pairs (recall check)") {
     def key(r: Row) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
     val exact = VectorSearch.vsRangeSearch(spark, sf).collect().map(key).toSet
