@@ -214,8 +214,36 @@ object TextAnalysis {
       row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
     FROM c QUALIFY rn <= 5 ORDER BY source, rn"""
 
+  // ── text_train_split — deterministic train/val/test assignment ───────
+  /** Hash-based split assignment (80/10/10): split(doc) is a pure
+    * function of doc_id, so the same document lands in the same split
+    * on every run, any cluster size, and any data order — the property
+    * that makes training-data splits reproducible. Map-only + one tiny
+    * aggregate. */
+  def textTrainSplit: Q = (spark, dir) => {
+    val bucket = (col("doc_id") * 2654435761L % 1000000007L) % 10
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+  val textTrainSplitSql = """
+    WITH s AS (SELECT doc_id, n_chars,
+        CASE WHEN (doc_id * 2654435761 % 1000000007) % 10 < 8 THEN 'train'
+             WHEN (doc_id * 2654435761 % 1000000007) % 10 < 9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY split ORDER BY split"""
+
   val queries: Map[String, Q] = Map(
     "text_lang_id" -> textLangId,
+    "text_train_split" -> textTrainSplit,
     "text_top_terms" -> textTopTerms,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -224,6 +252,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_lang_id" -> textLangIdSql,
+    "text_train_split" -> textTrainSplitSql,
     "text_top_terms" -> textTopTermsSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
