@@ -29,4 +29,15 @@ object Sinks {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Schema'd CSV reader (no inference pass — at 100 TB schema inference
+    * is a full extra scan; always pass the schema). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Schema'd JSON-lines reader (same no-inference rule). */
+  def readJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

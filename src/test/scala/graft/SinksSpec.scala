@@ -21,6 +21,20 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("csv and json round-trip the documents table with explicit schemas") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
+    val schema = docs.schema
+    val base = java.nio.file.Files.createTempDirectory("graft-src").toString
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = Sinks.readCsv(spark, s"$base/csv", schema)
+    val fromJson = Sinks.readJson(spark, s"$base/json", schema)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
+    assert(canon(fromCsv) == canon(docs))
+    assert(canon(fromJson) == canon(docs))
+  }
+
   test("partitioned writes prune to the matching partition directories") {
     val ev = Tables.events(spark, sf)
       .withColumn("day", expr("ts div 86400000000000"))
