@@ -84,3 +84,82 @@ case class KthMin(child: Expression, k: Int,
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(c: Expression): KthMin = copy(child = c)
 }
+
+/** SimHash signature aggregate: folds token hashes into 64 per-bit sign
+  * counters (one primitive long[64] buffer) and emits the four 16-bit
+  * chunk values. Replaces 64 separate SUM(CASE...) aggregate columns
+  * with one buffer update per row — same integer math as the oracle:
+  * bit i votes +1 iff (h·(2i+3)) mod 1e9+7 is even, chunk c packs bits
+  * 16c..16c+15 as (sum ≥ 0). Commutative integer sums → deterministic
+  * under any partitioning/merge order. */
+case class SimhashChunks(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private final val M = 1000000007L
+
+  override def prettyName: String = "simhash_chunks"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_chunks requires a BIGINT column, got ${child.dataType.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(acc: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        acc(i) += (if (h * (2 * i + 3) % M % 2 == 0) 1L else -1L)
+        i += 1
+      }
+    }
+    acc
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(acc: Array[Long]): Any = {
+    val chunks = new Array[Long](4)
+    var c = 0
+    while (c < 4) {
+      var cv = 0L; var j = 0
+      while (j < 16) {
+        if (acc(16 * c + j) >= 0L) cv |= (1L << j)
+        j += 1
+      }
+      chunks(c) = cv; c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks)
+  }
+
+  override def serialize(acc: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 * 64)
+    acc.foreach(buf.putLong)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes)
+    Array.fill(64)(buf.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): SimhashChunks =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SimhashChunks =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): SimhashChunks = copy(child = c)
+}

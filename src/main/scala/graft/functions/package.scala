@@ -25,6 +25,9 @@ package object functions {
   /** Aggregate: k-th smallest long with bounded (k-entry) state. */
   def kth_min(c: Column, k: Int): Column =
     col(KthMin(expr(c), k).toAggregateExpression())
+  /** Aggregate: SimHash 4×16-bit chunk signature from token hashes. */
+  def simhash_chunks(c: Column): Column =
+    col(SimhashChunks(expr(c)).toAggregateExpression())
 
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */

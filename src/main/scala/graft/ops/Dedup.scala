@@ -183,16 +183,12 @@ object Dedup {
     val h = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toksCol).as("tok"))
       .select(col("doc_id"), poly_hash(col("tok")).as("h"))
-    val sums = h.groupBy("doc_id").agg(
-      sum(when((col("h") * 3 % M) % 2 === 0, 1).otherwise(-1)).as("s0"),
-      (1 until 64).map(i =>
-        sum(when((col("h") * (2 * i + 3) % M) % 2 === 0, 1).otherwise(-1)).as(s"s$i")): _*)
-    val chunkCols = (0 until 4).map { c =>
-      (0 until 16).map { j =>
-        when(col(s"s${16 * c + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"c$c")
-    }
-    val chunks = sums.select(col("doc_id") +: chunkCols: _*)
+    // One custom aggregate (graft.functions.SimhashChunks) folds all 64
+    // sign counters in a single primitive buffer per group — vs. 64
+    // separate SUM(CASE ...) columns. Same integer math as the oracle.
+    val chunks = h.groupBy("doc_id").agg(simhash_chunks(col("h")).as("ch"))
+      .select(col("doc_id"), col("ch").getItem(0).as("c0"), col("ch").getItem(1).as("c1"),
+        col("ch").getItem(2).as("c2"), col("ch").getItem(3).as("c3"))
     val expl = chunks.select(col("doc_id"),
       posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("ci", "cv")))
     val cand = expl.as("x").join(expl.as("y"),
