@@ -163,3 +163,71 @@ case class SimhashChunks(child: Expression,
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(c: Expression): SimhashChunks = copy(child = c)
 }
+
+/** MinHash signature aggregate: K permuted minima of the input hashes in
+  * one primitive long[K] buffer (vs. K separate MIN aggregate columns).
+  * Permutation k: (h·(2k+1) + 1000003·k) mod 1e9+7 — identical to the
+  * oracle's arithmetic. Min is commutative/associative → deterministic
+  * under any partitioning. Emits array<long>[K]. */
+case class MinhashSig(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private final val M = 1000000007L
+  require(k >= 1, "k must be >= 1")
+
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires a BIGINT column, got ${child.dataType.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(acc: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val p = (h * (2 * i + 1) + 1000003L * i) % M
+        if (p < acc(i)) acc(i) = p
+        i += 1
+      }
+    }
+    acc
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(acc: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc.clone())
+
+  override def serialize(acc: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 * k)
+    acc.foreach(buf.putLong)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes)
+    Array.fill(k)(buf.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinhashSig =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinhashSig =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
+}

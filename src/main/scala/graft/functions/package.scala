@@ -28,6 +28,9 @@ package object functions {
   /** Aggregate: SimHash 4×16-bit chunk signature from token hashes. */
   def simhash_chunks(c: Column): Column =
     col(SimhashChunks(expr(c)).toAggregateExpression())
+  /** Aggregate: K permuted MinHash minima from shingle hashes. */
+  def minhash_sig(c: Column, k: Int): Column =
+    col(MinhashSig(expr(c), k).toAggregateExpression())
 
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */

@@ -60,11 +60,11 @@ object Dedup {
         .as("shingles"))
     val hx = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), poly_hash(col("s")).as("h"))
-    val mh = hx.groupBy("doc_id").agg(
-      min((col("h") * 1 + 0L) % M).as("mh0"),
-      (1 until 16).map(k => min((col("h") * (2 * k + 1) + 1000003L * k) % M).as(s"mh$k")): _*)
+    // One custom aggregate (graft.functions.MinhashSig) maintains all 16
+    // permuted minima in a single primitive buffer per group.
+    val mh = hx.groupBy("doc_id").agg(minhash_sig(col("h"), 16).as("sig"))
     val bandKeys = (0 until 4).map { b =>
-      concat_ws(":", lit(b) +: (0 until 4).map(j => col(s"mh${4 * b + j}")): _*)
+      concat_ws(":", lit(b) +: (0 until 4).map(j => col("sig").getItem(4 * b + j)): _*)
     }
     val bands = mh.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     val cand = bands.as("x").join(bands.as("y"),
