@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(es.length == 2 && es(1).foldable, "kth_min(col, k) needs a literal k")
       KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
+    fn(ext, "simhash_chunks", es => SimhashChunks(es.head))
+    fn(ext, "minhash_sig", es => {
+      require(es.length == 2 && es(1).foldable, "minhash_sig(col, k) needs a literal k")
+      MinhashSig(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 }

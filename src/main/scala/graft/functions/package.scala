@@ -49,5 +49,10 @@ package object functions {
       require(es.length == 2 && es(1).foldable, "kth_min(col, k) needs a literal k")
       KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
+    registerFunction(spark, "simhash_chunks", es => SimhashChunks(es.head))
+    registerFunction(spark, "minhash_sig", es => {
+      require(es.length == 2 && es(1).foldable, "minhash_sig(col, k) needs a literal k")
+      MinhashSig(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 }

@@ -221,7 +221,9 @@ object TextAnalysis {
     * that makes training-data splits reproducible. Map-only + one tiny
     * aggregate. */
   def textTrainSplit: Q = (spark, dir) => {
-    val bucket = (col("doc_id") * 2654435761L % 1000000007L) % 10
+    // doc_id is reduced mod 1e9+7 BEFORE multiplying so the product
+    // stays < 2^63 for any conceivable id (no overflow, no oracle error).
+    val bucket = (col("doc_id") % 1000000007L * 2654435761L % 1000000007L) % 10
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test").as("split"))
@@ -233,8 +235,8 @@ object TextAnalysis {
   }
   val textTrainSplitSql = """
     WITH s AS (SELECT doc_id, n_chars,
-        CASE WHEN (doc_id * 2654435761 % 1000000007) % 10 < 8 THEN 'train'
-             WHEN (doc_id * 2654435761 % 1000000007) % 10 < 9 THEN 'val'
+        CASE WHEN (doc_id % 1000000007 * 2654435761 % 1000000007) % 10 < 8 THEN 'train'
+             WHEN (doc_id % 1000000007 * 2654435761 % 1000000007) % 10 < 9 THEN 'val'
              ELSE 'test' END AS split
       FROM documents)
     SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -151,8 +151,7 @@ object VectorSearch {
     * assembly. Shared by [[vsIngest]] and [[vsHybridSearch]]. */
   private[ops] def docVectors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), explode(graft.util.TextUtil.toksCol).as("tok"))
     val h = poly_hash(col("tok"))
     val cells = toks.select(col("doc_id"),
       (h % 64).cast("int").as("idx"),
@@ -322,14 +321,14 @@ object VectorSearch {
     val docs = docVectors(spark, dir).join(toksets, "doc_id")
     val q = docs.filter(col("doc_id") === 0)
       .select(col("vector").as("qv"), col("hs").as("qhs"))
-    val inter = sorted_intersect_count(col("hs"), col("qhs")).cast("double")
     docs.crossJoin(broadcast(q))
       .withColumn("sem", cosine_similarity(col("vector"), col("qv")))
-      .withColumn("lex", inter / (size(col("hs")) + size(col("qhs"))
-        - sorted_intersect_count(col("hs"), col("qhs"))))
+      .withColumn("inter", sorted_intersect_count(col("hs"), col("qhs")).cast("double"))
+      .withColumn("lex", col("inter")
+        / (size(col("hs")) + size(col("qhs")) - col("inter")))
       .select(col("doc_id"), r6(col("sem")).as("sem"), r6(col("lex")).as("lex"),
         r6(col("sem") * 0.5 + col("lex") * 0.5).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
       .limit(10)
   }
   val vsHybridSearchSql: String = s"""
@@ -351,12 +350,13 @@ object VectorSearch {
           / (len(hs) + len(qhs) - len(list_intersect(hs, qhs))) AS lex
       FROM hsets, qh),
     semc AS (SELECT n.doc_id,
-        COALESCE(dot, 0)::DOUBLE / sqrt(n.nd::DOUBLE * qn.nq::DOUBLE) AS sem
+        CASE WHEN n.nd = 0 OR qn.nq = 0 THEN NULL
+             ELSE COALESCE(dot, 0)::DOUBLE / sqrt(n.nd::DOUBLE * qn.nq::DOUBLE) END AS sem
       FROM norms n LEFT JOIN dots ON n.doc_id = dots.doc_id, qn)
     SELECT s.doc_id, round(sem, 6) AS sem, round(lex, 6) AS lex,
       round(sem * 0.5 + lex * 0.5, 6) AS score
     FROM semc s JOIN lexj l ON s.doc_id = l.doc_id
-    ORDER BY score DESC, s.doc_id LIMIT 10"""
+    ORDER BY score DESC NULLS LAST, s.doc_id LIMIT 10"""
 
   val queries: Map[String, Q] = Map(
     "vs_count" -> vsCount,
