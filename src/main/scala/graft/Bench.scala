@@ -37,7 +37,13 @@ object Bench {
       .mkString("{", ",", "}")
     // Failures (-1 markers) must not shrink the headline total.
     val total = results.map(_._2).filter(_ >= 0).sum + results.count(_._2 < 0) * 1e6
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces for the driver's parser: the same line, at a known
+    // path, free of any sbt/log prefixes.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

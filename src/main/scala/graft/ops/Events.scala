@@ -65,8 +65,10 @@ object Events {
                OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
     sess AS (SELECT user_id, ts_us, value,
-        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        -- BIGINT cast: DuckDB window SUM(int) is HUGEINT, which the
+        -- driver's pandas hasher renders float64 vs Spark's int64.
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       FROM flagged)
     SELECT user_id, sid, COUNT(*) AS n_events,
       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,

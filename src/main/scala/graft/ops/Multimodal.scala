@@ -68,8 +68,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Driver-facing flattening of [[mmFeatures]]: the harness's pandas row
+    * check cannot sort an `array<double>` column, so the registered query
+    * emits the four feature scalars as f0..f3. Library users keep the
+    * array-typed [[mmFeatures]] API.
+    */
+  def mmFeaturesFlat(spark: SparkSession, dir: String): DataFrame =
+    mmFeatures(spark, dir)
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        col("features")(0).as("f0"), col("features")(1).as("f1"),
+        col("features")(2).as("f2"), col("features")(3).as("f3"))
+      .orderBy("doc_id")
+
+  /** Oracle: the stub features are byte statistics over ASCII text, so
+    * DuckDB reproduces them exactly — integer byte sums are exact in
+    * doubles (< 2^53) and /, sqrt are IEEE correctly rounded on both
+    * engines, so every double is bit-identical.
+    */
+  val mmFeaturesSql: String = """
+    WITH b AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        list_transform(str_split(text, ''), c -> unicode(c)) AS cps
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_bytes,
+        CAST(list_sum(cps) AS DOUBLE) AS sm,
+        CAST(list_sum(list_transform(cps, x -> x * x)) AS DOUBLE) AS sq,
+        CAST(list_min(cps) AS DOUBLE) AS mn,
+        CAST(list_max(cps) AS DOUBLE) AS mx
+      FROM b)
+    SELECT doc_id, 'application/octet-stream' AS mime, n_bytes,
+      sm / greatest(1, n_bytes) AS f0,
+      sqrt(sq / greatest(1, n_bytes)) / 255.0 AS f1,
+      mn AS f2, mx AS f3
+    FROM s ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> ((s, d) => mmFeatures(s, d)))
-  // No oracleSql: non-SQL-expressible (driver records rows-only check).
-  val oracles: Map[String, String] = Map.empty
+    "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)))
+  val oracles: Map[String, String] = Map("mm_features" -> mmFeaturesSql)
 }
