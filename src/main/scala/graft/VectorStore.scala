@@ -31,6 +31,22 @@ final class VectorStore(val df: DataFrame, idCol: String = "vec_id",
   /** Reference `Count`. */
   def count(): Long = df.count()
 
+  /** Reference `Create` onto a LIVE store (main.rs:72-80 INSERTs each
+    * row into the existing table): embed the increment with the same
+    * hashing-trick embedder and append it, so a subsequent [[search]] /
+    * [[searchText]] sees old and new rows together. Batch analogue of
+    * the reference's Create-then-Search loop. */
+  def appendText(docs: DataFrame, docIdCol: String, textCol: String): VectorStore = {
+    val inc = VectorStore.ingestText(docs, docIdCol, textCol).df
+      .select(col("vec_id").as(idCol), col("content"), col("embedding").as(vecCol))
+    val base =
+      if (df.columns.contains("content")) df
+      else df.withColumn("content", lit(null).cast("string"))
+    new VectorStore(
+      base.select(col(idCol), col("content"), col(vecCol)).unionByName(inc),
+      idCol, vecCol)
+  }
+
   /** Reference `Search`: cosine-distance threshold top-k, nearest first,
     * ties broken by id. */
   def search(query: Seq[Float], k: Int = 10, threshold: Double = 0.6): DataFrame =

@@ -110,52 +110,82 @@ object Dedup {
     "\n    SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.7 ORDER BY a_id, b_id"
 
   // ── dedup_clusters — connected components over near-dup pairs ────────
-  /** Min-id label propagation over the verified MinHash pair graph:
-    * every duplicate document resolves to the smallest doc_id in its
-    * connected component (the retained canonical). Bounded synchronous
-    * iterations (dup-cluster diameters are tiny; at 100 TB this is the
-    * standard alternating large-star/small-star loop, each round one
-    * shuffle on the label key). Oracle: DuckDB recursive reachability. */
   final val ClusterIters = 50 // convergence-loop hard cap
-  def dedupClusters: Q = (spark, dir) => {
-    // Materialize the pair graph ONCE before iterating: lazy lineage would
-    // re-run the whole minhash pipeline in every propagation round (and
-    // the label DF's plan would nest i copies of it by round i). The
-    // cluster-scale equivalent is checkpointing to reliable storage.
-    val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
-      .localCheckpoint(true)
-    // Symmetric edge list + self-loops = neighborhood including self.
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .union(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
-      .union(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
-      .distinct()
-    var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
-      .localCheckpoint(true)
-    // Iterate to convergence (labels only decrease, so a stable sum is a
-    // fixed point — matching the oracle's full transitive closure), with
-    // a hard cap as a runaway guard.
-    // sum over an EMPTY frame is NULL — coalesce so a pair-free corpus
-    // converges immediately instead of NPE-ing.
-    def labelSum(): Long = {
-      val v = labels.agg(sum("lbl")).head().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
+
+  /** Per-round materialization: reliable `checkpoint()` when the session
+    * has a checkpoint dir configured (cluster mode — survives executor
+    * loss), else `localCheckpoint` (local mode — executor-resident).
+    * Either way the round's plan stays flat instead of nesting the whole
+    * upstream pipeline once per iteration. */
+  private def persistRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
+  /** Connected components via the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log² n) rounds regardless of component
+    * diameter — vs. plain min-id propagation's O(diameter) rounds, which
+    * stalls on chain-shaped components at corpus scale. Each half-round
+    * is one groupBy(min) + one hash join, both shuffling on node id.
+    *
+    * Input: undirected pair list (a_id, b_id). Output: (doc_id,
+    * cluster_id) for every endpoint, cluster_id = component min.
+    * Returns the converged labels plus the rounds taken (spec hook). */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    var und = persistRound(pairs
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val nodes = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct()
+    // Convergence: the canonical edge set is a fixpoint of both star ops
+    // exactly when every component is a star rooted at its min.
+    def chk(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("a"), sum("b")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var prevSum = -1L
-    var curSum = labelSum()
+    var prev = (-1L, 0L, 0L)
+    var cur = chk(und)
     var rounds = 0
-    while (curSum != prevSum && rounds < ClusterIters) {
-      labels = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min("lbl").as("lbl"))
-        .select(col("id2").as("id"), col("lbl"))
-        .localCheckpoint(true) // keep each round's plan flat
-      prevSum = curSum
-      curSum = labelSum()
+    while (cur != prev && rounds < ClusterIters) {
+      // large-star: every edge {u,v}, u<v, reconnects v to
+      // m(u) = min(Γ(u) ∪ {u}) — processed from its smaller endpoint.
+      val symL = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val minsL = symL.groupBy("u").agg(fmin("v").as("mn"))
+      val large = symL.join(minsL, "u").filter(col("v") > col("u"))
+        .select(least(col("mn"), col("u")).as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: every node u links itself and all smaller neighbors
+      // to its smallest neighbor.
+      val symS = large.select(col("b").as("u"), col("a").as("v"))
+      val minsS = symS.groupBy("u").agg(fmin("v").as("m"))
+      val small = symS.join(minsS, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(minsS.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      und = persistRound(small)
+      prev = cur
+      cur = chk(und)
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    val leaf = und.groupBy(col("b").as("id2")).agg(fmin("a").as("lbl"))
+    val labels = nodes.join(leaf, nodes("id") === leaf("id2"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
+  /** Every duplicate document resolves to the smallest doc_id in its
+    * connected component of the verified MinHash pair graph (the retained
+    * canonical). Oracle: DuckDB recursive reachability. */
+  def dedupClusters: Q = (spark, dir) => {
+    // Materialize the pair graph ONCE before iterating: lazy lineage would
+    // re-run the whole minhash pipeline in every star round otherwise.
+    val pairs = persistRound(dedupMinhashLsh(spark, dir).select("a_id", "b_id"))
+    connectedComponentsWithRounds(pairs)._1.orderBy("doc_id")
   }
   val dedupClustersSql: String = minhashCtes + s""",
     pairs AS (SELECT a_id, b_id FROM jj WHERE jaccard >= 0.7),
@@ -173,26 +203,36 @@ object Dedup {
     SELECT src AS doc_id, MIN(dst) AS cluster_id
     FROM reach GROUP BY src ORDER BY doc_id"""
 
-  // ── dedup_simhash — 64-bit SimHash as 4×16-bit chunks, Hamming ≤ 12 ──
+  // ── dedup_simhash — 64-bit SimHash, 32-bit chunk-pair banding, Ham ≤ 2 ─
   /** Token-hash sign votes per bit; the 64-bit signature is kept as four
-    * 16-bit chunks. Candidate pairs share at least one identical chunk
-    * (pigeonhole-exact for Hamming ≤ 3, high-recall heuristic beyond);
-    * the chunk value is the join key, so corpus-sized data shuffles only
-    * on (chunk_idx, chunk_val). Verified with exact bit_count(xor). */
-  def dedupSimhash: Q = (spark, dir) => {
+    * 16-bit chunks. Candidate pairs share one of the C(4,2)=6 *chunk-pair*
+    * keys (32-bit values): ≤ 2 bit errors can damage at most 2 of the 4
+    * chunks, so some pair of chunks is always intact — pigeonhole-exact
+    * for the Hamming ≤ 2 threshold. The 32-bit key space grows with
+    * content (vs. a single 16-bit chunk's fixed 65,536 buckets, which
+    * turns quadratic at corpus scale); corpus-sized data shuffles only on
+    * (pair_idx, pair_val). Verified with exact bit_count(xor). */
+  private[graft] final val ChunkPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+  /** Per-doc 64-bit SimHash as four 16-bit chunks (doc_id, c0..c3). One
+    * custom aggregate (graft.functions.SimhashChunks) folds all 64 sign
+    * counters in a single primitive buffer per group — vs. 64 separate
+    * SUM(CASE ...) columns. Same integer math as the oracle. */
+  private[graft] def simhashChunksDf(spark: SparkSession, dir: String): DataFrame = {
     val h = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toksCol).as("tok"))
       .select(col("doc_id"), poly_hash(col("tok")).as("h"))
-    // One custom aggregate (graft.functions.SimhashChunks) folds all 64
-    // sign counters in a single primitive buffer per group — vs. 64
-    // separate SUM(CASE ...) columns. Same integer math as the oracle.
-    val chunks = h.groupBy("doc_id").agg(simhash_chunks(col("h")).as("ch"))
+    h.groupBy("doc_id").agg(simhash_chunks(col("h")).as("ch"))
       .select(col("doc_id"), col("ch").getItem(0).as("c0"), col("ch").getItem(1).as("c1"),
         col("ch").getItem(2).as("c2"), col("ch").getItem(3).as("c3"))
+  }
+  def dedupSimhash: Q = (spark, dir) => {
+    val chunks = simhashChunksDf(spark, dir)
     val expl = chunks.select(col("doc_id"),
-      posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("ci", "cv")))
+      posexplode(array(ChunkPairs.map { case (i, j) =>
+        col(s"c$i") * 65536L + col(s"c$j")
+      }: _*)).as(Seq("pi", "pv")))
     val cand = expl.as("x").join(expl.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+        col("x.pi") === col("y.pi") && col("x.pv") === col("y.pv") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
@@ -231,12 +271,16 @@ object Dedup {
         + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 2
     ORDER BY a_id, b_id"""
 
-  // ── dedup_ngram_jaccard — exact char-3-gram Jaccard, length-blocked ──
-  /** Exact character-3-gram Jaccard with length-band blocking: each doc
-    * emits keys ⌊len/16⌋ and ⌊len/16⌋+1, so any pair within 16 chars of
-    * each other shares a key (high-Jaccard dups are always near-length; dup clusters span up to ~12 chars).
-    * Blocking bounds the pair space: at 100 TB pairs shuffle on the band
-    * key, never all-pairs. */
+  // ── dedup_ngram_jaccard — exact char-3-gram Jaccard, minhash-blocked ─
+  /** Exact character-3-gram Jaccard with *content-based* blocking: 16
+    * minhashes of the gram set → 8 bands of 2, each band value conjoined
+    * with a ⌊len/16⌋ length band (each doc emits lb and lb+1 so any pair
+    * within 16 chars shares a length key). Band values are drawn from the
+    * gram-hash space, so bucket count grows with corpus content — unlike
+    * a pure length band, whose bucket count is bounded by max document
+    * length and goes quadratic at 100 TB. Candidates shuffle on the band
+    * key; the exact char-gram Jaccard is the verify stage. The oracle
+    * regenerates the identical bands (same hash arithmetic). */
   def dedupNgramJaccard: Q = (spark, dir) => {
     graft.functions.register(spark)
     // Grams are poly_hashed to longs: set ops over long arrays are ~10×
@@ -244,14 +288,30 @@ object Dedup {
     // Materialize lower(text) once per row (see materializedColumn) —
     // otherwise the lowercasing is inlined into every per-gram reference.
     val g = materializedColumn(
-        Tables.documents(spark, dir).filter(length(col("text")) >= 3)
-          .select(col("doc_id"),
-            (length(col("text")).cast("long") / 16).cast("long").as("lb"), col("text")),
-        "t", lower(col("text")))
-      .select(col("doc_id"), col("lb"),
-        expr("array_sort(array_distinct(transform(sequence(1, length(t)-2), " +
-          "i -> poly_hash_cp(substr(t, i, 3)))))").as("grams"))
-    val keyed = g.select(col("doc_id"), explode(array(col("lb"), col("lb") + 1)).as("bk"))
+        materializedColumn(
+          Tables.documents(spark, dir).filter(length(col("text")) >= 3)
+            .select(col("doc_id"),
+              (length(col("text")).cast("long") / 16).cast("long").as("lb"), col("text")),
+          "t", lower(col("text")))
+          .select(col("doc_id"), col("lb"), col("t")),
+        "grams", expr("array_sort(array_distinct(transform(sequence(1, length(t)-2), " +
+          "i -> poly_hash_cp(substr(t, i, 3)))))"))
+      .select(col("doc_id"), col("lb"), col("grams"))
+    // The 16 minhashes are pure map-side array folds over the gram set —
+    // no explode/shuffle; same permutation arithmetic as MinhashSig. The
+    // signature is materialized (Generate barrier) so the 16 band-key
+    // references don't each re-fold the gram array.
+    val sigCol = transform(sequence(lit(0), lit(15)), k =>
+      array_min(transform(col("grams"),
+        h => (h * (k * 2 + 1) + lit(1000003L) * k) % lit(M))))
+    val mh = materializedColumn(g, "sig", sigCol)
+    val bandKeys = (0 until 8).flatMap { b =>
+      Seq(col("lb"), col("lb") + 1L).map { lbv =>
+        concat_ws(":", lit(b),
+          col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1), lbv)
+      }
+    }
+    val keyed = mh.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     // Dedup candidate ids BEFORE the expensive set intersection.
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -266,7 +326,8 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy("a_id", "b_id")
   }
-  /** Unrolled 3-byte polyhash: ((c1·31+c2) mod M ·31 + c3) mod M. */
+  /** Unrolled 3-byte polyhash: ((c1·31+c2) mod M ·31 + c3) mod M; band
+    * arithmetic mirrors [[graft.functions.MinhashSig]] exactly. */
   val dedupNgramJaccardSql = s"""
     WITH g AS (SELECT doc_id, len(text) // 16 AS lb,
         list_distinct(list_transform(range(1, len(lower(text))-1),
@@ -274,7 +335,16 @@ object Dedup {
                  + unicode(lower(text)[i+1])) % $M) * 31
                  + unicode(lower(text)[i+2])) % $M))) AS grams
       FROM documents WHERE len(text) >= 3),
-    keyed AS (SELECT doc_id, unnest([lb, lb + 1]) AS bk FROM g),
+    hx AS (SELECT doc_id, lb, unnest(grams) AS h FROM g),
+    ks AS (SELECT range AS k FROM range(0, 16)),
+    mh AS (SELECT doc_id, lb, k, MIN((h * (2*k+1) + 1000003*k) % $M) AS mh
+           FROM hx, ks GROUP BY 1, 2, 3),
+    bands AS (SELECT doc_id, lb, k // 2 AS b,
+                string_agg(mh::VARCHAR, ':' ORDER BY k) AS bv
+              FROM mh GROUP BY doc_id, lb, k // 2),
+    keyed AS (SELECT doc_id,
+                b || ':' || bv || ':' || CAST(unnest([lb, lb + 1]) AS VARCHAR) AS bk
+              FROM bands),
     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id),
     jj AS (SELECT a_id, b_id,
@@ -284,19 +354,32 @@ object Dedup {
     SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY a_id, b_id"""
 
   // ── dedup_embedding — embedding-cosine near-dup keep/drop decision ───
-  /** Cosine near-dup pairs (≥ 0.4 on this corpus) reduced to a dedup
-    * decision: each duplicate maps to its lowest-id retained neighbor.
-    * Exact pair generation here is the bounded oracle baseline; the 100 TB
-    * candidate path is the LSH band join of
-    * [[graft.ops.VectorSearch.vsLshSearch]]. */
+  /** Cosine near-dup keep/drop: each duplicate maps to its lowest-id
+    * retained neighbor. Candidate pairs come from the parameterized
+    * random-hyperplane LSH band join ([[graft.ops.VectorSearch.lshBands]],
+    * 16-bit band values — bucket count grows with content), then verify
+    * with the exact kernel — no O(n²) join anywhere in the plan. The
+    * oracle regenerates the identical bands (bit-identical LCG planes);
+    * the exact all-pairs baseline is [[graft.ops.VectorSearch.vsRangeSearch]]'s
+    * oracle. */
   def dedupEmbedding: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
       inner_product(col("embedding"), col("embedding")).as("nsq"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nsq").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nsq").as("nb"))
+    val bandsDf = VectorSearch.lshBands(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"))
+      .distinct()
     val w = Window.partitionBy("dup_id").orderBy("keep_id")
-    a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"),
+    cand
+      .join(e.select(col("vec_id").as("keep_id"), col("embedding").as("va"),
+        col("nsq").as("na")), "keep_id")
+      .join(e.select(col("vec_id").as("dup_id"), col("embedding").as("vb"),
+        col("nsq").as("nb")), "dup_id")
+      .select(col("keep_id"), col("dup_id"),
         r6(inner_product(col("va"), col("vb")) / sqrt(col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .withColumn("rn", row_number().over(w))
@@ -304,12 +387,16 @@ object Dedup {
       .select(col("dup_id"), col("keep_id"), col("sim"))
       .orderBy("dup_id")
   }
-  val dedupEmbeddingSql = """
+  val dedupEmbeddingSql: String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    p AS (SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+    ${VectorSearch.lshBandsSql("e", "vec_id")},
+    cand AS (SELECT DISTINCT x.vec_id AS keep_id, y.vec_id AS dup_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+    p AS (SELECT keep_id, dup_id,
         round(list_inner_product(a.v, b.v)
           / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      FROM cand JOIN e a ON a.vec_id = keep_id JOIN e b ON b.vec_id = dup_id)
     SELECT dup_id, keep_id, sim FROM p
     WHERE sim >= 0.4
     QUALIFY row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) = 1

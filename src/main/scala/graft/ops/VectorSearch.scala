@@ -241,59 +241,116 @@ object VectorSearch {
       row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
     FROM cand QUALIFY rn <= 5 ORDER BY q_id, rn"""
 
+  // ── vs_ivf_trained — Lloyd-trained IVF codebook, probe + recall ──────
+  /** End-to-end trained IVF: [[IvfIndex.fit]] runs 2 Lloyd rounds (k=8,
+    * deterministic first-k init) as DataFrame jobs, the probe is the
+    * nprobe=2 cell join of [[IvfIndex.search]], and the output grades the
+    * trained index against the exact brute-force top-5 — one row per
+    * query: (q_id, n_hits of 5, recall). Driver check is rows-only (per
+    * SURVEY §2): parallel double summation in the trainer is not
+    * bit-reproducible across engines, so recall-vs-exact is the oracle.
+    * Scale: training is the classic Spark k-means shape (driver holds
+    * k×dim doubles only); probe joins hash on cell id. */
+  def vsIvfTrained: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val model = IvfIndex.fit(e, "vec_id", "embedding", k = 8, iters = 2)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val approx = IvfIndex.search(e, "vec_id", "embedding", model,
+        q, "q_id", "qv", nprobe = 2, kNeighbors = 5)
+      .select(col("q_id"), col("c_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        r6(col("n_hits") / col("n_exact")).as("recall"))
+      .orderBy("q_id")
+  }
+
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
-  /** 16 hyperplanes → 4 bands × 4 bits; candidate pairs share a band
-    * bucket, then verified with the exact kernel. This is the scale path
-    * for [[vsRangeSearch]]: the only join is a hash join on
-    * (band_idx, band_val) — never O(n²). Hyperplane values come from an
-    * integer LCG mapped to [-0.5, 0.5) with power-of-two division, so
-    * every coordinate is exactly representable and the SQL oracle
-    * regenerates bit-identical planes. */
-  final val LshPlanes = 16
-  final val LshBands = 4
+  /** Parameterized random-hyperplane LSH: planesPerBand·bands hyperplanes,
+    * each band value a planesPerBand-bit integer — the default 16-bit × 16
+    * bands gives a 2¹⁶·16 key space whose occupied-bucket count grows with
+    * corpus content (a 4-bit band's fixed 16 buckets is all-pairs in
+    * disguise at corpus scale). Candidate pairs share a band bucket, then
+    * verify with the exact kernel: the only join is a hash join on
+    * (band_idx, band_val) — never O(n²). This is the scale path for
+    * [[vsRangeSearch]]. Hyperplane values come from an integer LCG mapped
+    * to [-0.5, 0.5) with power-of-two division, so every coordinate is
+    * exactly representable and the SQL oracle regenerates bit-identical
+    * planes. Recall note: wide bands target true near-dups (sim ≳ 0.8);
+    * on this corpus (pair sims ≈ 0.5) they are intentionally selective. */
+  final val LshPlanesPerBand = 16
+  final val LshBands = 16
   private def planeVal(j: Int, i: Int): Double =
     ((1103515245L * (j * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
-  private def planes: IndexedSeq[Seq[Double]] =
-    (0 until LshPlanes).map(j => (0 until 64).map(i => planeVal(j, i)))
+  private[graft] def planes(n: Int): Seq[Seq[Double]] =
+    (0 until n).map(j => (0 until 64).map(i => planeVal(j, i)))
+
+  /** (id, band_idx, band_val) LSH signature frame for a vector column.
+    * One pass computes all plane signs into a materialized bit array
+    * (Generate barrier — CollapseProject would otherwise inline the
+    * 256-dot-product transform into every band expression), then each
+    * band folds its planesPerBand bits into one integer key. */
+  private[graft] def lshBands(df: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int = LshPlanesPerBand, bands: Int = LshBands): DataFrame = {
+    val all = typedlit(planes(planesPerBand * bands))
+    val bits = transform(all,
+      p => when(inner_product(col(vecCol), p) >= 0, lit(1L)).otherwise(lit(0L)))
+    val sig = materializedColumn(df.select(col(idCol), col(vecCol)), "bits", bits)
+    val bandVals = (0 until bands).map { b =>
+      aggregate(slice(col("bits"), b * planesPerBand + 1, planesPerBand),
+        lit(0L), (acc, x) => acc * 2 + x)
+    }
+    sig.select(col(idCol),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** SQL mirror of [[lshBands]] (CTEs `planes`/`bits`/`bands`); `src` must
+    * expose ($idCol, v DOUBLE[]). */
+  private[graft] def lshBandsSql(src: String, idCol: String,
+      planesPerBand: Int = LshPlanesPerBand, bands: Int = LshBands): String = s"""
+    planes AS (
+      SELECT range AS j,
+        list_transform(range(0, 64),
+          i -> ((1103515245*(j*64 + i) + 12345) % 2147483648) / 2147483648.0 - 0.5) AS p
+      FROM range(0, ${planesPerBand * bands})),
+    bits AS (
+      SELECT $idCol, j,
+        CASE WHEN ${dotSql("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM $src, planes),
+    bands AS (
+      SELECT $idCol, j // $planesPerBand AS band_idx,
+        SUM(bit * (1 << ($planesPerBand - 1 - j % $planesPerBand))) AS band_val
+      FROM bits GROUP BY 1, 2)"""
 
   def vsLshSearch: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val p = planes
-    val bandCols = (0 until LshBands).map { b =>
-      (0 until 4).map { k =>
-        when(inner_product(col("embedding"), typedlit(p(4 * b + k))) >= 0, lit(1 << (3 - k)))
-          .otherwise(lit(0))
-      }.reduce(_ + _).as(s"band$b")
-    }
-    val sig = e.select(col("vec_id") +: col("embedding") +: bandCols: _*)
-    val exploded = sig.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*))
-        .as(Seq("band_idx", "band_val")))
-    exploded.as("x").join(exploded.as("y"),
+    val bandsDf = lshBands(e, "vec_id", "embedding")
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        r6(cosine_similarity(col("x.embedding"), col("y.embedding"))).as("sim"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .orderBy("a_id", "b_id")
   }
   val vsLshSearchSql = s"""
     WITH e AS ($eSql),
-    planes AS (
-      SELECT range AS j,
-        list_transform(range(0, 64),
-          i -> ((1103515245*(j*64 + i) + 12345) % 2147483648) / 2147483648.0 - 0.5) AS p
-      FROM range(0, $LshPlanes)),
-    bits AS (
-      SELECT vec_id, j,
-        CASE WHEN ${dotSql("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
-      FROM e, planes),
-    bands AS (
-      SELECT vec_id, j // 4 AS band_idx,
-        SUM(bit * (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS band_val
-      FROM bits GROUP BY 1, 2),
+    ${lshBandsSql("e", "vec_id")},
     cand AS (
       SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
       FROM bands x JOIN bands y
@@ -367,8 +424,11 @@ object VectorSearch {
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
     "vs_ivf_search" -> vsIvfSearch,
+    "vs_ivf_trained" -> vsIvfTrained,
     "vs_lsh_search" -> vsLshSearch)
 
+  // vs_ivf_trained has no oracleSql (rows-only): the trained codebook is
+  // not bit-reproducible in SQL; the query itself grades recall vs exact.
   val oracles: Map[String, String] = Map(
     "vs_count" -> vsCountSql,
     "vs_hybrid_search" -> vsHybridSearchSql,

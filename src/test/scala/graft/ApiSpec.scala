@@ -53,6 +53,26 @@ class ApiSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("dist") == 0.0)
   }
 
+  test("VectorStore.appendText: Create onto a live store, search sees old+new") {
+    // The reference's Create-then-Search loop (main.rs:72-96): INSERT into
+    // the live table, then search over the grown corpus.
+    val docs = Tables.documents(spark, sf)
+    val store = VectorStore.ingestText(docs.filter(col("doc_id") < 50), "doc_id", "text")
+    val grown = store.appendText(docs.filter(col("doc_id") >= 50 && col("doc_id") < 60),
+      "doc_id", "text")
+    assert(store.count() == 50)
+    assert(grown.count() == 60)
+    // A new row is found by text search over the grown store...
+    val newText = docs.filter(col("doc_id") === 55).head().getAs[String]("text")
+    val hitsNew = grown.searchText(newText, k = 5, threshold = 0.6).collect()
+    assert(hitsNew.head.getAs[Long]("vec_id") == 55L)
+    assert(hitsNew.head.getAs[Double]("dist") == 0.0)
+    // ...and the pre-existing rows are still searchable.
+    val oldText = docs.filter(col("doc_id") === 3).head().getAs[String]("text")
+    val hitsOld = grown.searchText(oldText, k = 5, threshold = 0.6).collect()
+    assert(hitsOld.head.getAs[Long]("vec_id") == 3L)
+  }
+
   test("plan shape: q1 pushes the shipdate filter into the parquet scan") {
     val plan = ops.Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -73,5 +93,23 @@ class ApiSpec extends SparkSpec {
     val plan = ops.VectorSearch.vsLshSearch(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("plan shape: dedup_embedding candidate generation has no O(n^2) join") {
+    val plan = ops.Dedup.dedupEmbedding(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("lsh band values are wide integers (keyspace scales with content)") {
+    import org.apache.spark.sql.functions._
+    val bands = ops.VectorSearch.lshBands(
+      spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val row = bands.agg(max("band_val"), countDistinct("band_val")).head()
+    // 16-bit band values: the occupied keyspace must exceed any 4-bit
+    // band's fixed 16 buckets, and values must exceed 8 bits.
+    assert(row.getLong(0) > 255L)
+    assert(row.getLong(1) > 16L)
   }
 }

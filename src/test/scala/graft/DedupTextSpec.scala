@@ -22,6 +22,36 @@ class DedupTextSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hamming") <= 2L))
   }
 
+  test("simhash chunk-pair banding is pigeonhole-exact: output == brute-force hamming <= 2") {
+    // ≤2 bit errors damage ≤2 of the 4 chunks, so one of the C(4,2)=6
+    // chunk pairs is always intact — the banded candidate join must lose
+    // NO qualifying pair vs. the O(n²) scan it replaces at scale.
+    val chunks = Dedup.simhashChunksDf(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Array(r.getAs[Long]("c0"), r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Long]("c3")))
+      .sortBy(_._1)
+    val brute = (for {
+      i <- chunks.indices.iterator; j <- (i + 1 until chunks.length).iterator
+      ham = (0 until 4).map(c =>
+        java.lang.Long.bitCount(chunks(i)._2(c) ^ chunks(j)._2(c))).sum
+      if ham <= 2
+    } yield (chunks(i)._1, chunks(j)._1)).toSet
+    val banded = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(banded == brute)
+  }
+
+  test("simhash candidate keys are 32-bit chunk pairs, not a fixed 2^16 space") {
+    val chunks = Dedup.simhashChunksDf(spark, sf).collect()
+    // Pair keys c_i*65536 + c_j exceed any single chunk's 16-bit range:
+    // the bucket keyspace grows with content, not a fixed 65,536 buckets.
+    val pairKeys = chunks.flatMap { r =>
+      val c = Array(r.getAs[Long]("c0"), r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Long]("c3"))
+      Dedup.ChunkPairs.map { case (i, j) => c(i) * 65536L + c(j) }
+    }
+    assert(pairKeys.max > 65535L)
+  }
+
   test("dedup_ngram_jaccard finds near-length high-overlap pairs") {
     val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.8))
@@ -33,6 +63,29 @@ class DedupTextSpec extends SparkSpec {
       .filter(_.getAs[Double]("jaccard") >= 0.8).map(key).toSet
     val ng = Dedup.dedupNgramJaccard(spark, sf).collect().map(key).toSet
     assert(mh.forall(ng.contains) || mh.isEmpty)
+  }
+
+  test("connected components label a 64-deep chain in O(log) rounds") {
+    // A chain is the worst case for min-id propagation (O(diameter) = 63
+    // rounds); the alternating large-star/small-star loop must collapse
+    // it in a logarithmic number of rounds.
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val out = labels.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    assert(out.length == 64)
+    assert(out.forall(_._2 == 0L))
+    assert(rounds <= 15, s"took $rounds rounds")
+  }
+
+  test("connected components handle two components and an empty graph") {
+    import spark.implicits._
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val lbl = Dedup.connectedComponentsWithRounds(two)._1.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assert(lbl == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponentsWithRounds(empty)._1.collect().isEmpty)
   }
 
   test("dedup_embedding maps each dup to a single earlier keeper") {

@@ -20,6 +20,20 @@ class IvfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("vs_ivf_trained grades the trained codebook with one recall row per query") {
+    val rows = ops.VectorSearch.vsIvfTrained(spark, sf).collect()
+    val nQueries = vectors.filter(col("vec_id") % 100 === 0).count()
+    assert(rows.length == nQueries)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      // The query's own cell is always probed, so the self-match at
+      // distance 0 is always recalled.
+      assert(r.getAs[Long]("n_hits") >= 1L)
+    }
+  }
+
   test("probe search returns k neighbors per query with sane recall vs exact") {
     val model = IvfIndex.fit(vectors, "vec_id", "embedding", k = 8, iters = 2)
     val queries = vectors.filter(col("vec_id") % 100 === 0)
