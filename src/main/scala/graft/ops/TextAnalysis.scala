@@ -243,7 +243,96 @@ object TextAnalysis {
       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM s GROUP BY split ORDER BY split"""
 
+  // ── text_chunk — overlapping-window chunking (context-window prep) ───
+  /** Fixed-size overlapping character windows (size 256, stride 192 —
+    * 64-char overlap), the standard context-window/RAG chunking shape.
+    * Emits (doc_id, chunk_idx, chunk_len, chunk_hash) with the chunk
+    * identified by its codepoint polyhash — compact, hashable output;
+    * the text itself stays in the lake. Map-only explode: scales as a
+    * pure scan at 100 TB, no shuffle. */
+  final val ChunkSize = 256
+  final val ChunkStride = 192
+  def textChunk: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        expr(s"explode(sequence(CAST(0 AS BIGINT), (length(text)-1) div $ChunkStride))")
+          .as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkSize)")
+          .as("ck"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("ck")).cast("long").as("chunk_len"),
+        poly_hash_cp(col("ck")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  val textChunkSql: String = s"""
+    WITH c AS (
+      SELECT doc_id, unnest(range(0, (len(text)-1)//$ChunkStride + 1)) AS chunk_idx, text
+      FROM documents WHERE len(text) >= 1),
+    k AS (SELECT doc_id, chunk_idx,
+            substr(text, CAST(chunk_idx * $ChunkStride + 1 AS BIGINT), $ChunkSize) AS ck
+          FROM c)
+    SELECT doc_id, chunk_idx, CAST(len(ck) AS BIGINT) AS chunk_len,
+      ${graft.util.TextUtil.polySql("ck")} AS chunk_hash
+    FROM k ORDER BY doc_id, chunk_idx"""
+
+  // ── text_bm25 — lexical relevance ranking (rational-idf BM25) ────────
+  /** BM25 ranking of the corpus against doc 0's token set, with the
+    * rational idf (N−df+0.5)/(df+0.5) — same ranking behaviour as the
+    * log form without a cross-engine-nondeterministic `ln`. Every input
+    * is an integer count (tf, df, dl, N, Σdl), each per-term contribution
+    * is one fixed IEEE op sequence (bit-identical in DuckDB), and the
+    * final score is SUMmed in exact integer micro-units — associative,
+    * so any partitioning gives the identical hash. Scale: tf/dl are
+    * map-side-combined aggregates; the query-term join broadcasts; the
+    * only corpus shuffle is one hash join on doc_id. */
+  final val Bm25TopK = 20
+  def textBm25: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
+    val qterms = tf.filter(col("doc_id") === 0).select("tok")
+    val dfc = tf.join(broadcast(qterms), "tok").groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("nd")
+    val idf = (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val contrib = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf.join(broadcast(dfc), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(contrib * lit(1000000.0) + lit(0.5)).cast("long").as("cm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_match"), sum("cm").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+  val textBm25Sql: String = s"""
+    WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS nd FROM dl),
+    q AS (SELECT DISTINCT tok FROM tf WHERE doc_id = 0),
+    dfc AS (SELECT tf.tok, COUNT(*) AS df FROM tf JOIN q USING (tok) GROUP BY 1),
+    c AS (SELECT tf.doc_id,
+            CAST(floor(
+              (((nd - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+                / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / nd)))
+              * 1000000.0 + 0.5) AS BIGINT) AS cm
+          FROM tf JOIN dfc ON tf.tok = dfc.tok
+               JOIN dl ON tf.doc_id = dl.doc_id, stats)
+    SELECT doc_id, COUNT(*) AS n_match, CAST(SUM(cm) AS BIGINT) AS score_micro
+    FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK"""
+
   val queries: Map[String, Q] = Map(
+    "text_chunk" -> textChunk,
+    "text_bm25" -> textBm25,
     "text_lang_id" -> textLangId,
     "text_train_split" -> textTrainSplit,
     "text_top_terms" -> textTopTerms,
@@ -253,6 +342,8 @@ object TextAnalysis {
     "text_kmv_sketch" -> textKmvSketch)
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" -> textChunkSql,
+    "text_bm25" -> textBm25Sql,
     "text_lang_id" -> textLangIdSql,
     "text_train_split" -> textTrainSplitSql,
     "text_top_terms" -> textTopTermsSql,

@@ -130,4 +130,36 @@ class DedupTextSpec extends SparkSpec {
     val rows = TextAnalysis.textFingerprint(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_windows")))
   }
+
+  test("text_chunk windows tile each document: contiguous indices, exact lengths") {
+    val rows = TextAnalysis.textChunk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val S = TextAnalysis.ChunkStride.toLong
+    val W = TextAnalysis.ChunkSize.toLong
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { cs =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ==
+        (0L until sorted.length).toSeq)
+      // Reconstruct the document length from the last chunk, then every
+      // chunk's length must be exactly min(W, len - idx·S).
+      val m = sorted.length - 1L
+      val len = m * S + sorted.last.getAs[Long]("chunk_len")
+      sorted.foreach { c =>
+        val i = c.getAs[Long]("chunk_idx")
+        assert(c.getAs[Long]("chunk_len") == math.min(W, len - i * S))
+      }
+    }
+  }
+
+  test("text_bm25 ranks by exact integer micro-score, query doc matches all terms") {
+    val rows = TextAnalysis.textBm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.Bm25TopK)
+    val scores = rows.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sortBy(-_))
+    // Doc 0 is the query source, so it matches every query term and must
+    // place in the top-k with the maximal n_match.
+    val d0 = rows.find(_.getAs[Long]("doc_id") == 0L)
+    assert(d0.isDefined)
+    assert(d0.get.getAs[Long]("n_match") == rows.map(_.getAs[Long]("n_match")).max)
+  }
 }
