@@ -156,9 +156,12 @@ object Dedup {
       val symL = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
       val minsL = symL.groupBy("u").agg(fmin("v").as("mn"))
+      // No distinct here: duplicate edges don't affect the small phase's
+      // min aggregation, and the round's closing distinct dedups anyway —
+      // dropping it saves one corpus shuffle per round.
       val large = symL.join(minsL, "u").filter(col("v") > col("u"))
         .select(least(col("mn"), col("u")).as("a"), col("v").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
       // small-star: every node u links itself and all smaller neighbors
       // to its smallest neighbor.
       val symS = large.select(col("b").as("u"), col("a").as("v"))
