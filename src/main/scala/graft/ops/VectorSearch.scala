@@ -241,6 +241,44 @@ object VectorSearch {
       row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
     FROM cand QUALIFY rn <= 5 ORDER BY q_id, rn"""
 
+  // ── vs_quant_search — int8 scalar quantization + integer dot top-k ──
+  /** Scalar-quantized search, the memory/bandwidth scale lever real
+    * vector stores ship (4×-smaller vectors, SIMD-friendly integer
+    * math): corpus max-abs → symmetric int8 grid → top-10 by exact
+    * integer dot product against query 0. Everything after the one-row
+    * max-abs aggregate is map-only + a broadcast of the single query;
+    * scores are integer-exact, so the oracle matches bit-for-bit (round
+    * half-away-from-zero agrees on both engines). Values are carried as
+    * longs for arithmetic clarity — a production encoder would pack the
+    * int8s into binary. */
+  def vsQuantSearch: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
+    val quant = e.crossJoin(broadcast(mx))
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
+          .as("qd"))
+    val q0 = quant.filter(col("vec_id") === 0).select(col("qd").as("qv"))
+    quant.crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("qd"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(10)
+  }
+  val vsQuantSearchSql: String = s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    quant AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qd
+      FROM e, mx),
+    q0 AS (SELECT qd AS qv FROM quant WHERE vec_id = 0)
+    SELECT vec_id,
+      CAST(list_sum(list_transform(range(1, len(qd)+1), i -> qd[i] * qv[i])) AS BIGINT)
+        AS qdot
+    FROM quant, q0 ORDER BY qdot DESC, vec_id LIMIT 10"""
+
   // ── vs_ivf_trained — Lloyd-trained IVF codebook, probe + recall ──────
   /** End-to-end trained IVF: [[IvfIndex.fit]] runs 2 Lloyd rounds (k=8,
     * deterministic first-k init) as DataFrame jobs, the probe is the
@@ -425,6 +463,7 @@ object VectorSearch {
     "vs_ingest" -> vsIngest,
     "vs_ivf_search" -> vsIvfSearch,
     "vs_ivf_trained" -> vsIvfTrained,
+    "vs_quant_search" -> vsQuantSearch,
     "vs_lsh_search" -> vsLshSearch)
 
   // vs_ivf_trained has no oracleSql (rows-only): the trained codebook is
@@ -438,5 +477,6 @@ object VectorSearch {
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,
     "vs_ivf_search" -> vsIvfSearchSql,
+    "vs_quant_search" -> vsQuantSearchSql,
     "vs_lsh_search" -> vsLshSearchSql)
 }

@@ -86,6 +86,26 @@ class VectorSpec extends SparkSpec {
     assert(scores == scores.sortBy(-_))
   }
 
+  test("vs_quant_search: self-match first, ranking tracks the exact dot-product top-k") {
+    val rows = VectorSearch.vsQuantSearch(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("vec_id") == 0L) // self dot is maximal
+    val qd = rows.map(_.getAs[Long]("qdot")).toSeq
+    assert(qd == qd.sortBy(-_))
+    // int8 quantization must preserve most of the exact dot-product
+    // ranking: compare against the exact top-10 computed locally.
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    val exactTop = vecs.toSeq
+      .map { case (id, v) => (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    val quantTop = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert((exactTop & quantTop).size >= 6,
+      s"quantized ranking diverged: ${(exactTop & quantTop).size}/10 overlap")
+  }
+
   test("vs_lsh_search pairs are a subset of vs_range_search pairs (recall check)") {
     def key(r: Row) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
     val exact = VectorSearch.vsRangeSearch(spark, sf).collect().map(key).toSet
