@@ -40,10 +40,14 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces for the driver's parser: the same line, at a known
-    // path, free of any sbt/log prefixes.
+    // path, free of any sbt/log prefixes. The stdout line above is the
+    // primary channel — a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -140,17 +140,16 @@ object Dedup {
     val nodes = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id"))).distinct()
     // Convergence: the canonical edge set is a fixpoint of both star ops
-    // exactly when every component is a star rooted at its min.
-    def chk(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum("a"), sum("b")).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
-    }
-    var prev = (-1L, 0L, 0L)
-    var cur = chk(und)
+    // exactly when every component is a star rooted at its min. The test
+    // is exact SET equality — count fast-path, then an anti-join (a
+    // (count, sum) signature can collide on a non-fixpoint edge set and
+    // would silently emit half-converged labels).
+    def sameEdgeSet(next: DataFrame, prevDf: DataFrame): Boolean =
+      next.count() == prevDf.count() &&
+        next.join(prevDf, Seq("a", "b"), "left_anti").isEmpty
+    var converged = false
     var rounds = 0
-    while (cur != prev && rounds < ClusterIters) {
+    while (!converged && rounds < ClusterIters) {
       // large-star: every edge {u,v}, u<v, reconnects v to
       // m(u) = min(Γ(u) ∪ {u}) — processed from its smaller endpoint.
       val symL = und.select(col("a").as("u"), col("b").as("v"))
@@ -170,9 +169,9 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .union(minsS.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
-      und = persistRound(small)
-      prev = cur
-      cur = chk(und)
+      val next = persistRound(small)
+      converged = sameEdgeSet(next, und)
+      und = next
       rounds += 1
     }
     val leaf = und.groupBy(col("b").as("id2")).agg(fmin("a").as("lbl"))

@@ -46,7 +46,7 @@ object Multimodal {
 
   /** documents.text → opaque binary payload + metadata struct, then
     * batched per-partition featurize. */
-  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+  private def mmFeaturesCore(spark: SparkSession, dir: String): DataFrame = {
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         struct(lit("application/octet-stream").as("mime"),
@@ -65,8 +65,10 @@ object Multimodal {
           }
         }
       }(encoder)
-      .orderBy("doc_id")
   }
+
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    mmFeaturesCore(spark, dir).orderBy("doc_id")
 
   /** Driver-facing flattening of [[mmFeatures]]: the harness's pandas row
     * check cannot sort an `array<double>` column, so the registered query
@@ -74,16 +76,19 @@ object Multimodal {
     * array-typed [[mmFeatures]] API.
     */
   def mmFeaturesFlat(spark: SparkSession, dir: String): DataFrame =
-    mmFeatures(spark, dir)
+    mmFeaturesCore(spark, dir)
       .select(col("doc_id"), col("mime"), col("n_bytes"),
         col("features")(0).as("f0"), col("features")(1).as("f1"),
         col("features")(2).as("f2"), col("features")(3).as("f3"))
       .orderBy("doc_id")
 
-  /** Oracle: the stub features are byte statistics over ASCII text, so
-    * DuckDB reproduces them exactly — integer byte sums are exact in
-    * doubles (< 2^53) and /, sqrt are IEEE correctly rounded on both
-    * engines, so every double is bit-identical.
+  /** Oracle: the stub features are byte statistics over ASCII text
+    * (TESTDATA documents are verified all-ASCII, so bytes == codepoints
+    * and strlen == len), and DuckDB reproduces them exactly — integer
+    * byte sums are exact in doubles (< 2^53) and /, sqrt are IEEE
+    * correctly rounded on both engines, so every double is bit-identical.
+    * Empty text is special-cased (DuckDB's str_split('','') yields ['']
+    * with unicode('') = -1, unlike the stub's 0-byte statistics).
     */
   val mmFeaturesSql: String = """
     WITH b AS (
@@ -98,9 +103,10 @@ object Multimodal {
         CAST(list_max(cps) AS DOUBLE) AS mx
       FROM b)
     SELECT doc_id, 'application/octet-stream' AS mime, n_bytes,
-      sm / greatest(1, n_bytes) AS f0,
-      sqrt(sq / greatest(1, n_bytes)) / 255.0 AS f1,
-      mn AS f2, mx AS f3
+      CASE WHEN n_bytes = 0 THEN 0.0 ELSE sm / n_bytes END AS f0,
+      CASE WHEN n_bytes = 0 THEN 0.0 ELSE sqrt(sq / n_bytes) / 255.0 END AS f1,
+      CASE WHEN n_bytes = 0 THEN 255.0 ELSE mn END AS f2,
+      CASE WHEN n_bytes = 0 THEN 0.0 ELSE mx END AS f3
     FROM s ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
