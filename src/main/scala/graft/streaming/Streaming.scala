@@ -179,8 +179,25 @@ object Streaming {
       .select(col("c_user").as("user_id"), col("click_id"), col("p_id"), col("c_us"), col("p_us"))
   }
 
+  /** Driver-checkable form of the stream-stream join: the batch twin
+    * with a total ordering (the spec proves stream ≡ batch on the same
+    * input; the oracle re-derives it relationally). */
+  def clickPurchaseJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    clickPurchaseJoinBatch(spark, dir).orderBy("click_id", "p_id")
+
+  val clickPurchaseJoinSql = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS p_id,
+      c.ts_us AS c_us, p.ts_us AS p_us
+    FROM e c JOIN e p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
+    ORDER BY click_id, p_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> windowAggBatch)
+    "stream_window_agg" -> windowAggBatch,
+    "stream_join" -> clickPurchaseJoinQuery)
   val oracles: Map[String, String] = Map(
-    "stream_window_agg" -> windowAggBatchSql)
+    "stream_window_agg" -> windowAggBatchSql,
+    "stream_join" -> clickPurchaseJoinSql)
 }
