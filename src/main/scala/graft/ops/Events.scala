@@ -172,6 +172,27 @@ object Events {
       AND x.ts_us BETWEEN p.ts_us - $HourUs AND p.ts_us
     ORDER BY p_id, err_id"""
 
+  // ── ev_skew_agg — hot-key aggregation via two-phase salting ──────────
+  /** The events table has a handful of event_type values over the whole
+    * corpus — the canonical hot-key shape that pins one reducer per key
+    * at 100 TB. [[graft.util.Skew.saltedAgg]] splits each key over 32
+    * salts, partially aggregates (map-side combined), then merges the
+    * partials: no reducer sees more than ~1/32 of the hottest key. The
+    * result is exactly the plain GROUP BY (counts and integer cent sums
+    * are associative), which is what the oracle checks. */
+  def evSkewAgg: Q = (spark, dir) => {
+    graft.util.Skew.saltedAgg(
+      ev(spark, dir).select(col("event_type"), cents(col("value")).as("vc")),
+      Seq(col("event_type")), 32,
+      Seq(count(lit(1)).as("n"), sum("vc").as("s")),
+      Seq(sum("n").as("n"), sum("s").as("sum_value_c")))
+      .orderBy("event_type")
+  }
+  val evSkewAggSql = s"""
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1 ORDER BY event_type"""
+
   // ── ev_retention — cohort retention matrix ───────────────────────────
   /** Users cohorted by first-activity day; active-user counts per
     * (cohort_day, day_offset). Two aggregations: per-user first day
@@ -199,6 +220,7 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
+    "ev_skew_agg" -> evSkewAgg,
     "ev_retention" -> evRetention,
     "ev_sessionize" -> evSessionize,
     "ev_funnel" -> evFunnel,
@@ -207,6 +229,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
+    "ev_skew_agg" -> evSkewAggSql,
     "ev_retention" -> evRetentionSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_funnel" -> evFunnelSql,
