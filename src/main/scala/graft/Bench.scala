@@ -45,7 +45,9 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // Paths.get throws InvalidPathException (a RuntimeException), so
+      // IOException alone wouldn't keep a bad env var from failing the run.
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()

@@ -144,11 +144,9 @@ object Dedup {
     // is exact SET equality — count fast-path, then an anti-join (a
     // (count, sum) signature can collide on a non-fixpoint edge set and
     // would silently emit half-converged labels).
-    def sameEdgeSet(next: DataFrame, prevDf: DataFrame): Boolean =
-      next.count() == prevDf.count() &&
-        next.join(prevDf, Seq("a", "b"), "left_anti").isEmpty
     var converged = false
     var rounds = 0
+    var undCount = und.count()
     while (!converged && rounds < ClusterIters) {
       // large-star: every edge {u,v}, u<v, reconnects v to
       // m(u) = min(Γ(u) ∪ {u}) — processed from its smaller endpoint.
@@ -170,8 +168,16 @@ object Dedup {
         .union(minsS.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
       val next = persistRound(small)
-      converged = sameEdgeSet(next, und)
+      // Exact set equality (count fast-path, then anti-join): a
+      // (count, sum) signature can collide on a non-fixpoint edge set
+      // and would silently emit half-converged labels. Both frames are
+      // distinct, so equal counts + next⊆und implies equality. The
+      // previous round's count is reused, not recomputed.
+      val nextCount = next.count()
+      converged = nextCount == undCount &&
+        next.join(und, Seq("a", "b"), "left_anti").isEmpty
       und = next
+      undCount = nextCount
       rounds += 1
     }
     val leaf = und.groupBy(col("b").as("id2")).agg(fmin("a").as("lbl"))

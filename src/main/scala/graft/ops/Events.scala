@@ -181,9 +181,11 @@ object Events {
     * result is exactly the plain GROUP BY (counts and integer cent sums
     * are associative), which is what the oracle checks. */
   def evSkewAgg: Q = (spark, dir) => {
+    // Salt on event_id: deterministic per row, so a partially recomputed
+    // map stage re-derives identical salts (see Skew.saltedAgg docs).
     graft.util.Skew.saltedAgg(
-      ev(spark, dir).select(col("event_type"), cents(col("value")).as("vc")),
-      Seq(col("event_type")), 32,
+      ev(spark, dir).select(col("event_id"), col("event_type"), cents(col("value")).as("vc")),
+      Seq(col("event_type")), 32, col("event_id"),
       Seq(count(lit(1)).as("n"), sum("vc").as("s")),
       Seq(sum("n").as("n"), sum("s").as("sum_value_c")))
       .orderBy("event_type")

@@ -10,7 +10,7 @@ class SkewSpec extends SparkSpec {
     val direct = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(graft.util.Det.cents(col("value"))).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val salted = Skew.saltedAgg(ev, Seq(col("event_type")), 16,
+    val salted = Skew.saltedAgg(ev, Seq(col("event_type")), 16, col("event_id"),
         Seq(count(lit(1)).as("n"), sum(graft.util.Det.cents(col("value"))).as("s")),
         Seq(sum("n").as("n"), sum("s").as("s")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -22,7 +22,7 @@ class SkewSpec extends SparkSpec {
     val cust = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
       .withColumnRenamed("c_custkey", "o_custkey")
     val direct = ord.join(cust, "o_custkey").count()
-    val salted = Skew.saltedJoin(ord, cust, "o_custkey", 8).count()
+    val salted = Skew.saltedJoin(ord, cust, "o_custkey", 8, col("o_orderkey")).count()
     assert(salted == direct)
   }
 }
