@@ -164,6 +164,69 @@ case class SimhashChunks(child: Expression,
   override protected def withNewChildInternal(c: Expression): SimhashChunks = copy(child = c)
 }
 
+
+/** Hashing-trick count-vector aggregate: folds token hashes into a
+  * 64-slot signed count vector in one primitive long[64] buffer —
+  * slot h mod 64 gets +1 when (h >> 6) is even, −1 otherwise (the
+  * embedder arithmetic of [[graft.ops.VectorSearch.docVectors]] and the
+  * vs_ingest oracle). Replaces a (doc, idx) pre-aggregation + per-doc
+  * assembly (two shuffles) with ONE map-side-combined aggregate.
+  * Commutative integer sums → deterministic under any partitioning. */
+case class HashCountVec(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "hash_count_vec"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash_count_vec requires a BIGINT column, got ${child.dataType.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(acc: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      acc((h % 64).toInt) += (if ((h >> 6) % 2 == 0) 1L else -1L)
+    }
+    acc
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(acc: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc.clone())
+
+  override def serialize(acc: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 * 64)
+    acc.foreach(buf.putLong)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes)
+    Array.fill(64)(buf.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HashCountVec =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HashCountVec =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): HashCountVec = copy(child = c)
+}
+
 /** MinHash signature aggregate: K permuted minima of the input hashes in
   * one primitive long[K] buffer (vs. K separate MIN aggregate columns).
   * Permutation k: (h·(2k+1) + 1000003·k) mod 1e9+7 — identical to the

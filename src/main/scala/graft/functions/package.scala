@@ -31,6 +31,9 @@ package object functions {
   /** Aggregate: K permuted MinHash minima from shingle hashes. */
   def minhash_sig(c: Column, k: Int): Column =
     col(MinhashSig(expr(c), k).toAggregateExpression())
+  /** Aggregate: 64-slot hashing-trick signed count vector. */
+  def hash_count_vec(c: Column): Column =
+    col(HashCountVec(expr(c)).toAggregateExpression())
 
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */
@@ -50,6 +53,7 @@ package object functions {
       KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
     registerFunction(spark, "simhash_chunks", es => SimhashChunks(es.head))
+    registerFunction(spark, "hash_count_vec", es => HashCountVec(es.head))
     registerFunction(spark, "minhash_sig", es => {
       require(es.length == 2 && es(1).foldable, "minhash_sig(col, k) needs a literal k")
       MinhashSig(es(0), es(1).eval().asInstanceOf[Number].intValue())

@@ -147,21 +147,17 @@ object VectorSearch {
     * with map-side combine, one on doc_id. */
   /** Hashing-trick count vectors for every document: (doc_id,
     * vector: array<long>[64]). The embedder's distributed form —
-    * tokenize+hash map-only, one (doc_id, idx) combine, one doc_id
-    * assembly. Shared by [[vsIngest]] and [[vsHybridSearch]]. */
+    * tokenize+hash map-only, then ONE map-side-combined aggregate
+    * ([[graft.functions.HashCountVec]] folds all 64 slots in a primitive
+    * buffer — vs. the two-shuffle (doc_id, idx) combine + per-doc
+    * assembly it replaces). Shared by [[vsIngest]] and
+    * [[vsHybridSearch]]. */
   private[ops] def docVectors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(graft.util.TextUtil.toksCol).as("tok"))
-    val h = poly_hash(col("tok"))
-    val cells = toks.select(col("doc_id"),
-      (h % 64).cast("int").as("idx"),
-      when(shiftright(h, 6) % 2 === 0, 1L).otherwise(-1L).as("sign"))
-    cells.groupBy(col("doc_id"), col("idx")).agg(sum(col("sign")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_arrays(collect_list(col("idx")), collect_list(col("v"))).as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(63)), i => coalesce(element_at(col("m"), i), lit(0L)))
-          .as("vector"))
+      .select(col("doc_id"), poly_hash(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(hash_count_vec(col("h")).as("vector"))
   }
 
   def vsIngest: Q = (spark, dir) => {
