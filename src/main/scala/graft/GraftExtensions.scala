@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
     fn(ext, "simhash_chunks", es => SimhashChunks(es.head))
+    fn(ext, "hash_count_vec", es => HashCountVec(es.head))
     fn(ext, "minhash_sig", es => {
       require(es.length == 2 && es(1).foldable, "minhash_sig(col, k) needs a literal k")
       MinhashSig(es(0), es(1).eval().asInstanceOf[Number].intValue())

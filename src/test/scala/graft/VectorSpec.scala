@@ -86,6 +86,18 @@ class VectorSpec extends SparkSpec {
     assert(scores == scores.sortBy(-_))
   }
 
+  test("hash_count_vec folds hashes into the signed 64-slot count vector") {
+    import spark.implicits._
+    // h=0 → slot 0, +1 (0>>6 even); 64 → slot 0, −1; 65 → slot 1, −1;
+    // 127 → slot 63, −1; 128 → slot 0, +1 (128>>6 = 2 even).
+    val v = Seq(0L, 64L, 65L, 127L, 128L).toDF("h")
+      .agg(hash_count_vec(col("h")).as("v")).head()
+      .getAs[scala.collection.Seq[Long]]("v")
+    assert(v.length == 64)
+    assert(v(0) == 1L && v(1) == -1L && v(63) == -1L)
+    assert((2 until 63).forall(i => v(i) == 0L))
+  }
+
   test("vs_quant_search: self-match first, ranking tracks the exact dot-product top-k") {
     val rows = VectorSearch.vsQuantSearch(spark, sf).collect()
     assert(rows.length == 10)
