@@ -280,6 +280,53 @@ object TextAnalysis {
       ${graft.util.TextUtil.polySql("ck")} AS chunk_hash
     FROM k ORDER BY doc_id, chunk_idx"""
 
+  // ── text_decontaminate — eval-set contamination scan ─────────────────
+  /** Benchmark decontamination, the training-pipeline step that drops
+    * corpus documents overlapping an evaluation set: every doc emits its
+    * 8-token shingle hashes; docs sharing any shingle with the probe set
+    * (here doc_id % 20 == 0, standing in for an eval benchmark) are
+    * flagged with hit counts and overlap ratio. Scale: the probe set is
+    * benchmark-sized → broadcast; the corpus side is one map-only
+    * shingle pass + one distinct + one aggregate — no corpus self-join.
+    */
+  final val DecontShingle = 8
+  def textDecontaminate: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val docs = materializedColumn(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "toks", toksCol)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) >= DecontShingle)
+    val hx = docs.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$DecontShingle), " +
+        s"i -> array_join(slice(toks, i+1, $DecontShingle), ' '))")).as("s"))
+      .select(col("doc_id"), poly_hash(col("s")).as("h"))
+      .distinct()
+    val probes = hx.filter(col("doc_id") % 20 === 0).select("h").distinct()
+      .withColumn("hit", lit(1L))
+    hx.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(probes), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        r6(col("n_hits") / col("n_shingles")).as("hit_ratio"))
+      .orderBy("doc_id")
+  }
+  val textDecontaminateSql: String = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $DecontShingle),
+    sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-${DecontShingle - 2}),
+             i -> array_to_string(toks[i:i+${DecontShingle - 1}], ' '))) AS s FROM tt),
+    hx AS (SELECT DISTINCT doc_id, ${graft.util.TextUtil.polySql("s")} AS h FROM sh),
+    probes AS (SELECT DISTINCT h FROM hx WHERE doc_id % 20 = 0),
+    j AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM hx c LEFT JOIN probes p ON c.h = p.h
+          WHERE c.doc_id % 20 <> 0 GROUP BY 1)
+    SELECT doc_id, n_hits, n_shingles, round(n_hits / n_shingles, 6) AS hit_ratio
+    FROM j WHERE n_hits > 0 ORDER BY doc_id"""
+
   // ── text_bm25 — lexical relevance ranking (rational-idf BM25) ────────
   /** BM25 ranking of the corpus against doc 0's token set, with the
     * rational idf (N−df+0.5)/(df+0.5) — same ranking behaviour as the
@@ -333,6 +380,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "text_bm25" -> textBm25,
+    "text_decontaminate" -> textDecontaminate,
     "text_lang_id" -> textLangId,
     "text_train_split" -> textTrainSplit,
     "text_top_terms" -> textTopTerms,
@@ -344,6 +392,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
     "text_bm25" -> textBm25Sql,
+    "text_decontaminate" -> textDecontaminateSql,
     "text_lang_id" -> textLangIdSql,
     "text_train_split" -> textTrainSplitSql,
     "text_top_terms" -> textTopTermsSql,

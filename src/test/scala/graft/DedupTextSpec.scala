@@ -151,6 +151,17 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("text_decontaminate flags only non-probe docs with bounded hit ratios") {
+    val rows = TextAnalysis.textDecontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0) // probe docs never flag themselves
+      val hits = r.getAs[Long]("n_hits"); val total = r.getAs[Long]("n_shingles")
+      assert(hits >= 1 && hits <= total)
+      val ratio = r.getAs[Double]("hit_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("text_bm25 ranks by exact integer micro-score, query doc matches all terms") {
     val rows = TextAnalysis.textBm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextAnalysis.Bm25TopK)
