@@ -195,7 +195,13 @@ case class HashCountVec(child: Expression,
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      acc((h % 64).toInt) += (if ((h >> 6) % 2 == 0) 1L else -1L)
+      // floorMod keeps the slot in [0, 64) and the sign parity floor-
+      // consistent for negative hashes too (a general session function
+      // must not index out of bounds; for the non-negative poly_hash
+      // domain this is identical to plain % — and to the oracle's
+      // (h // 64) % 2, since // is floor division).
+      acc(java.lang.Math.floorMod(h, 64L).toInt) +=
+        (if (java.lang.Math.floorMod(h >> 6, 2L) == 0L) 1L else -1L)
     }
     acc
   }

@@ -139,12 +139,11 @@ object VectorSearch {
     ORDER BY a_id, b_id"""
 
   // ── vs_ingest — reference `Create`: text → deterministic embedding ───
-  /** Hashing-trick embedder standing in for AllMiniLM (zero-egress — see
-    * SURVEY §6): token → poly_hash → signed count at hash%64. All-integer
-    * arithmetic, so the oracle rebuilds the identical vector in SQL.
-    * Output checksum Σ vec[i]·(i+1) proves the assembled vector matches.
-    * Scale: tokenize+hash is map-only codegen; one shuffle on (doc_id,idx)
-    * with map-side combine, one on doc_id. */
+  // Hashing-trick embedder standing in for AllMiniLM (zero-egress — see
+  // SURVEY §6): token → poly_hash → signed count at hash mod 64.
+  // All-integer arithmetic, so the oracle rebuilds the identical vector
+  // in SQL; vs_ingest's checksum Σ vec[i]·(i+1) proves the assembled
+  // vector matches.
   /** Hashing-trick count vectors for every document: (doc_id,
     * vector: array<long>[64]). The embedder's distributed form —
     * tokenize+hash map-only, then ONE map-side-combined aggregate

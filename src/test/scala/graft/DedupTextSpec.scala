@@ -153,6 +153,7 @@ class DedupTextSpec extends SparkSpec {
 
   test("text_decontaminate flags only non-probe docs with bounded hit ratios") {
     val rows = TextAnalysis.textDecontaminate(spark, sf).collect()
+    assert(rows.nonEmpty) // the planted dup clusters overlap the probe set
     rows.foreach { r =>
       assert(r.getAs[Long]("doc_id") % 20 != 0) // probe docs never flag themselves
       val hits = r.getAs[Long]("n_hits"); val total = r.getAs[Long]("n_shingles")
