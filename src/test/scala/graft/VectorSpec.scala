@@ -98,6 +98,16 @@ class VectorSpec extends SparkSpec {
     assert((2 until 63).forall(i => v(i) == 0L))
   }
 
+  test("hash_count_vec accepts negative hashes (general SQL function domain)") {
+    import spark.implicits._
+    // floorMod semantics: -1 → slot 63, floor(-1/64) = -1 odd → −1 vote.
+    val v = Seq(-1L, -64L).toDF("h")
+      .agg(hash_count_vec(col("h")).as("v")).head()
+      .getAs[scala.collection.Seq[Long]]("v")
+    assert(v(63) == -1L) // -1: slot 63, sign −1
+    assert(v(0) == -1L)  // -64: slot 0, floor(-64/64) = -1 odd → −1
+  }
+
   test("vs_quant_search: self-match first, ranking tracks the exact dot-product top-k") {
     val rows = VectorSearch.vsQuantSearch(spark, sf).collect()
     assert(rows.length == 10)
