@@ -308,11 +308,15 @@ object Dedup {
     // The 16 minhashes are pure map-side array folds over the gram set —
     // no explode/shuffle; same permutation arithmetic as MinhashSig. The
     // signature is materialized (Generate barrier) so the 16 band-key
-    // references don't each re-fold the gram array.
+    // references don't each re-fold the gram array. The whole per-doc
+    // gram+signature table is then checkpointed ONCE: the band self-join
+    // and the two verify joins would otherwise each recompute the gram
+    // arrays from the raw text (4× O(len) per doc). At lake scale this
+    // materialization is the signature table a real pipeline persists.
     val sigCol = transform(sequence(lit(0), lit(15)), k =>
       array_min(transform(col("grams"),
         h => (h * (k * 2 + 1) + lit(1000003L) * k) % lit(M))))
-    val mh = materializedColumn(g, "sig", sigCol)
+    val mh = persistRound(materializedColumn(g, "sig", sigCol))
     val bandKeys = (0 until 8).flatMap { b =>
       Seq(col("lb"), col("lb") + 1L).map { lbv =>
         concat_ws(":", lit(b),
@@ -326,8 +330,8 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cand
-      .join(g.select(col("doc_id").as("a_id"), col("grams").as("ga")), "a_id")
-      .join(g.select(col("doc_id").as("b_id"), col("grams").as("gb")), "b_id")
+      .join(mh.select(col("doc_id").as("a_id"), col("grams").as("ga")), "a_id")
+      .join(mh.select(col("doc_id").as("b_id"), col("grams").as("gb")), "b_id")
       .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")).cast("double"))
       .select(col("a_id"), col("b_id"),
         r6(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
