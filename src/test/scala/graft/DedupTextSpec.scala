@@ -97,6 +97,39 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    // Deterministic pseudo-random graphs (LCG seeds): mixed shapes —
+    // chains, cliques, isolated edges — checked against exact union-find.
+    for (seed <- Seq(1L, 7L, 42L)) {
+      var x = seed
+      def nextInt(bound: Int): Int = {
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        (java.lang.Math.floorMod(x >>> 16, bound.toLong)).toInt
+      }
+      val n = 30
+      val edges = (0 until 40).map(_ => (nextInt(n).toLong, nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // component min = min over all nodes sharing the root
+          val root = find(id.toInt)
+          (0 until n).filter(v => find(v) == root)
+            .filter(v => edges.exists(e => e._1 == v || e._2 == v)).min.toLong
+        }).toMap
+      val got = Dedup.connectedComponentsWithRounds(edges.toDF("a_id", "b_id"))._1
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("connected components handle two components and an empty graph") {
     import spark.implicits._
     val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")
