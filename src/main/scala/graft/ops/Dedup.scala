@@ -60,13 +60,19 @@ object Dedup {
         .as("shingles"))
     val hx = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), poly_hash(col("s")).as("h"))
-    // One custom aggregate (graft.functions.MinhashSig) maintains all 16
-    // permuted minima in a single primitive buffer per group.
-    val mh = hx.groupBy("doc_id").agg(minhash_sig(col("h"), 16).as("sig"))
+    // ONE aggregation computes both the 16-slot minhash signature
+    // (graft.functions.MinhashSig — all minima in a single primitive
+    // buffer) and the distinct hash set the verify stage needs; the
+    // per-doc frame is materialized once so the band explode and both
+    // verify joins read it back instead of re-running the shingle→hash
+    // pipeline and a second groupBy (r2 computed that subtree 3×).
+    val per = persistRound(hx.groupBy("doc_id")
+        .agg(minhash_sig(col("h"), 16).as("sig"), collect_set(col("h")).as("hs")),
+      eager = false)
     val bandKeys = (0 until 4).map { b =>
       concat_ws(":", lit(b) +: (0 until 4).map(j => col("sig").getItem(4 * b + j)): _*)
     }
-    val bands = mh.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val bands = per.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -74,10 +80,9 @@ object Dedup {
     // Exact Jaccard verified over the *hashed* shingle sets (long arrays —
     // set ops ~10× cheaper than over shingle strings; collisions affect
     // both engines identically so the oracle stays exact).
-    val hsets = hx.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     cand
-      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .join(per.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(per.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
       .select(col("a_id"), col("b_id"),
         r6(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter"))).as("jaccard"))
@@ -116,10 +121,19 @@ object Dedup {
     * has a checkpoint dir configured (cluster mode — survives executor
     * loss), else `localCheckpoint` (local mode — executor-resident).
     * Either way the round's plan stays flat instead of nesting the whole
-    * upstream pipeline once per iteration. */
-  private def persistRound(df: DataFrame): DataFrame =
+    * upstream pipeline once per iteration.
+    *
+    * `eager = false` defers materialization to the caller's next action —
+    * the CC loop counts every round anyway, so folding the checkpoint job
+    * into the count halves the per-round action count (the r2 bench's
+    * dominant cost: scheduling ~3 jobs/round on a tiny edge set). The
+    * reliable branch stays eager regardless: a lazy reliable checkpoint
+    * recomputes the plan a second time when the checkpoint files are
+    * written (RDD.checkpoint's documented caveat), which costs more than
+    * the extra action it saves. */
+  private def persistRound(df: DataFrame, eager: Boolean = true): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(true)
+    else df.localCheckpoint(eager)
 
   /** Connected components via the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -136,7 +150,7 @@ object Dedup {
     var und = persistRound(pairs
       .select(least(col("a_id"), col("b_id")).as("a"),
         greatest(col("a_id"), col("b_id")).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+      .filter(col("a") =!= col("b")).distinct(), eager = false)
     val nodes = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id"))).distinct()
     // Convergence: the canonical edge set is a fixpoint of both star ops
@@ -167,12 +181,17 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .union(minsS.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
-      val next = persistRound(small)
+      // Lazy checkpoint + count: the count below is the ONE action per
+      // round — it materializes the checkpoint and feeds the convergence
+      // fast-path (vs. r2's eager-checkpoint job + count job + anti-join
+      // job every round).
+      val next = persistRound(small, eager = false)
       // Exact set equality (count fast-path, then anti-join): a
       // (count, sum) signature can collide on a non-fixpoint edge set
       // and would silently emit half-converged labels. Both frames are
       // distinct, so equal counts + next⊆und implies equality. The
-      // previous round's count is reused, not recomputed.
+      // previous round's count is reused, not recomputed, and the
+      // anti-join only runs on the rounds whose counts already match.
       val nextCount = next.count()
       converged = nextCount == undCount &&
         next.join(und, Seq("a", "b"), "left_anti").isEmpty
@@ -180,6 +199,12 @@ object Dedup {
       undCount = nextCount
       rounds += 1
     }
+    // Star-leaf label extraction is only valid on a converged (star) edge
+    // set; the cap is far above the O(log² n) bound, so hitting it means
+    // the input violates an invariant — fail loudly, never emit
+    // half-converged cluster ids.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $ClusterIters rounds")
     val leaf = und.groupBy(col("b").as("id2")).agg(fmin("a").as("lbl"))
     val labels = nodes.join(leaf, nodes("id") === leaf("id2"), "left")
       .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
@@ -192,7 +217,9 @@ object Dedup {
   def dedupClusters: Q = (spark, dir) => {
     // Materialize the pair graph ONCE before iterating: lazy lineage would
     // re-run the whole minhash pipeline in every star round otherwise.
-    val pairs = persistRound(dedupMinhashLsh(spark, dir).select("a_id", "b_id"))
+    // Lazy: the loop's first count materializes pairs and round 0 together.
+    val pairs = persistRound(dedupMinhashLsh(spark, dir).select("a_id", "b_id"),
+      eager = false)
     connectedComponentsWithRounds(pairs)._1.orderBy("doc_id")
   }
   val dedupClustersSql: String = minhashCtes + s""",

@@ -82,19 +82,25 @@ class DedupTextSpec extends SparkSpec {
     // Covers persistRound's cluster-mode branch: with a checkpoint dir
     // configured, rounds materialize via reliable checkpoint() instead
     // of localCheckpoint, with identical results.
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    try {
-      import spark.implicits._
-      val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-      val out = Dedup.connectedComponentsWithRounds(chain)._1.collect()
-      assert(out.length == 17 && out.forall(_.getAs[Long]("cluster_id") == 0L))
-      // the checkpoint dir was actually used
-      assert(new java.io.File(dir).listFiles != null)
-    } finally {
-      // leave the shared session's checkpoint dir in place (harmless for
-      // other suites — both persistRound branches are semantically equal)
+    val dirFile = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    // KNOWN LEAK, by SparkContext design: setCheckpointDir cannot be
+    // unset, so every later persistRound in this JVM uses the reliable
+    // branch (semantically equal, just slower) and keeps writing here
+    // until exit. Bound the damage: delete the tree on JVM exit.
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dirFile)
     }
+    val dir = dirFile.toString
+    spark.sparkContext.setCheckpointDir(dir)
+    import spark.implicits._
+    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.connectedComponentsWithRounds(chain)._1.collect()
+    assert(out.length == 17 && out.forall(_.getAs[Long]("cluster_id") == 0L))
+    // the checkpoint dir was actually used
+    assert(new java.io.File(dir).listFiles != null)
   }
 
   test("connected components match a union-find oracle on random graphs") {
