@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.VectorSearch.queries ++
       ops.Dedup.queries ++ ops.TextAnalysis.queries ++
-      ops.Events.queries ++ ops.Multimodal.queries ++ streaming.Streaming.queries
+      ops.Events.queries ++ ops.Multimodal.queries ++
+      ops.Lake.queries ++ streaming.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.VectorSearch.oracles ++
       ops.Dedup.oracles ++ ops.TextAnalysis.oracles ++
-      ops.Events.oracles ++ ops.Multimodal.oracles ++ streaming.Streaming.oracles
+      ops.Events.oracles ++ ops.Multimodal.oracles ++
+      ops.Lake.oracles ++ streaming.Streaming.oracles
 }

@@ -396,22 +396,27 @@ object Dedup {
   /** Cosine near-dup keep/drop: each duplicate maps to its lowest-id
     * retained neighbor. Candidate pairs come from the parameterized
     * random-hyperplane LSH band join ([[graft.ops.VectorSearch.lshBands]],
-    * 16-bit band values — bucket count grows with content), then verify
-    * with the exact kernel — no O(n²) join anywhere in the plan. The
-    * oracle regenerates the identical bands (bit-identical LCG planes);
-    * the exact all-pairs baseline is [[graft.ops.VectorSearch.vsRangeSearch]]'s
-    * oracle. */
+    * 16-bit band values — bucket count grows with content) behind the
+    * degenerate-bucket cap ([[graft.util.Skew.cappedSelfPairs]]), then
+    * verify with the exact kernel — no O(n²) join anywhere in the plan.
+    * The oracle regenerates the identical bands (bit-identical LCG
+    * planes); the exact all-pairs baseline is
+    * [[graft.ops.VectorSearch.vsRangeSearch]]'s oracle.
+    *
+    * Effective similarity regime: the 0.4 filter below is a VERIFY
+    * floor, not a recall target — 16-plane bands pass a sim≈0.4 pair
+    * with only ~1% probability, so in practice only near-identical
+    * pairs (sim ≳ 0.8) surface; see LshRecallSpec for the measured
+    * banded-vs-exact recall. At a 0.4-recall requirement, use narrower
+    * bands (planesPerBand 4-8) and pay the candidate blowup. */
   def dedupEmbedding: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
       inner_product(col("embedding"), col("embedding")).as("nsq"))
     val bandsDf = VectorSearch.lshBands(
       e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"))
-      .distinct()
+    val cand = graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
+        Seq("band_idx", "band_val"), VectorSearch.LshBucketCap)
+      .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"))
     val w = Window.partitionBy("dup_id").orderBy("keep_id")
     cand
       .join(e.select(col("vec_id").as("keep_id"), col("embedding").as("va"),
@@ -429,9 +434,7 @@ object Dedup {
   val dedupEmbeddingSql: String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     ${VectorSearch.lshBandsSql("e", "vec_id")},
-    cand AS (SELECT DISTINCT x.vec_id AS keep_id, y.vec_id AS dup_id
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+    ${VectorSearch.lshCandSql("vec_id", "keep_id", "dup_id")},
     p AS (SELECT keep_id, dup_id,
         round(list_inner_product(a.v, b.v)
           / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim

@@ -275,13 +275,25 @@ object VectorSearch {
     FROM quant, q0 ORDER BY qdot DESC, vec_id LIMIT 10"""
 
   // ── vs_ivf_trained — Lloyd-trained IVF codebook, probe + recall ──────
+  /** Probe width and acceptance floor for [[vsIvfTrained]]: mean recall@5
+    * across the query set must reach the floor or the query THROWS —
+    * measured headroom at nprobe=3 is 0.88/0.68/0.70 at sf0.001/0.01/0.1
+    * (deterministic: the trainer and data are fixed), so the driver's
+    * rows>0 check now implies the trained index actually works. Per-query
+    * min recall is NOT floored: a single query sitting on a cell boundary
+    * legitimately bottoms out at 0.4 on this corpus. */
+  final val IvfTrainedNprobe = 3
+  final val IvfTrainedRecallFloor = 0.6
+
   /** End-to-end trained IVF: [[IvfIndex.fit]] runs 2 Lloyd rounds (k=8,
     * deterministic first-k init) as DataFrame jobs, the probe is the
-    * nprobe=2 cell join of [[IvfIndex.search]], and the output grades the
+    * nprobe=3 cell join of [[IvfIndex.search]], and the output grades the
     * trained index against the exact brute-force top-5 — one row per
-    * query: (q_id, n_hits of 5, recall). Driver check is rows-only (per
-    * SURVEY §2): parallel double summation in the trainer is not
-    * bit-reproducible across engines, so recall-vs-exact is the oracle.
+    * query: (q_id, n_hits of 5, recall, mean_recall). Driver check is
+    * rows-only (per SURVEY §2): parallel double summation in the trainer
+    * is not bit-reproducible across engines, so recall-vs-exact is the
+    * oracle — and the query self-asserts mean recall ≥
+    * [[IvfTrainedRecallFloor]], making the rows-only check a real gate.
     * Scale: training is the classic Spark k-means shape (driver holds
     * k×dim doubles only); probe joins hash on cell id. */
   def vsIvfTrained: Q = (spark, dir) => {
@@ -290,7 +302,7 @@ object VectorSearch {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val approx = IvfIndex.search(e, "vec_id", "embedding", model,
-        q, "q_id", "qv", nprobe = 2, kNeighbors = 5)
+        q, "q_id", "qv", nprobe = IvfTrainedNprobe, kNeighbors = 5)
       .select(col("q_id"), col("c_id"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
     val exact = e.crossJoin(broadcast(q))
@@ -299,12 +311,19 @@ object VectorSearch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"))
-    exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+    // |Q| rows — checkpoint so the grade aggregate below and the returned
+    // frame share one evaluation of the probe + exact pipelines.
+    val graded = exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("q_id"), col("n_exact"), col("n_hits"),
         r6(col("n_hits") / col("n_exact")).as("recall"))
       .orderBy("q_id")
+      .localCheckpoint(true)
+    val meanRecall = graded.agg(avg("recall")).head().getDouble(0)
+    require(meanRecall >= IvfTrainedRecallFloor,
+      f"trained IVF mean recall@5 $meanRecall%.3f below floor $IvfTrainedRecallFloor")
+    graded.withColumn("mean_recall", r6(lit(meanRecall)))
   }
 
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
@@ -322,6 +341,15 @@ object VectorSearch {
     * on this corpus (pair sims ≈ 0.5) they are intentionally selective. */
   final val LshPlanesPerBand = 16
   final val LshBands = 16
+  /** Degenerate-bucket cap for LSH candidate generation (see
+    * [[graft.util.Skew.cappedSelfPairs]]): buckets above this size are
+    * excluded from pairing on BOTH engines (the SQL oracles carry the
+    * same HAVING filter). Far above any bucket the test corpus can
+    * produce (≤5k vectors at sf0.1), so test-scale results equal the
+    * uncapped join; at 100 TB it bounds the worst single bucket to
+    * cap²/2 pairs instead of letting one boilerplate bucket emit 10¹¹
+    * pairs on one reducer. */
+  final val LshBucketCap = 10000L
   private def planeVal(j: Int, i: Int): Double =
     ((1103515245L * (j * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
   private[graft] def planes(n: Int): Seq[Seq[Double]] =
@@ -364,15 +392,25 @@ object VectorSearch {
         SUM(bit * (1 << ($planesPerBand - 1 - j % $planesPerBand))) AS band_val
       FROM bits GROUP BY 1, 2)"""
 
+  /** SQL mirror of [[graft.util.Skew.cappedSelfPairs]] over the `bands`
+    * CTE: bucket-size HAVING filter, then the pair join on surviving
+    * buckets. Column names for the pair output are parameterized so
+    * [[Dedup.dedupEmbeddingSql]] can reuse it. */
+  private[graft] def lshCandSql(idCol: String, aName: String, bName: String,
+      cap: Long = LshBucketCap): String = s"""
+    bsizes AS (SELECT band_idx, band_val FROM bands
+               GROUP BY 1, 2 HAVING COUNT(*) <= $cap),
+    kept AS (SELECT b.* FROM bands b JOIN bsizes USING (band_idx, band_val)),
+    cand AS (SELECT DISTINCT x.$idCol AS $aName, y.$idCol AS $bName
+      FROM kept x JOIN kept y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.$idCol < y.$idCol)"""
+
   def vsLshSearch: Q = (spark, dir) => {
     val e = emb(spark, dir)
     val bandsDf = lshBands(e, "vec_id", "embedding")
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
+    val cand = graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
+      Seq("band_idx", "band_val"), LshBucketCap)
     cand
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
@@ -384,10 +422,7 @@ object VectorSearch {
   val vsLshSearchSql = s"""
     WITH e AS ($eSql),
     ${lshBandsSql("e", "vec_id")},
-    cand AS (
-      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
+    ${lshCandSql("vec_id", "a_id", "b_id")}
     SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
     FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
     WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4

@@ -23,6 +23,20 @@ object Sinks {
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
   }
 
+  /** [[writeBucketed]] variant with an explicit storage location
+    * (external table): repeated runs overwrite the same files instead of
+    * piling up under the session warehouse — the shape a lake pipeline
+    * uses for its curated bucketed tables. */
+  def writeBucketedAt(df: DataFrame, table: String, key: String, buckets: Int,
+      path: String): Unit = {
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Write a date/hour-partitioned parquet directory (pruning path for
     * time-range scans — partition filters never touch excluded files). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

@@ -38,6 +38,39 @@ object Skew {
     phase1.groupBy(keys: _*).agg(merge.head, merge.tail: _*)
   }
 
+  /** Candidate-pair generation over a bucketed signature frame (LSH
+    * bands, SimHash chunks) with a degenerate-bucket cap — the skew case
+    * a bucketed self-join cannot salt away: salting a bucket would split
+    * its rows across sub-keys and silently LOSE the cross-salt pairs, so
+    * the only scale-safe treatment of a pathological bucket (every row
+    * hashing to one band value — a corpus of near-identical boilerplate)
+    * is to measure it and exclude it. A bucket of b rows emits b²/2
+    * pairs; at 100 TB one million-row bucket is 5·10¹¹ pairs on one
+    * reducer. Bucket sizes are themselves counted with [[saltedAgg]] (a
+    * degenerate bucket is exactly a hot groupBy key), buckets over `cap`
+    * are dropped, and surviving buckets pair up through the usual hash
+    * join on the bucket key. The signature frame is materialized once
+    * (localCheckpoint) and reused by the size count and both join sides.
+    *
+    * Callers' SQL oracles mirror the cap with a COUNT(*) <= cap bucket
+    * filter, so capping is part of the operator contract, not a silent
+    * truncation; `cap` must sit far above any bucket the test corpus can
+    * produce (see callers) so test-scale results equal the uncapped join.
+    */
+  def cappedSelfPairs(bands: DataFrame, idCol: String, bucketCols: Seq[String],
+      cap: Long, salts: Int = 16): DataFrame = {
+    val b = bands.localCheckpoint(false)
+    val sizes = saltedAgg(b, bucketCols.map(col), salts, col(idCol),
+      Seq(count(lit(1)).as("pn")), Seq(sum("pn").as("n")))
+    val ok = sizes.filter(col("n") <= cap).select(bucketCols.map(col): _*)
+    val kept = b.join(ok, bucketCols)
+    kept.as("x").join(kept.as("y"),
+        bucketCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
   /** Salted join of a skewed fact side against a small-ish dimension:
     * the fact side is salted in [0, salts) on a deterministic per-row
     * expression (see [[saltedAgg]] for why it must be deterministic);

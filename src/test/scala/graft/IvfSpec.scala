@@ -31,7 +31,12 @@ class IvfSpec extends SparkSpec {
       // The query's own cell is always probed, so the self-match at
       // distance 0 is always recalled.
       assert(r.getAs[Long]("n_hits") >= 1L)
+      // The query self-asserts the acceptance floor (it would have thrown
+      // otherwise); the emitted mean must agree with the per-query rows.
+      assert(r.getAs[Double]("mean_recall") >= ops.VectorSearch.IvfTrainedRecallFloor)
     }
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(math.abs(rows.head.getAs[Double]("mean_recall") - mean) < 1e-6)
   }
 
   test("probe search returns k neighbors per query with sane recall vs exact") {
