@@ -35,7 +35,14 @@ final class VectorStore(val df: DataFrame, idCol: String = "vec_id",
     * row into the existing table): embed the increment with the same
     * hashing-trick embedder and append it, so a subsequent [[search]] /
     * [[searchText]] sees old and new rows together. Batch analogue of
-    * the reference's Create-then-Search loop. */
+    * the reference's Create-then-Search loop.
+    *
+    * Contract (mirrors the reference, which INSERTs blindly into a
+    * serial-keyed table): callers supply FRESH ids — appending an id
+    * that already exists duplicates the row and search then returns
+    * both copies. Columns beyond (id, content, vector) are dropped from
+    * the base store by the projection below; keep side data outside the
+    * store and re-join on the id column. */
   def appendText(docs: DataFrame, docIdCol: String, textCol: String): VectorStore = {
     val inc = VectorStore.ingestText(docs, docIdCol, textCol).df
       .select(col("vec_id").as(idCol), col("content"), col("embedding").as(vecCol))

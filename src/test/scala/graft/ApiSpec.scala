@@ -73,6 +73,41 @@ class ApiSpec extends SparkSpec {
     assert(hitsOld.head.getAs[Long]("vec_id") == 3L)
   }
 
+  test("embedText scalar path is bit-identical to the HashCountVec aggregate path") {
+    // The facade embedder (VectorStore.embedText, per-row fold) and the
+    // distributed embedder (explode → hash_count_vec aggregate, used by
+    // vs_ingest / vs_hybrid_search) must produce the SAME vector bit for
+    // bit: integer counts are order-independent under partial aggregation
+    // and vector_normalize runs the identical IEEE op sequence on both.
+    import graft.functions._
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq(
+        (100001L, "The THE the tHe"),          // case folding collapses
+        (100002L, "a b c a b a 7 77 777"),     // repeated + numeric tokens
+        (100003L, "!!! --- ???"),              // no embeddable tokens
+        (100004L, "héllo wörld café naïve"),   // non-ASCII split points
+        (100005L, "x")                         // single short token
+      ).toDF("doc_id", "text"))
+    val viaScalar = VectorStore.ingestText(corpus, "doc_id", "text").df
+      .select(col("vec_id").as("doc_id"), col("embedding").as("ea"))
+    val viaAgg = corpus
+      .select(col("doc_id"), explode(graft.util.TextUtil.toksCol).as("tok"))
+      .select(col("doc_id"), poly_hash(col("tok")).as("h"))
+      .groupBy("doc_id").agg(hash_count_vec(col("h")).as("counts"))
+      .select(col("doc_id"), vector_normalize(col("counts")).as("eb"))
+    val joined = viaScalar.join(viaAgg, Seq("doc_id"), "left").collect()
+    assert(joined.length == corpus.count())
+    joined.foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Double]]("ea")
+      val b = r.getAs[scala.collection.Seq[Double]]("eb")
+      // token-less docs: scalar path yields null embedding, aggregate path
+      // has no exploded rows at all (left join → null) — both "no vector".
+      assert((a == null) == (b == null), s"doc ${r.getLong(0)}: $a vs $b")
+      if (a != null) assert(a == b, s"doc ${r.getLong(0)} differs")
+    }
+  }
+
   test("plan shape: q1 pushes the shipdate filter into the parquet scan") {
     val plan = ops.Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

@@ -139,4 +139,20 @@ class EventsStreamingSpec extends SparkSpec {
     assert(fa == fb && fa.length == Multimodal.FeatDim)
     assert(a.forall(_.getAs[Long]("n_bytes") > 0))
   }
+
+  test("mm_features oracle assumption holds: the documents corpus is pure ASCII") {
+    // mmFeaturesSql equates DuckDB codepoint stats with the stub's BYTE
+    // stats, which is only valid while every document is ASCII (strlen
+    // counts bytes, unicode() would exceed 127). Guard the assumption at
+    // both driver SFs so a future corpus change fails HERE, loudly,
+    // instead of as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val mx = Tables.documents(spark, dir)
+        .select(array_max(transform(split(col("text"), ""),
+          c => ascii(c))).as("mx"))
+        .agg(max("mx")).head().getInt(0)
+      assert(mx < 128, s"$dir: non-ASCII codepoint $mx in documents.text")
+    }
+  }
 }
