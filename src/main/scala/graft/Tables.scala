@@ -29,22 +29,27 @@ object Tables {
   // run loads each table ~100 times. The memo caches the *plan* (a pure,
   // immutable DataFrame), never data, so it is correctness-neutral; entries
   // are tied to their SparkSession so test suites with fresh sessions never
-  // see a stale plan.
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // see a stale plan. WEAK session keys: a strong-keyed map would pin every
+  // stopped session (and its query plans) for the JVM lifetime.
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     prep(spark)
-    memo.computeIfAbsent((spark, dir, name), { _ =>
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // The driver's test parquet is a single row group, which Spark cannot
-      // split — every downstream stage would run on one core. At real scale
-      // data arrives as many files/row-groups and this branch is a no-op;
-      // here we fan out once so per-row compute uses the whole executor.
-      // Filters/pruning still push into the scan below the exchange.
-      val target = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < math.min(8, target)) df.repartition(target) else df
-    })
+    memo.synchronized {
+      val perSession = memo.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+      perSession.getOrElseUpdate((dir, name), {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        // The driver's test parquet is a single row group, which Spark cannot
+        // split — every downstream stage would run on one core. At real scale
+        // data arrives as many files/row-groups and this branch is a no-op;
+        // here we fan out once so per-row compute uses the whole executor.
+        // Filters/pruning still push into the scan below the exchange.
+        val target = spark.sparkContext.defaultParallelism
+        if (df.rdd.getNumPartitions < math.min(8, target)) df.repartition(target) else df
+      })
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -117,23 +117,15 @@ object Dedup {
   // ── dedup_clusters — connected components over near-dup pairs ────────
   final val ClusterIters = 50 // convergence-loop hard cap
 
-  /** Per-round materialization: reliable `checkpoint()` when the session
-    * has a checkpoint dir configured (cluster mode — survives executor
-    * loss), else `localCheckpoint` (local mode — executor-resident).
-    * Either way the round's plan stays flat instead of nesting the whole
-    * upstream pipeline once per iteration.
-    *
-    * `eager = false` defers materialization to the caller's next action —
-    * the CC loop counts every round anyway, so folding the checkpoint job
-    * into the count halves the per-round action count (the r2 bench's
-    * dominant cost: scheduling ~3 jobs/round on a tiny edge set). The
-    * reliable branch stays eager regardless: a lazy reliable checkpoint
-    * recomputes the plan a second time when the checkpoint files are
-    * written (RDD.checkpoint's documented caveat), which costs more than
-    * the extra action it saves. */
+  /** Per-round materialization — see [[graft.util.Persist.stage]] (the
+    * shared reliable-vs-local checkpoint policy). The round's plan stays
+    * flat instead of nesting the whole upstream pipeline once per
+    * iteration; `eager = false` lets the CC loop's per-round count
+    * double as the materialization job (halving round actions — the r2
+    * bench's dominant cost was scheduling ~3 jobs/round on a tiny edge
+    * set). */
   private def persistRound(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(eager)
+    graft.util.Persist.stage(df, eager)
 
   /** Connected components via the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and

@@ -26,28 +26,27 @@ object Lake {
   // temp dirs; the tree is removed on JVM exit.
   private lazy val lakeDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-lake").toFile
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
-    }
+    graft.util.Persist.deleteOnExit(d)
     d.toString
   }
 
   // Write-once/join-often: the bucketed copies are the PERSISTENT layout
-  // this operator exists to demonstrate, so each session writes them once
-  // per source dir and every later execution joins the existing tables
-  // (the bench's min-of-2 then measures the recurring join, not the
-  // one-time layout cost). Rewritten if the same session switches dirs.
+  // this operator exists to demonstrate, so they are written once per
+  // source dir and every later execution joins the existing tables (the
+  // bench's min-of-2 then measures the recurring join, not the one-time
+  // layout cost). Keyed by SparkContext, NOT SparkSession: saveAsTable
+  // registers in the shared external catalog, which `newSession()`
+  // clones share — a session-keyed memo would let one session skip the
+  // rewrite after a sibling repointed the shared tables at another dir.
+  // Rewritten whenever the active dir changes.
   private val written =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
 
   /** Writes lineitem + orders bucketed by order key into catalog tables
-    * (once per session+dir), then reads them back for the join (spec
+    * (once per context+dir), then reads them back for the join (spec
     * hook: LakeSpec asserts the join subtree has NO shuffle exchange). */
   private[graft] def bucketedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
-    written.compute(spark, (_, prev) => {
+    written.compute(spark.sparkContext, (_, prev) => {
       if (prev != dir) {
         val l = Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_extendedprice", "l_discount")

@@ -311,16 +311,19 @@ object VectorSearch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"))
-    // |Q| rows — checkpoint so the grade aggregate below and the returned
-    // frame share one evaluation of the probe + exact pipelines.
-    val graded = exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("q_id"), col("n_exact"), col("n_hits"),
-        r6(col("n_hits") / col("n_exact")).as("recall"))
-      .orderBy("q_id")
-      .localCheckpoint(true)
-    val meanRecall = graded.agg(avg("recall")).head().getDouble(0)
+    // |Q| rows — materialize so the grade aggregate below and the
+    // returned frame share one evaluation of the probe + exact pipelines
+    // (Persist.stage: survives executor loss in cluster mode).
+    val graded = graft.util.Persist.stage(
+      exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("n_exact"), col("n_hits"),
+          r6(col("n_hits") / col("n_exact")).as("recall"))
+        .orderBy("q_id"))
+    val meanRow = graded.agg(avg("recall")).head()
+    require(!meanRow.isNullAt(0), "trained IVF has no queries to grade (empty query set)")
+    val meanRecall = meanRow.getDouble(0)
     require(meanRecall >= IvfTrainedRecallFloor,
       f"trained IVF mean recall@5 $meanRecall%.3f below floor $IvfTrainedRecallFloor")
     graded.withColumn("mean_recall", r6(lit(meanRecall)))

@@ -46,11 +46,18 @@ object Skew {
     * hashing to one band value — a corpus of near-identical boilerplate)
     * is to measure it and exclude it. A bucket of b rows emits b²/2
     * pairs; at 100 TB one million-row bucket is 5·10¹¹ pairs on one
-    * reducer. Bucket sizes are themselves counted with [[saltedAgg]] (a
-    * degenerate bucket is exactly a hot groupBy key), buckets over `cap`
-    * are dropped, and surviving buckets pair up through the usual hash
-    * join on the bucket key. The signature frame is materialized once
-    * (localCheckpoint) and reused by the size count and both join sides.
+    * reducer. Buckets over `cap` are dropped, and surviving buckets pair
+    * up through the usual hash join on the bucket key. The signature
+    * frame is materialized once ([[Persist.stage]] — reliable checkpoint
+    * in cluster mode) and reused by the size count and both join sides.
+    *
+    * Bucket sizes are counted with a PLAIN groupBy count — not
+    * [[saltedAgg]]: COUNT is algebraic, so map-side partial aggregation
+    * already collapses a degenerate bucket to one pre-combined row per
+    * map partition before the shuffle; salting an algebraic count would
+    * add a second shuffle for zero skew benefit. saltedAgg exists for
+    * aggregations whose per-key reduce work is NOT collapsed map-side
+    * (see [[graft.ops.Events]]' ev_skew_agg).
     *
     * Callers' SQL oracles mirror the cap with a COUNT(*) <= cap bucket
     * filter, so capping is part of the operator contract, not a silent
@@ -58,10 +65,9 @@ object Skew {
     * produce (see callers) so test-scale results equal the uncapped join.
     */
   def cappedSelfPairs(bands: DataFrame, idCol: String, bucketCols: Seq[String],
-      cap: Long, salts: Int = 16): DataFrame = {
-    val b = bands.localCheckpoint(false)
-    val sizes = saltedAgg(b, bucketCols.map(col), salts, col(idCol),
-      Seq(count(lit(1)).as("pn")), Seq(sum("pn").as("n")))
+      cap: Long): DataFrame = {
+    val b = Persist.stage(bands, eager = false)
+    val sizes = b.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("n"))
     val ok = sizes.filter(col("n") <= cap).select(bucketCols.map(col): _*)
     val kept = b.join(ok, bucketCols)
     kept.as("x").join(kept.as("y"),

@@ -87,12 +87,7 @@ class DedupTextSpec extends SparkSpec {
     // unset, so every later persistRound in this JVM uses the reliable
     // branch (semantically equal, just slower) and keeps writing here
     // until exit. Bound the damage: delete the tree on JVM exit.
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dirFile)
-    }
+    graft.util.Persist.deleteOnExit(dirFile)
     val dir = dirFile.toString
     spark.sparkContext.setCheckpointDir(dir)
     import spark.implicits._

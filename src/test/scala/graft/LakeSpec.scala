@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.Lake
 import graft.util.Det
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.execution.SparkPlan
@@ -10,18 +10,22 @@ import org.apache.spark.sql.functions._
 
 class LakeSpec extends SparkSpec {
 
-  // Unwrap AQE nodes so plan-shape assertions see the real operators.
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => Seq(other)
-    }
-    self ++ p.children.flatMap(flatten)
+  // Unwrap AQE wrapper nodes (AdaptiveSparkPlanExec holds its final plan
+  // in executedPlan, QueryStageExec holds its subtree in .plan — neither
+  // exposes them via children) so plan-shape assertions see the real
+  // operators.
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
   }
 
   test("bucketed join runs as a SortMergeJoin with zero shuffle exchange") {
     val join = Lake.bucketedJoinFrame(spark, sf)
-    join.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    // collect() executes THIS Dataset's QueryExecution, so the adaptive
+    // plan below is the final post-AQE plan (a writer.save() would plan
+    // and execute a separate QueryExecution and leave this one initial).
+    join.collect()
     val nodes = flatten(join.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       s"expected SortMergeJoin in:\n${join.queryExecution.executedPlan}")
