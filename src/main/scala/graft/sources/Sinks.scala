@@ -44,6 +44,14 @@ object Sinks {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Header'd CSV writer (interchange export; pair with [[readCsv]]). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-lines writer (interchange export; pair with [[readJson]]). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Schema'd CSV reader (no inference pass — at 100 TB schema inference
     * is a full extra scan; always pass the schema). */
   def readCsv(spark: SparkSession, path: String,

@@ -33,6 +33,39 @@ class LakeSpec extends SparkSpec {
       s"bucketed join must not shuffle either side:\n${join.queryExecution.executedPlan}")
   }
 
+  test("partitioned scan prunes to exactly one day directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Lake.lakePartitionedScan(spark, sf)
+    out.collect()
+    val scans = flatten(out.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("events_by_day")))
+    assert(scans.nonEmpty, s"no partitioned scan in:\n${out.queryExecution.executedPlan}")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "day filter not applied as a partition filter")
+    // the whole layout has ~30 day directories; the pruned scan reads 1
+    val totalDays = Lake.partitionedEvents(spark).select("day").distinct().count()
+    assert(totalDays > 1)
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).length == 1,
+      s"expected 1 selected day partition of $totalDays")
+  }
+
+  test("lake_format_roundtrip: CSV and JSON copies are lossless vs parquet") {
+    val got = Lake.lakeFormatRoundtrip(spark, sf).collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("n_nations"),
+        r.getAs[String]("first_nation"))).toSeq
+    val plain = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+      .orderBy("r_name")
+      .collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("n_nations"),
+        r.getAs[String]("first_nation"))).toSeq
+    assert(got.nonEmpty && got == plain)
+  }
+
   test("lake_bucketed_join equals the same join + aggregate over plain parquet") {
     val got = Lake.lakeBucketedJoin(spark, sf).collect()
       .map(r => (r.getAs[String]("o_orderpriority"),
