@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.TextUtil
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end corpus curation — the composed form of the LLM-pipeline
+  * operators, in the order a production clean-up runs them. Each
+  * document is attributed to its FIRST failing stage:
+  *
+  *   1. `probe`   — the document belongs to the held-out eval set
+  *                  (doc_id % 20 == 0, the decontamination probe set);
+  *   2. `dup`     — exact duplicate (not the min-id survivor of its
+  *                  md5 content hash — [[Dedup.dedupExact]]'s rule);
+  *   3. `lang`    — predicted language ≠ 'en'
+  *                  ([[TextAnalysis.textLangId]]'s stopword profile);
+  *   4. `quality` — composite quality score < [[QualityFloor]]
+  *                  ([[TextAnalysis.textQuality]]'s integer score);
+  *   5. `contam`  — shares an 8-token shingle with the probe set
+  *                  ([[TextAnalysis.textDecontaminate]]);
+  *   6. `kept`    — survives every stage.
+  *
+  * Output: per-source totals and per-stage drop counts plus the kept
+  * character volume — the report a curation run hands to the training
+  * team. Scale: every stage is the underlying operator's shape (hash
+  * aggregates, one window on the content hash, broadcast probe set);
+  * the composition adds only per-doc hash joins on doc_id. All stage
+  * logic is integer/string — the oracle replays it exactly.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  final val QualityFloor = 600L
+
+  def pipelineCurate: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .withColumn("h", md5(col("text")))
+    val isDup = col("doc_id") =!= min("doc_id").over(Window.partitionBy("h"))
+    val lang = TextAnalysis.textLangId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val qual = TextAnalysis.textQuality(spark, dir).select(col("doc_id"), col("score"))
+    val cont = TextAnalysis.textDecontaminate(spark, dir)
+      .select(col("doc_id")).withColumn("contam", lit(1L))
+    val staged = docs
+      .withColumn("is_dup", isDup)
+      .join(lang, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") % 20 === 0, "probe")
+          .when(col("is_dup"), "dup")
+          .when(col("pred_lang").isNull || col("pred_lang") =!= "en", "lang")
+          .when(col("score").isNull || col("score") < QualityFloor, "quality")
+          .when(col("contam").isNotNull, "contam")
+          .otherwise("kept"))
+    def n(stage: String) =
+      sum(when(col("stage") === stage, 1L).otherwise(0L)).as(s"n_$stage")
+    staged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        n("probe"), n("dup"), n("lang"), n("quality"), n("contam"), n("kept"),
+        sum(when(col("stage") === "kept", col("n_chars")).otherwise(0L))
+          .cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the same staged CASE replayed over slim CTE forms of each
+    * component (md5 survivor rule, stopword-profile prediction, integer
+    * quality score, shingle-overlap contamination). */
+  val pipelineCurateSql: String = {
+    val toksSql = TextUtil.toksSql
+    val hitCols = TextAnalysis.StopwordProfiles.map { case (l, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(SUM(CASE WHEN tok IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS ${l}_hits"
+    }.mkString(",\n        ")
+    val structs = TextAnalysis.StopwordProfiles.map { case (l, _) =>
+      s"{'neg': -${l}_hits, 'lang': '$l'}"
+    }.mkString(", ")
+    val sh = TextAnalysis.DecontShingle
+    s"""
+    WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+    tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+    hits AS (SELECT doc_id,
+        $hitCols
+      FROM tok GROUP BY doc_id),
+    pred AS (SELECT doc_id, (list_sort([$structs]))[1].lang AS pred_lang FROM hits),
+    qb AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+    q AS (SELECT doc_id,
+        CAST(floor((round(len(list_distinct(toks))::DOUBLE / len(toks), 6) * 0.4
+          + round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(text), 6) * 0.3
+          + least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.3) * 1000 + 0.5) AS BIGINT) AS score
+      FROM qb WHERE len(toks) > 0),
+    dt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    dtt AS (SELECT doc_id, toks FROM dt WHERE len(toks) >= $sh),
+    dsh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-${sh - 2}),
+             i -> array_to_string(toks[i:i+${sh - 1}], ' '))) AS s FROM dtt),
+    dhx AS (SELECT DISTINCT doc_id, ${TextUtil.polySql("s")} AS sh FROM dsh),
+    probes AS (SELECT DISTINCT sh FROM dhx WHERE doc_id % 20 = 0),
+    contam AS (SELECT DISTINCT c.doc_id FROM dhx c JOIN probes p ON c.sh = p.sh
+               WHERE c.doc_id % 20 <> 0),
+    staged AS (SELECT d.source, d.n_chars,
+        CASE WHEN d.doc_id % 20 = 0 THEN 'probe'
+             WHEN d.doc_id <> k.keep_id THEN 'dup'
+             WHEN p.pred_lang IS NULL OR p.pred_lang <> 'en' THEN 'lang'
+             WHEN q.score IS NULL OR q.score < ${QualityFloor} THEN 'quality'
+             WHEN c.doc_id IS NOT NULL THEN 'contam'
+             ELSE 'kept' END AS stage
+      FROM d JOIN keep k USING (h)
+        LEFT JOIN pred p ON p.doc_id = d.doc_id
+        LEFT JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN contam c ON c.doc_id = d.doc_id)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN stage = 'probe' THEN 1 ELSE 0 END) AS BIGINT) AS n_probe,
+      CAST(SUM(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      CAST(SUM(CASE WHEN stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+      CAST(SUM(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      CAST(SUM(CASE WHEN stage = 'contam' THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+      CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN stage = 'kept' THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM staged GROUP BY source ORDER BY source"""
+  }
+
+  val queries: Map[String, Q] = Map("pipeline_curate" -> pipelineCurate)
+  val oracles: Map[String, String] = Map("pipeline_curate" -> pipelineCurateSql)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("pipeline_curate stages partition every source's documents") {
+    val rows = Pipeline.pipelineCurate(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = Seq("n_probe", "n_dup", "n_lang", "n_quality", "n_contam", "n_kept")
+        .map(r.getAs[Long]).sum
+      assert(total == r.getAs[Long]("n_docs"),
+        s"${r.getAs[String]("source")}: stages don't partition")
+      assert(r.getAs[Long]("n_kept") == 0 || r.getAs[Long]("kept_chars") > 0)
+    }
+  }
+
+  test("pipeline_curate thresholds actually discriminate on this corpus") {
+    // A curation report that drops nothing (or everything) is a
+    // mis-tuned pipeline; pin that every major stage fires somewhere
+    // and a real fraction of the corpus survives.
+    val rows = Pipeline.pipelineCurate(spark, sf01).collect()
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_probe") > 0)
+    assert(tot("n_lang") > 0)
+    assert(tot("n_quality") > 0)
+    assert(tot("n_contam") > 0)
+    val kept = tot("n_kept"); val docs = tot("n_docs")
+    assert(kept > 0 && kept < docs, s"kept $kept of $docs")
+  }
+
+  test("pipeline_curate probe attribution matches the eval-set rule exactly") {
+    val got = Pipeline.pipelineCurate(spark, sf01).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_probe")).toMap
+    val expected = Tables.documents(spark, sf01)
+      .filter(col("doc_id") % 20 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(got.filter(_._2 > 0) == expected)
+  }
+}
