@@ -35,19 +35,52 @@ object Pipeline {
   final val QualityFloor = 600L
 
   def pipelineCurate: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-      .withColumn("h", md5(col("text")))
-    val isDup = col("doc_id") =!= min("doc_id").over(Window.partitionBy("h"))
-    val lang = TextAnalysis.textLangId(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val qual = TextAnalysis.textQuality(spark, dir).select(col("doc_id"), col("score"))
-    val cont = TextAnalysis.textDecontaminate(spark, dir)
-      .select(col("doc_id")).withColumn("contam", lit(1L))
-    val staged = docs
-      .withColumn("is_dup", isDup)
-      .join(lang, Seq("doc_id"), "left")
-      .join(qual, Seq("doc_id"), "left")
-      .join(cont, Seq("doc_id"), "left")
+    graft.functions.register(spark)
+    // ONE corpus scan, ONE tokenization (Generate barrier so the many
+    // stage expressions below don't each re-tokenize): the lang and
+    // quality stages are pure map-side columns here — unlike their
+    // standalone operators they need no explode/groupBy shuffle, because
+    // the per-doc verdict is all the pipeline consumes. At 100 TB the
+    // composed run touches the corpus once for the map stages plus once
+    // for the contamination shingle pass, vs. once per component.
+    val base = graft.util.Det.materializedColumn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars")),
+      "toks", TextUtil.toksCol)
+    // Stopword hit counts as array filters (size(filter(..)) counts
+    // occurrences — same integers as textLangId's explode+SUM).
+    val hits = base.select(col("doc_id"), col("source"), col("n_chars"),
+      col("text"), col("toks"), md5(col("text")).as("h"))
+      .select(Seq(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        col("toks"), col("h")) ++
+        TextAnalysis.StopwordProfiles.map { case (lang, words) =>
+          size(filter(col("toks"), t => t.isInCollection(words)))
+            .cast("long").as(s"${lang}_hits")
+        }: _*)
+    val pred = array_min(array(TextAnalysis.StopwordProfiles.map { case (lang, _) =>
+      struct((col(s"${lang}_hits") * -1).as("neg"), lit(lang).as("lang"))
+    }: _*)).getField("lang")
+    val nTok = size(col("toks"))
+    val score = TextAnalysis.qualityScore(
+      TextAnalysis.uniqRatio(col("toks")), TextAnalysis.alphaRatio(col("text")),
+      nTok.cast("long"))
+    val perDoc = hits.select(col("doc_id"), col("source"), col("n_chars"), col("h"),
+      pred.as("pred_lang"),
+      when(nTok > 0, score).as("score"))
+    // Contamination: the one stage that inherently joins (probe set is
+    // benchmark-sized → broadcast); shares the tokenized scan above.
+    val shingled = base.filter(size(col("toks")) >= TextAnalysis.DecontShingle)
+      .select(col("doc_id"), explode(TextAnalysis.decontShingles).as("s"))
+      .select(col("doc_id"), graft.functions.poly_hash(col("s")).as("sh"))
+      .distinct()
+    val probes = shingled.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    val flagged = shingled.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(probes), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1L))
+    val staged = perDoc
+      .withColumn("is_dup", col("doc_id") =!= min("doc_id").over(Window.partitionBy("h")))
+      .join(flagged, Seq("doc_id"), "left")
       .withColumn("stage",
         when(col("doc_id") % 20 === 0, "probe")
           .when(col("is_dup"), "dup")

@@ -67,23 +67,30 @@ object TextAnalysis {
   }
 
   // ── text_quality — length/uniqueness/alpha-ratio composite ───────────
+  /** The ONE definition of the quality-ratio/score formulas (shared with
+    * [[Pipeline.pipelineCurate]] so the composed pipeline can't drift
+    * from the standalone operator). */
+  private[ops] def uniqRatio(toks: Column): Column =
+    r6(size(array_distinct(toks)).cast("double") / size(toks))
+  private[ops] def alphaRatio(text: Column): Column =
+    r6(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text))
+  private[ops] def qualityScore(uniq: Column, alpha: Column, nTok: Column): Column =
+    floor((uniq * 0.4 + alpha * 0.3
+      + least(lit(1.0), nTok / 100.0) * 0.3) * 1000 + 0.5).cast("long")
+
   def textQuality: Q = (spark, dir) => {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
       toksCol.as("toks"))
     val nTok = size(col("toks"))
-    val uniq = r6(size(array_distinct(col("toks"))).cast("double") / nTok)
-    val alpha = r6(length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
-      / length(col("text")))
     base
       .filter(nTok > 0)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTok.cast("long").as("n_tok"),
-        uniq.as("uniq_ratio"),
-        alpha.as("alpha_ratio"))
+        uniqRatio(col("toks")).as("uniq_ratio"),
+        alphaRatio(col("text")).as("alpha_ratio"))
       .withColumn("score",
-        floor((col("uniq_ratio") * 0.4 + col("alpha_ratio") * 0.3
-          + least(lit(1.0), col("n_tok") / 100.0) * 0.3) * 1000 + 0.5).cast("long"))
+        qualityScore(col("uniq_ratio"), col("alpha_ratio"), col("n_tok")))
       .orderBy("doc_id")
   }
   val textQualitySql = s"""
@@ -290,6 +297,12 @@ object TextAnalysis {
     * shingle pass + one distinct + one aggregate — no corpus self-join.
     */
   final val DecontShingle = 8
+  /** 8-token shingle strings of a column named `toks` (the ONE shingle
+    * definition, shared with [[Pipeline.pipelineCurate]]). */
+  private[ops] def decontShingles: Column = expr(
+    s"transform(sequence(0, size(toks)-$DecontShingle), " +
+    s"i -> array_join(slice(toks, i+1, $DecontShingle), ' '))")
+
   def textDecontaminate: Q = (spark, dir) => {
     graft.functions.register(spark)
     val docs = materializedColumn(
@@ -297,9 +310,7 @@ object TextAnalysis {
         "toks", toksCol)
       .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= DecontShingle)
-    val hx = docs.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks)-$DecontShingle), " +
-        s"i -> array_join(slice(toks, i+1, $DecontShingle), ' '))")).as("s"))
+    val hx = docs.select(col("doc_id"), explode(decontShingles).as("s"))
       .select(col("doc_id"), poly_hash(col("s")).as("h"))
       .distinct()
     val probes = hx.filter(col("doc_id") % 20 === 0).select("h").distinct()

@@ -32,6 +32,32 @@ class PipelineSpec extends SparkSpec {
     assert(kept > 0 && kept < docs, s"kept $kept of $docs")
   }
 
+  test("pipeline_curate kept set equals the standalone operators' verdicts") {
+    // The single-scan map-side stage columns must agree doc-for-doc with
+    // the standalone operators they re-express (the formulas are shared;
+    // this pins the plan-shape refactor can't drift semantically).
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sf01)
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val survivors = Dedup.dedupExact(spark, sf01).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    val en = TextAnalysis.textLangId(spark, sf01).collect()
+      .filter(_.getAs[String]("pred_lang") == "en").map(_.getAs[Long]("doc_id")).toSet
+    val goodQ = TextAnalysis.textQuality(spark, sf01).collect()
+      .filter(_.getAs[Long]("score") >= Pipeline.QualityFloor)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val contam = TextAnalysis.textDecontaminate(spark, sf01).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expectedKept = docs.keySet.filter(id => id % 20 != 0 && survivors(id) &&
+      en(id) && goodQ(id) && !contam(id))
+    val expectedPerSource = expectedKept.groupBy(docs).view.mapValues(_.size.toLong).toMap
+    val got = Pipeline.pipelineCurate(spark, sf01).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    assert(got.filter(_._2 > 0) == expectedPerSource.filter(_._2 > 0))
+    assert(expectedKept.nonEmpty)
+  }
+
   test("pipeline_curate probe attribution matches the eval-set rule exactly") {
     val got = Pipeline.pipelineCurate(spark, sf01).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_probe")).toMap
