@@ -68,11 +68,15 @@ object Pipeline {
       pred.as("pred_lang"),
       when(nTok > 0, score).as("score"))
     // Contamination: the one stage that inherently joins (probe set is
-    // benchmark-sized → broadcast); shares the tokenized scan above.
-    val shingled = base.filter(size(col("toks")) >= TextAnalysis.DecontShingle)
-      .select(col("doc_id"), explode(TextAnalysis.decontShingles).as("s"))
-      .select(col("doc_id"), graft.functions.poly_hash(col("s")).as("sh"))
-      .distinct()
+    // benchmark-sized → broadcast); shares the tokenized scan above and
+    // is staged once so the probe extraction and the corpus side don't
+    // re-run the shingle explode + distinct.
+    val shingled = graft.util.Persist.stage(
+      base.filter(size(col("toks")) >= TextAnalysis.DecontShingle)
+        .select(col("doc_id"), explode(TextAnalysis.decontShingles).as("s"))
+        .select(col("doc_id"), graft.functions.poly_hash(col("s")).as("sh"))
+        .distinct(),
+      eager = false)
     val probes = shingled.filter(col("doc_id") % 20 === 0).select("sh").distinct()
     val flagged = shingled.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(probes), "sh")

@@ -310,9 +310,15 @@ object TextAnalysis {
         "toks", toksCol)
       .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= DecontShingle)
-    val hx = docs.select(col("doc_id"), explode(decontShingles).as("s"))
-      .select(col("doc_id"), poly_hash(col("s")).as("h"))
-      .distinct()
+    // Staged once: both the probe extraction and the corpus-side scan
+    // below read this frame — without the checkpoint the shingle explode
+    // and its distinct shuffle run twice (one extra corpus scan + one
+    // extra shuffle in the plan).
+    val hx = graft.util.Persist.stage(
+      docs.select(col("doc_id"), explode(decontShingles).as("s"))
+        .select(col("doc_id"), poly_hash(col("s")).as("h"))
+        .distinct(),
+      eager = false)
     val probes = hx.filter(col("doc_id") % 20 === 0).select("h").distinct()
       .withColumn("hit", lit(1L))
     hx.filter(col("doc_id") % 20 =!= 0)
