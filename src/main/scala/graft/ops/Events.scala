@@ -42,9 +42,11 @@ object Events {
     FROM events GROUP BY 1, 2 ORDER BY event_type, hour_idx"""
 
   // ── ev_sessionize — 30-min-gap sessions per user ─────────────────────
-  /** lag → gap flag → running sum = session index; one shuffle on user_id
+  /** Unordered per-user session aggregate shared by [[evSessionize]] and
+    * the streaming twin ([[graft.streaming.Streaming.sessionizeClosedBatch]]):
+    * lag → gap flag → running sum = session index; one shuffle on user_id
     * serves both windows and the final per-session aggregate. */
-  def evSessionize: Q = (spark, dir) => {
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ev(spark, dir)
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
@@ -56,8 +58,10 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"), max("ts_us").as("end_us"),
         sum(cents(col("value"))).as("sum_value_c"))
-      .orderBy("user_id", "sid")
   }
+
+  def evSessionize: Q = (spark, dir) =>
+    sessions(spark, dir).orderBy("user_id", "sid")
   val evSessionizeSql = s"""
     WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),
     flagged AS (SELECT user_id, event_id, ts_us, value,

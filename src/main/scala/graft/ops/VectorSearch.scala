@@ -274,6 +274,108 @@ object VectorSearch {
         AS qdot
     FROM quant, q0 ORDER BY qdot DESC, vec_id LIMIT 10"""
 
+  // ── vs_pq_search — product quantization (ADC) over the int8 grid ────
+  /** Subspace count (codes per vector), dims per subspace, codebook size.
+    * 64-dim vectors compress to [[PqM]] 4-bit codes — 4 bytes against
+    * 256 bytes of floats, the memory lever that fits a 100 TB corpus's
+    * index in executor RAM. */
+  final val PqM = 8
+  final val PqDsub = 8
+  final val PqK = 16
+
+  /** Product-quantized search with asymmetric distance computation
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * IEEE TPAMI 2011): the int8 grid of [[vsQuantSearch]] is split into
+    * [[PqM]] subspaces of [[PqDsub]] dims; each subvector is encoded as
+    * the nearest of [[PqK]] codebook entries (integer L2, first-min
+    * tie-break), and query distance is the sum of per-subspace
+    * distance-table lookups — the corpus is never touched with float
+    * math at query time. Codebook = the quantized vectors of the first
+    * PqK ids (deterministic "training" — the structure, encode, and ADC
+    * path are the real thing; a production build would Lloyd-train the
+    * codebook like [[IvfIndex.fit]]).
+    *
+    * Scale shape: codebook and distance table are k×dim driver state
+    * (collected like IVF centroids, broadcast as literals), encoding is
+    * map-only over one scan, and the top-k is a TakeOrdered reduction —
+    * no corpus shuffle anywhere. All arithmetic is integer, so the SQL
+    * oracle matches bit-for-bit including the emitted code strings. */
+  def vsPqSearch: Q = (spark, dir) => {
+    def sq(c: Column): Column = c * c
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
+    // Generate barrier: the encode below references qd PqM×PqK×PqDsub
+    // times — without the barrier CollapseProject re-inlines the
+    // quantization transform into every reference.
+    val quant = graft.util.Det.materializedColumn(
+      e.crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          transform(col("v"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
+            .as("qd_raw")),
+      "qd", col("qd_raw")).select("vec_id", "qd")
+    // Codebook: quantized vectors of ids 0..PqK-1, collected in Spark's
+    // own arithmetic (re-quantizing on the driver could round differently).
+    val seedRows = quant.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
+    require(seedRows.length == PqK, s"need $PqK codebook seeds, got ${seedRows.length}")
+    val seeds: Array[Array[Long]] = seedRows.map(_.getSeq[Long](1).toArray)
+    val qv = seeds(0) // query = vec 0, same convention as vs_quant_search
+    val cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
+      (0 until PqK).map(c => (0 until PqDsub).map(d => seeds(c)(m * PqDsub + d))))
+    val dtab: Seq[Seq[Long]] = (0 until PqM).map(m =>
+      (0 until PqK).map { c =>
+        (0 until PqDsub).map { d =>
+          val diff = qv(m * PqDsub + d) - cb(m)(c)(d); diff * diff
+        }.sum
+      })
+    val cbL = typedlit(cb)
+    val dtabL = typedlit(dtab)
+    val codesExpr = transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val ds = transform(sequence(lit(0), lit(PqK - 1)), c =>
+        aggregate(sequence(lit(1), lit(PqDsub)), lit(0L), (acc, d) =>
+          acc + sq(element_at(col("qd"), m * lit(PqDsub) + d) -
+            element_at(element_at(element_at(cbL, m + lit(1)), c + lit(1)), d))))
+      array_position(ds, array_min(ds)) - lit(1L)
+    })
+    val coded = graft.util.Det.materializedColumn(quant, "codes", codesExpr)
+      .select(col("vec_id"), col("codes"))
+    coded.select(col("vec_id"),
+        concat_ws(":", transform(col("codes"), _.cast("string"))).as("code"),
+        aggregate(sequence(lit(1), lit(PqM)), lit(0L), (acc, m) =>
+          acc + element_at(element_at(dtabL, m), element_at(col("codes"), m).cast("int") + lit(1)))
+          .as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+  val vsPqSearchSql: String = s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    quant AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qd
+      FROM e, mx),
+    seeds AS (SELECT vec_id AS cid, qd AS sd FROM quant WHERE vec_id < $PqK),
+    qv AS (SELECT qd AS q FROM quant WHERE vec_id = 0),
+    sub AS (SELECT range AS m FROM range(0, $PqM)),
+    cdist AS (SELECT t.vec_id, s.m, sd.cid,
+        CAST(list_sum(list_transform(range(1, ${PqDsub + 1}), d ->
+          (t.qd[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d])
+          * (t.qd[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d]))) AS BIGINT) AS d2
+      FROM quant t, sub s, seeds sd),
+    codes AS (SELECT vec_id, m, cid AS code FROM
+        (SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+         FROM cdist)
+      WHERE rn = 1),
+    dtab AS (SELECT s.m, sd.cid,
+        CAST(list_sum(list_transform(range(1, ${PqDsub + 1}), d ->
+          (q.q[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d])
+          * (q.q[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d]))) AS BIGINT) AS d2
+      FROM qv q, sub s, seeds sd)
+    SELECT c.vec_id, string_agg(c.code::VARCHAR, ':' ORDER BY c.m) AS code,
+      CAST(SUM(dt.d2) AS BIGINT) AS adist
+    FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.cid = c.code
+    GROUP BY c.vec_id ORDER BY adist, c.vec_id LIMIT 10"""
+
   // ── vs_ivf_trained — Lloyd-trained IVF codebook, probe + recall ──────
   /** Probe width and acceptance floor for [[vsIvfTrained]]: mean recall@5
     * across the query set must reach the floor or the query THROWS —
@@ -497,6 +599,7 @@ object VectorSearch {
     "vs_ivf_search" -> vsIvfSearch,
     "vs_ivf_trained" -> vsIvfTrained,
     "vs_quant_search" -> vsQuantSearch,
+    "vs_pq_search" -> vsPqSearch,
     "vs_lsh_search" -> vsLshSearch)
 
   // vs_ivf_trained has no oracleSql (rows-only): the trained codebook is
@@ -511,5 +614,6 @@ object VectorSearch {
     "vs_ingest" -> vsIngestSql,
     "vs_ivf_search" -> vsIvfSearchSql,
     "vs_quant_search" -> vsQuantSearchSql,
+    "vs_pq_search" -> vsPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql)
 }

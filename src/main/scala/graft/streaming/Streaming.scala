@@ -138,6 +138,42 @@ object Streaming {
       .dropDuplicatesWithinWatermark("h")
   }
 
+  /** Batch twin of [[sessionizeStream]], registered as `stream_sessionize`:
+    * exactly the sessions the stream has EMITTED after one pass over the
+    * input — every session except the still-open last one per user
+    * (append-mode `flatMapGroupsWithState` only emits a session once a
+    * later event closes it). Shares [[graft.ops.Events.sessions]], so the
+    * closed-session filter is one extra window over the user_id
+    * partitioning the aggregate already shuffled on — no new exchange. */
+  def sessionizeClosedBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    graft.ops.Events.sessions(spark, dir)
+      .withColumn("max_sid", max("sid").over(byUser))
+      .filter(col("sid") =!= col("max_sid"))
+      .select(col("user_id"), col("sid"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value_c"))
+      .orderBy("user_id", "sid")
+  }
+
+  val sessionizeClosedSql = s"""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),
+    flagged AS (SELECT user_id, event_id, ts_us, value,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (SELECT user_id, ts_us, value,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM flagged),
+    agg AS (SELECT user_id, sid, COUNT(*) AS n_events,
+        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, sid, start_us, end_us, n_events, sum_value_c
+    FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+    WHERE sid <> max_sid ORDER BY user_id, sid"""
+
   // ── Stream-stream interval join ──────────────────────────────────────
 
   /** Watermarked stream-stream join: purchases joined to the clicks of
@@ -196,8 +232,10 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAggBatch,
-    "stream_join" -> clickPurchaseJoinQuery)
+    "stream_join" -> clickPurchaseJoinQuery,
+    "stream_sessionize" -> (sessionizeClosedBatch _))
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggBatchSql,
-    "stream_join" -> clickPurchaseJoinSql)
+    "stream_join" -> clickPurchaseJoinSql,
+    "stream_sessionize" -> sessionizeClosedSql)
 }

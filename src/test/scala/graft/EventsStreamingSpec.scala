@@ -90,16 +90,13 @@ class EventsStreamingSpec extends SparkSpec {
       r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_c"))
     val streamed = spark.table("stream_sess").collect().map(key).toSet
     // One batch processes all events per user: every session except the
-    // still-open last one per user must have been emitted.
-    val batch = graft.ops.Events.evSessionize(spark, sf).collect()
-    val lastSid = batch.groupBy(_.getAs[Long]("user_id"))
-      .map { case (u, rows) => u -> rows.map(_.getAs[Long]("sid")).max }
-    val expected = batch.filter(r =>
-        r.getAs[Long]("sid") != lastSid(r.getAs[Long]("user_id")))
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
-        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_c")))
-      .toSet
-    assert(streamed == expected)
+    // still-open last one per user must have been emitted — which is
+    // exactly the registered stream_sessionize batch twin.
+    val expected = Streaming.sessionizeClosedBatch(spark, sf).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == expected)
+    // The twin is strictly smaller than the full batch sessionization
+    // (it drops one open session per active user).
+    assert(expected.size < graft.ops.Events.evSessionize(spark, sf).count())
   }
 
   test("stream-stream interval join equals the batch interval join") {

@@ -128,6 +128,74 @@ class VectorSpec extends SparkSpec {
       s"quantized ranking diverged: ${(exactTop & quantTop).size}/10 overlap")
   }
 
+  test("vs_pq_search equals an independent Scala PQ/ADC implementation") {
+    import VectorSearch.{PqM, PqDsub, PqK}
+    // Reimplement the whole pipeline from raw floats in plain Scala:
+    // quantize (round half-away-from-zero, Spark ROUND semantics),
+    // codebook from ids 0..PqK-1, per-subspace argmin encode with
+    // first-min tie-break, ADC distance-table scoring.
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .sortBy(_._1)
+    assert(raw.take(PqK).map(_._1).toSeq == (0L until PqK.toLong))
+    val maxabs = raw.iterator.map(_._2.map(math.abs).max).max
+    def qz(x: Double): Long = {
+      val y = x * 127.0 / maxabs
+      if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
+    }
+    val quant = raw.map { case (id, v) => id -> v.map(qz) }
+    val seeds = quant.take(PqK).map(_._2)
+    def subDist(a: Array[Long], b: Array[Long], m: Int): Long =
+      (0 until PqDsub).map { d =>
+        val diff = a(m * PqDsub + d) - b(m * PqDsub + d); diff * diff
+      }.sum
+    def encode(v: Array[Long]): Array[Int] =
+      Array.tabulate(PqM) { m =>
+        val ds = seeds.map(s => subDist(v, s, m))
+        ds.indexOf(ds.min) // first min = lowest centroid id
+      }
+    val qv = quant.head._2
+    val dtab = Array.tabulate(PqM, PqK)((m, c) => subDist(qv, seeds(c), m))
+    val expected = quant.map { case (id, v) =>
+      val codes = encode(v)
+      (id, codes.mkString(":"), codes.zipWithIndex.map { case (c, m) => dtab(m)(c) }.sum)
+    }.sortBy { case (id, _, adist) => (adist, id) }.take(10).toSeq
+    val got = VectorSearch.vsPqSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("code"), r.getAs[Long]("adist")))
+      .toSeq
+    assert(got == expected)
+    // query = codebook seed 0 → codes all 0, ADC distance exactly 0
+    assert(got.head == ((0L, Seq.fill(PqM)("0").mkString(":"), 0L)))
+  }
+
+  test("vs_pq_search plan: map-only encode, no corpus shuffle, no join on the corpus side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val df = VectorSearch.vsPqSearch(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    // No KEY-based exchange anywhere: encode + ADC + top-k are map-side
+    // (TakeOrdered reduction). The plan's only exchanges may be the
+    // 1-row max-abs aggregate (SinglePartition over map-side partials)
+    // and the test loader's round-robin fan-out of 1-row-group parquet.
+    val keyed = nodes.collect {
+      case s: ShuffleExchangeLike
+        if s.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] ||
+           s.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => s
+    }
+    assert(keyed.isEmpty,
+      s"PQ scoring must not key-shuffle the corpus:\n${df.queryExecution.executedPlan}")
+  }
+
   test("vs_lsh_search pairs are a subset of vs_range_search pairs (recall check)") {
     def key(r: Row) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
     val exact = VectorSearch.vsRangeSearch(spark, sf).collect().map(key).toSet
