@@ -35,6 +35,7 @@ object Lake {
   private[graft] def partitionedEventsPath: String = s"$lakeDir/events_by_day"
   private[graft] def nationCsvPath: String = s"$lakeDir/nation_csv"
   private[graft] def regionJsonPath: String = s"$lakeDir/region_json"
+  private[graft] def supplierOrcPath: String = s"$lakeDir/supplier_orc"
 
   // Write-once/join-often: the lake layouts are the PERSISTENT artifacts
   // these operators exist to demonstrate, so they are written once per
@@ -70,9 +71,11 @@ object Lake {
             expr(s"(ts div 1000) div $UsPerDay").as("day"))
           .repartition(col("day"))
         Sinks.writePartitioned(ev, partitionedEventsPath, Seq("day"))
-        // Interchange copies for the schema'd CSV/JSON readers.
+        // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
+        Sinks.writeOrc(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey"), supplierOrcPath)
       }
       dir
     })
@@ -140,12 +143,13 @@ object Lake {
       CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
     FROM e, m WHERE day = md GROUP BY 1 ORDER BY 1"""
 
-  // ── lake_format_roundtrip — schema'd CSV + JSON readers ──────────────
+  // ── lake_format_roundtrip — schema'd CSV + JSON + ORC readers ────────
   /** Round-trip through the interchange formats: nation via header'd CSV,
-    * region via JSON-lines, both read back with EXPLICIT schemas
-    * ([[Sinks.readCsv]]/[[Sinks.readJson]] — no inference scan), joined
-    * and aggregated. Oracle: the identical join over the plain parquet —
-    * the formats must be lossless for this corpus. */
+    * region via JSON-lines, supplier via ORC, all read back with EXPLICIT
+    * schemas ([[Sinks.readCsv]]/[[Sinks.readJson]]/[[Sinks.readOrc]] — no
+    * inference scan), joined and aggregated. Oracle: the identical join
+    * over the plain parquet — the formats must be lossless for this
+    * corpus. */
   def lakeFormatRoundtrip: Q = (spark, dir) => {
     import org.apache.spark.sql.types._
     ensureLake(spark, dir)
@@ -154,16 +158,24 @@ object Lake {
       StructField("n_regionkey", IntegerType)))
     val regionSchema = StructType(Seq(
       StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    val supplierSchema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType)))
     Sinks.readCsv(spark, nationCsvPath, nationSchema)
       .join(Sinks.readJson(spark, regionJsonPath, regionSchema),
         col("n_regionkey") === col("r_regionkey"))
+      .join(Sinks.readOrc(spark, supplierOrcPath, supplierSchema),
+        col("s_nationkey") === col("n_nationkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+      .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_suppliers"), min("s_name").as("first_supplier"))
       .orderBy("r_name")
   }
   val lakeFormatRoundtripSql: String = """
-    SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+    SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations,
+      COUNT(*) AS n_suppliers, MIN(s_name) AS first_supplier
     FROM nation JOIN region ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY r_name ORDER BY r_name"""
 
   val queries: Map[String, Q] = Map(

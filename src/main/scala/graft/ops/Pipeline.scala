@@ -159,6 +159,53 @@ object Pipeline {
     FROM staged GROUP BY source ORDER BY source"""
   }
 
-  val queries: Map[String, Q] = Map("pipeline_curate" -> pipelineCurate)
-  val oracles: Map[String, String] = Map("pipeline_curate" -> pipelineCurateSql)
+  // ── pipeline_sample_mix — deterministic weighted source mixing ───────
+  /** Data-mixing stage: each source is downsampled to a target rate (in
+    * basis points) with a deterministic per-document hash coin — the step
+    * that rebalances an over-represented crawl against curated sources
+    * before training. Coin = poly_hash("source:doc_id") spread by a
+    * Fibonacci-style odd multiplier mod 10000 (the raw polynomial hash
+    * has no avalanche — consecutive doc_ids land in a narrow window), so
+    * membership is a pure function of the row (stable across retries,
+    * partitionings, and reruns — no RNG state anywhere), and adding data
+    * to one source never changes another source's sample. Rates here
+    * derive from the source index (10000/1/2/3/4ths bp) to exercise
+    * varied mixes on the uniform test corpus; production would pass a
+    * rate table. Map-only coin + one map-side-combined aggregate for the
+    * report — the 100 TB shape is a filter that reads and writes, never
+    * shuffles, the corpus. */
+  final val MixSpread = 2654435761L // 2^32/φ, odd: h<1e9+7 so h*spread < 2^62
+
+  def pipelineSampleMix: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val rateBp = (lit(10000.0) / (lit(1L) + pmod(srcNum, lit(4L)))).cast("long")
+    val coin = (graft.functions.poly_hash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+      * MixSpread) % TextUtil.HashMod % 10000L
+    docs.select(col("source"), col("n_chars"), rateBp.as("rate_bp"),
+        (coin < rateBp).cast("long").as("kept"))
+      .groupBy("source", "rate_bp")
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+        sum(col("kept") * col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+  }
+  val pipelineSampleMixSql: String = s"""
+    WITH d AS (SELECT source, n_chars,
+        10000 // (1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) AS rate_bp,
+        (${TextUtil.polySql("(source || ':' || CAST(doc_id AS VARCHAR))")}
+          * $MixSpread) % ${TextUtil.HashMod} % 10000 AS coin
+      FROM documents)
+    SELECT source, rate_bp, COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN coin < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN coin < rate_bp THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM d GROUP BY 1, 2 ORDER BY source"""
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_curate" -> pipelineCurate,
+    "pipeline_sample_mix" -> pipelineSampleMix)
+  val oracles: Map[String, String] = Map(
+    "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_sample_mix" -> pipelineSampleMixSql)
 }

@@ -62,4 +62,17 @@ object Sinks {
   def readJson(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC writer (columnar interchange with warehouses that speak ORC;
+    * pair with [[readOrc]]). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Schema'd ORC reader. ORC files self-describe, but the explicit
+    * schema keeps the contract (projection, types) in code like the
+    * CSV/JSON readers — a renamed upstream column fails loudly here
+    * instead of as silent nulls downstream. */
+  def readOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -51,18 +51,20 @@ class LakeSpec extends SparkSpec {
       s"expected 1 selected day partition of $totalDays")
   }
 
-  test("lake_format_roundtrip: CSV and JSON copies are lossless vs parquet") {
-    val got = Lake.lakeFormatRoundtrip(spark, sf).collect()
-      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("n_nations"),
-        r.getAs[String]("first_nation"))).toSeq
+  test("lake_format_roundtrip: CSV, JSON, and ORC copies are lossless vs parquet") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("r_name"), r.getAs[Long]("n_nations"),
+        r.getAs[Long]("n_suppliers"), r.getAs[String]("first_supplier"))
+    val got = Lake.lakeFormatRoundtrip(spark, sf).collect().map(key).toSeq
     val plain = Tables.nation(spark, sf)
       .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_name", "s_nationkey"),
+        col("s_nationkey") === col("n_nationkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+      .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_suppliers"), min("s_name").as("first_supplier"))
       .orderBy("r_name")
-      .collect()
-      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("n_nations"),
-        r.getAs[String]("first_nation"))).toSeq
+      .collect().map(key).toSeq
     assert(got.nonEmpty && got == plain)
   }
 

@@ -67,4 +67,44 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
     assert(got.filter(_._2 > 0) == expected)
   }
+
+  test("pipeline_sample_mix: deterministic, rate-respecting, hash-stable membership") {
+    def rows(dir: String) = Pipeline.pipelineSampleMix(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rate_bp"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"), r.getAs[Long]("chars_kept")))
+      .toSeq
+    val a = rows(sf01)
+    assert(a == rows(sf01)) // rerun-identical: no RNG state anywhere
+    assert(a.nonEmpty && a.forall { case (_, rate, total, kept, _) =>
+      rate >= 2500 && rate <= 10000 && kept <= total
+    })
+    // full-rate sources keep everything; downsampled sources keep a
+    // fraction statistically near their rate (coin is ~uniform mod 1e4)
+    a.foreach { case (src, rate, total, kept, _) =>
+      if (rate == 10000L) assert(kept == total, s"$src at full rate dropped rows")
+      else {
+        val expectedFrac = rate.toDouble / 10000.0
+        val frac = kept.toDouble / total
+        assert(math.abs(frac - expectedFrac) < 0.2,
+          s"$src kept $frac of docs at target $expectedFrac")
+      }
+    }
+    // membership is per-row hash-stable: the sf0.001 corpus is a prefix
+    // of no other SF, but re-deriving the coin locally must agree
+    val hm = graft.util.TextUtil.HashMod
+    def coin(source: String, id: Long): Long = {
+      val s = s"$source:$id"
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % hm) * Pipeline.MixSpread % hm % 10000L
+    }
+    val docs = Tables.documents(spark, sf01).select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = docs.groupBy(_._2).view.mapValues { ds =>
+      ds.count { case (id, src) =>
+        val rate = 10000L / (1L + java.lang.Math.floorMod(
+          src.filter(_.isDigit).toLong, 4L))
+        coin(src, id) < rate
+      }.toLong
+    }.toMap
+    assert(a.map(r => r._1 -> r._4).toMap == expected)
+  }
 }

@@ -21,18 +21,21 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
-  test("csv and json round-trip the documents table with explicit schemas") {
+  test("csv, json, and orc round-trip the documents table with explicit schemas") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
     val schema = docs.schema
     val base = java.nio.file.Files.createTempDirectory("graft-src").toString
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
+    Sinks.writeOrc(docs, s"$base/orc")
     val fromCsv = Sinks.readCsv(spark, s"$base/csv", schema)
     val fromJson = Sinks.readJson(spark, s"$base/json", schema)
+    val fromOrc = Sinks.readOrc(spark, s"$base/orc", schema)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
     assert(canon(fromCsv) == canon(docs))
     assert(canon(fromJson) == canon(docs))
+    assert(canon(fromOrc) == canon(docs))
   }
 
   test("partitioned writes prune to the matching partition directories") {
