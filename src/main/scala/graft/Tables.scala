@@ -24,32 +24,32 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
-  // Loaded-table memo, keyed per session: the fan-out decision below costs a
-  // full physical planning pass (`df.rdd`) per call, and a 46-query bench
-  // run loads each table ~100 times. The memo caches the *plan* (a pure,
-  // immutable DataFrame), never data, so it is correctness-neutral; entries
-  // are tied to their SparkSession so test suites with fresh sessions never
-  // see a stale plan. WEAK session keys: a strong-keyed map would pin every
-  // stopped session (and its query plans) for the JVM lifetime.
-  private val memo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[(String, String), DataFrame]]()
+  // Fan-out-decision memo. The decision below costs a full physical
+  // planning pass (`df.rdd`) per call, and a 50-query bench run loads each
+  // table ~100 times — so we memoize it. We deliberately cache only the
+  // (dir, name, target) -> Boolean decision, NOT the DataFrame: a Dataset
+  // strongly references its SparkSession, so any session-keyed cache of
+  // DataFrames pins every stopped session's plans for the JVM lifetime
+  // (even a WeakHashMap — the value would keep its key reachable). The
+  // boolean is session-free; rebuilding `spark.read.parquet` per call is
+  // one footer read, negligible next to planning. The split decision is a
+  // pure function of file layout + parallelism, so sharing it across
+  // sessions is sound.
+  private val fanOut =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Boolean]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     prep(spark)
-    memo.synchronized {
-      val perSession = memo.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate((dir, name), {
-        val df = spark.read.parquet(s"$dir/$name.parquet")
-        // The driver's test parquet is a single row group, which Spark cannot
-        // split — every downstream stage would run on one core. At real scale
-        // data arrives as many files/row-groups and this branch is a no-op;
-        // here we fan out once so per-row compute uses the whole executor.
-        // Filters/pruning still push into the scan below the exchange.
-        val target = spark.sparkContext.defaultParallelism
-        if (df.rdd.getNumPartitions < math.min(8, target)) df.repartition(target) else df
-      })
-    }
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The driver's test parquet is a single row group, which Spark cannot
+    // split — every downstream stage would run on one core. At real scale
+    // data arrives as many files/row-groups and this branch is a no-op;
+    // here we fan out once so per-row compute uses the whole executor.
+    // Filters/pruning still push into the scan below the exchange.
+    val target = spark.sparkContext.defaultParallelism
+    val needsFanOut = fanOut.computeIfAbsent((dir, name, target),
+      _ => df.rdd.getNumPartitions < math.min(8, target))
+    if (needsFanOut) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

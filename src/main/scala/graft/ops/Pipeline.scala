@@ -179,7 +179,13 @@ object Pipeline {
   def pipelineSampleMix: Q = (spark, dir) => {
     graft.functions.register(spark)
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
-    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    // A source with no digits must take the same branch on both engines:
+    // Spark casts regexp_extract's no-match '' to NULL while DuckDB ERRORS
+    // on CAST('' AS BIGINT), so both sides NULLIF-guard the extract and
+    // default the index to 0 (→ full 10000 bp rate).
+    val srcNum = coalesce(
+      nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("long"),
+      lit(0L))
     val rateBp = (lit(10000.0) / (lit(1L) + pmod(srcNum, lit(4L)))).cast("long")
     val coin = (graft.functions.poly_hash(
       concat(col("source"), lit(":"), col("doc_id").cast("string")))
@@ -193,7 +199,7 @@ object Pipeline {
   }
   val pipelineSampleMixSql: String = s"""
     WITH d AS (SELECT source, n_chars,
-        10000 // (1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) AS rate_bp,
+        10000 // (1 + COALESCE(CAST(NULLIF(regexp_extract(source, '(\\d+)', 1), '') AS BIGINT), 0) % 4) AS rate_bp,
         (${TextUtil.polySql("(source || ':' || CAST(doc_id AS VARCHAR))")}
           * $MixSpread) % ${TextUtil.HashMod} % 10000 AS coin
       FROM documents)

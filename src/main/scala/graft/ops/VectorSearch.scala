@@ -377,11 +377,15 @@ object VectorSearch {
     GROUP BY c.vec_id ORDER BY adist, c.vec_id LIMIT 10"""
 
   // ── vs_ivf_trained — Lloyd-trained IVF codebook, probe + recall ──────
-  /** Probe width and acceptance floor for [[vsIvfTrained]]: mean recall@5
-    * across the query set must reach the floor or the query THROWS —
-    * measured headroom at nprobe=3 is 0.88/0.68/0.70 at sf0.001/0.01/0.1
-    * (deterministic: the trainer and data are fixed), so the driver's
-    * rows>0 check now implies the trained index actually works. Per-query
+  /** Probe width and acceptance floor for [[vsIvfTrained]]: the query
+    * GRADES mean recall@5 against the floor and emits a `below_floor`
+    * flag column (0 = passing) — a report, not a crash, so retuning the
+    * trainer degrades one graded row instead of failing the whole
+    * bench/correctness run; IvfSpec asserts the flag is 0 at every SF.
+    * Measured headroom at nprobe=3 is 0.88/0.68/0.70 at sf0.001/0.01/0.1
+    * (deterministic: the trainer and data are fixed). Re-measure
+    * procedure when IVF parameters change: run IvfSpec (it prints and
+    * floors mean recall at all three SFs) and update these docs. Per-query
     * min recall is NOT floored: a single query sitting on a cell boundary
     * legitimately bottoms out at 0.4 on this corpus. */
   final val IvfTrainedNprobe = 3
@@ -391,11 +395,12 @@ object VectorSearch {
     * deterministic first-k init) as DataFrame jobs, the probe is the
     * nprobe=3 cell join of [[IvfIndex.search]], and the output grades the
     * trained index against the exact brute-force top-5 — one row per
-    * query: (q_id, n_hits of 5, recall, mean_recall). Driver check is
-    * rows-only (per SURVEY §2): parallel double summation in the trainer
-    * is not bit-reproducible across engines, so recall-vs-exact is the
-    * oracle — and the query self-asserts mean recall ≥
-    * [[IvfTrainedRecallFloor]], making the rows-only check a real gate.
+    * query: (q_id, n_hits of 5, recall, mean_recall, below_floor). Driver
+    * check is rows-only (per SURVEY §2): parallel double summation in the
+    * trainer is not bit-reproducible across engines, so recall-vs-exact is
+    * the oracle — the query grades mean recall against
+    * [[IvfTrainedRecallFloor]] into the `below_floor` column and IvfSpec
+    * asserts it stays 0.
     * Scale: training is the classic Spark k-means shape (driver holds
     * k×dim doubles only); probe joins hash on cell id. */
   def vsIvfTrained: Q = (spark, dir) => {
@@ -426,9 +431,9 @@ object VectorSearch {
     val meanRow = graded.agg(avg("recall")).head()
     require(!meanRow.isNullAt(0), "trained IVF has no queries to grade (empty query set)")
     val meanRecall = meanRow.getDouble(0)
-    require(meanRecall >= IvfTrainedRecallFloor,
-      f"trained IVF mean recall@5 $meanRecall%.3f below floor $IvfTrainedRecallFloor")
     graded.withColumn("mean_recall", r6(lit(meanRecall)))
+      .withColumn("below_floor",
+        lit(if (meanRecall < IvfTrainedRecallFloor) 1L else 0L))
   }
 
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────

@@ -31,8 +31,9 @@ class IvfSpec extends SparkSpec {
       // The query's own cell is always probed, so the self-match at
       // distance 0 is always recalled.
       assert(r.getAs[Long]("n_hits") >= 1L)
-      // The query self-asserts the acceptance floor (it would have thrown
-      // otherwise); the emitted mean must agree with the per-query rows.
+      // THE acceptance gate: the query reports the floor verdict in
+      // below_floor rather than throwing; this spec is what enforces it.
+      assert(r.getAs[Long]("below_floor") == 0L)
       assert(r.getAs[Double]("mean_recall") >= ops.VectorSearch.IvfTrainedRecallFloor)
     }
     val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
