@@ -33,10 +33,14 @@ object Tables {
   // (even a WeakHashMap — the value would keep its key reachable). The
   // boolean is session-free; rebuilding `spark.read.parquet` per call is
   // one footer read, negligible next to planning. The split decision is a
-  // pure function of file layout + parallelism, so sharing it across
-  // sessions is sound.
+  // function of file layout + parallelism + the session's file-split
+  // confs (maxPartitionBytes/openCostInBytes feed the scan's partition
+  // count), so those confs are part of the key — two sessions with
+  // different split settings must not share a decision. Worst case of a
+  // stale entry (parquet regenerated in-place mid-JVM) is a missing or
+  // redundant repartition — perf only, never correctness.
   private val fanOut =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, String, String), java.lang.Boolean]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     prep(spark)
@@ -47,7 +51,12 @@ object Tables {
     // here we fan out once so per-row compute uses the whole executor.
     // Filters/pruning still push into the scan below the exchange.
     val target = spark.sparkContext.defaultParallelism
-    val needsFanOut = fanOut.computeIfAbsent((dir, name, target),
+    // getOption, not get(key, default): a fallback value passed to `get`
+    // is parsed by the conf entry's converter ('' fails byte validation).
+    val key = (dir, name, target,
+      spark.conf.getOption("spark.sql.files.maxPartitionBytes").getOrElse(""),
+      spark.conf.getOption("spark.sql.files.openCostInBytes").getOrElse(""))
+    val needsFanOut = fanOut.computeIfAbsent(key,
       _ => df.rdd.getNumPartitions < math.min(8, target))
     if (needsFanOut) df.repartition(target) else df
   }

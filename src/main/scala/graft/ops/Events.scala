@@ -224,6 +224,94 @@ object Events {
     SELECT cohort_day, day_offset, COUNT(*) AS n_users
     FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
 
+  // ── ev_transition — event-type transition (Markov) matrix ────────────
+  /** Consecutive-event transition counts per user ordered by time — the
+    * first-order Markov matrix behavioral models train on. One window
+    * (lag) over the per-user ordering, then a map-side-combined count
+    * aggregate on the (prev, next) pair: a single shuffle on user_id
+    * followed by a tiny |types|² aggregate. At 100 TB the user_id shuffle
+    * is the same exchange sessionization already pays; the transition
+    * table itself is O(|types|²) — driver-safe however large the corpus. */
+  def evTransition: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy("prev_type", "next_type")
+  }
+  val evTransitionSql = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    t AS (SELECT user_id, event_type AS next_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM e)
+    SELECT prev_type, next_type, COUNT(*) AS n,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY prev_type, next_type"""
+
+  // ── ev_anomaly — hourly-count outliers, integer-exact z-test ─────────
+  /** Volume-anomaly detection over the hourly count series: flag hours
+    * whose event count deviates from the type's mean by more than 2
+    * standard deviations. The test (c−μ)² > 4σ² is cleared of divisions —
+    * (c·n − s)² > 4·(n·ssq − s²) — so every comparison is exact BIGINT
+    * arithmetic and the oracle replays it bit-for-bit (no float variance
+    * anywhere). Two aggregates: hourly counts (map-side combined), then a
+    * |types|-row stats frame broadcast back onto the hourly series. At
+    * 100 TB both shuffles carry counts, never events. */
+  def evAnomaly: Q = (spark, dir) => {
+    val hourly = ev(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum("c").as("s"), sum(col("c") * col("c")).as("ssq"))
+    val dev = col("c") * col("nh") - col("s")
+    hourly.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4L) * (col("nh") * col("ssq") - col("s") * col("s")))
+      .select(col("event_type"), col("hour_idx"), col("c").as("n"),
+        (col("c") * col("nh") - col("s")).as("dev_num"))
+      .orderBy("event_type", "hour_idx")
+  }
+  val evAnomalySql = s"""
+    WITH hourly AS (SELECT event_type, epoch_us(ts) // $HourUs AS hour_idx, COUNT(*) AS c
+                    FROM events GROUP BY 1, 2),
+    stats AS (SELECT event_type, COUNT(*) AS nh,
+        CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c*c) AS BIGINT) AS ssq
+      FROM hourly GROUP BY 1)
+    SELECT event_type, hour_idx, c AS n, c*nh - s AS dev_num
+    FROM hourly JOIN stats USING (event_type)
+    WHERE (c*nh - s)*(c*nh - s) > 4*(nh*ssq - s*s)
+    ORDER BY event_type, hour_idx"""
+
+  // ── ev_props_parse — semi-structured JSON property extraction ────────
+  /** Event payloads arrive as JSON strings; this is the
+    * schema-on-read extraction step every event pipeline starts with.
+    * Spark parses with the native `get_json_object` (codegen'd path, no
+    * UDF); the extracted integer feeds per-type aggregates. Map-only
+    * parse + one map-side-combined aggregate — the 100 TB shape is a
+    * projection that never shuffles the raw payloads, only the |types|
+    * aggregate rows. The oracle parses the same JSON with DuckDB's
+    * json_extract_string. */
+  def evPropsParse: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+  }
+  val evPropsParseSql = """
+    WITH e AS (SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM e GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
     "ev_skew_agg" -> evSkewAgg,
@@ -231,7 +319,10 @@ object Events {
     "ev_sessionize" -> evSessionize,
     "ev_funnel" -> evFunnel,
     "ev_asof_join" -> evAsofJoin,
-    "ev_range_join" -> evRangeJoin)
+    "ev_range_join" -> evRangeJoin,
+    "ev_transition" -> evTransition,
+    "ev_anomaly" -> evAnomaly,
+    "ev_props_parse" -> evPropsParse)
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
@@ -240,5 +331,8 @@ object Events {
     "ev_sessionize" -> evSessionizeSql,
     "ev_funnel" -> evFunnelSql,
     "ev_asof_join" -> evAsofJoinSql,
-    "ev_range_join" -> evRangeJoinSql)
+    "ev_range_join" -> evRangeJoinSql,
+    "ev_transition" -> evTransitionSql,
+    "ev_anomaly" -> evAnomalySql,
+    "ev_props_parse" -> evPropsParseSql)
 }

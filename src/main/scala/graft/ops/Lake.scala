@@ -178,12 +178,72 @@ object Lake {
     JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY r_name ORDER BY r_name"""
 
+  // ── lake_merge_upsert — CDC upsert (MERGE INTO) over the lake copy ───
+  /** Latest-version-wins merge: base ∪ changes, one window over the key
+    * ordered by version descending, keep row 1. This is the engine shape
+    * behind `MERGE INTO` on a lake table — ONE shuffle on the merge key
+    * sized by |base| + |changes| (and zero shuffle when base is stored
+    * bucketed on the key, as [[lakeBucketedJoin]]'s layout is); never a
+    * driver-side diff. Ties cannot occur (one version per key per
+    * batch). */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+      version: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(version).desc)
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** The registered query: a deterministic change batch derived from the
+    * orders table itself — every 7th key is an UPDATE (status 'U', price
+    * +100), every 13th key an INSERT under a fresh key (negated key —
+    * collision-free at any scale, no max-key job). After the merge the
+    * per-status counts and cent volumes summarize exactly which rows the
+    * upsert replaced/added — the oracle replays the same merge
+    * relationally. */
+  def lakeMergeUpsert: Q = (spark, dir) => {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("version", lit(1L))
+    val updates = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"), lit(2L).as("version"))
+    val inserts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 13 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), lit("N").as("o_orderstatus"),
+        col("o_totalprice").as("o_totalprice"), lit(2L).as("version"))
+    mergeUpsert(base, updates.unionByName(inserts), "o_orderkey", "version")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+      .orderBy("o_orderstatus")
+  }
+  val lakeMergeUpsertSql: String = s"""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders),
+    changes AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT -o_orderkey - 1, 'N', o_totalprice, 2 FROM orders WHERE o_orderkey % 13 = 0),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
+    FROM merged WHERE rn = 1 GROUP BY 1 ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "lake_bucketed_join" -> lakeBucketedJoin,
     "lake_partitioned_scan" -> lakePartitionedScan,
-    "lake_format_roundtrip" -> lakeFormatRoundtrip)
+    "lake_format_roundtrip" -> lakeFormatRoundtrip,
+    "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
     "lake_bucketed_join" -> lakeBucketedJoinSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,
-    "lake_format_roundtrip" -> lakeFormatRoundtripSql)
+    "lake_format_roundtrip" -> lakeFormatRoundtripSql,
+    "lake_merge_upsert" -> lakeMergeUpsertSql)
 }

@@ -109,7 +109,77 @@ object Multimodal {
       CASE WHEN n_bytes = 0 THEN 0.0 ELSE mx END AS f3
     FROM s ORDER BY doc_id"""
 
+  // ── mm_frame_sample — video-frame-sampling plumbing over binary ──────
+  final val FrameLen = 64
+  final val FrameStride = 48
+  final val FrameKeepEvery = 2
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("off_bytes", LongType, nullable = false),
+    StructField("f_len", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling over an opaque binary payload: the video path of a
+    * multimodal pipeline — split the container into frames (here: 64-byte
+    * windows at stride 48, a REAL decoder would emit codec frames), keep
+    * every 2nd frame, fingerprint each kept frame. The frame splitter runs
+    * as batched `mapPartitions` over the binary column (map-only — frames
+    * of a payload never leave their partition, the shape that holds when
+    * each payload is megabytes); the fingerprint is the shared
+    * `poly_hash_cp` kernel over the frame bytes (payloads are ASCII text
+    * here, so bytes == codepoints and the oracle replays the identical
+    * hash over `substr(text, ...)`). Output is scalar-only (driver's
+    * pandas check cannot sort binary columns). */
+  private[graft] def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getAs[Long]("doc_id")
+          val bytes = r.getAs[Array[Byte]]("payload")
+          Iterator.from(0).map(_.toLong)
+            .takeWhile(idx => idx * FrameStride < bytes.length)
+            .filter(_ % FrameKeepEvery == 0)
+            .map { idx =>
+              val off = (idx * FrameStride).toInt
+              val fLen = math.min(FrameLen, bytes.length - off)
+              Row(id, idx, off.toLong, fLen.toLong,
+                java.util.Arrays.copyOfRange(bytes, off, off + fLen))
+            }
+        }
+      }
+    }(encoder)
+  }
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.register(spark)
+    mmFrames(spark, dir)
+      .select(col("doc_id"), col("frame_idx"), col("off_bytes"), col("f_len"),
+        graft.functions.poly_hash_cp(col("frame").cast("string")).as("checksum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmFrameSampleSql: String = s"""
+    WITH f AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len, text,
+        unnest(range(0, (CAST(strlen(text) AS BIGINT) + ${FrameStride - 1}) // $FrameStride)) AS idx
+      FROM documents),
+    k AS (SELECT doc_id, idx AS frame_idx, idx * $FrameStride AS off_bytes,
+        least($FrameLen, len - idx * $FrameStride) AS f_len,
+        substr(text, CAST(idx * $FrameStride + 1 AS INT),
+          CAST(least($FrameLen, len - idx * $FrameStride) AS INT)) AS fr
+      FROM f WHERE idx % $FrameKeepEvery = 0)
+    SELECT doc_id, frame_idx, off_bytes, f_len,
+      ${graft.util.TextUtil.polySql("fr")} AS checksum
+    FROM k ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)))
-  val oracles: Map[String, String] = Map("mm_features" -> mmFeaturesSql)
+    "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
+    "mm_frame_sample" -> (mmFrameSample _))
+  val oracles: Map[String, String] = Map(
+    "mm_features" -> mmFeaturesSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

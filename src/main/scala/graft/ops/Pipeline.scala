@@ -182,9 +182,13 @@ object Pipeline {
     // A source with no digits must take the same branch on both engines:
     // Spark casts regexp_extract's no-match '' to NULL while DuckDB ERRORS
     // on CAST('' AS BIGINT), so both sides NULLIF-guard the extract and
-    // default the index to 0 (→ full 10000 bp rate).
+    // default the index to 0 (→ full 10000 bp rate). The capture is
+    // bounded to 18 digits so the cast can never exceed BIGINT range —
+    // an unbounded run of 20+ digits would silently NULL on Spark's
+    // non-ANSI cast but ERROR through DuckDB's CAST even under NULLIF
+    // (both engines extract the same first-18-digit prefix instead).
     val srcNum = coalesce(
-      nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("long"),
+      nullif(regexp_extract(col("source"), "(\\d{1,18})", 1), lit("")).cast("long"),
       lit(0L))
     val rateBp = (lit(10000.0) / (lit(1L) + pmod(srcNum, lit(4L)))).cast("long")
     val coin = (graft.functions.poly_hash(
@@ -199,7 +203,7 @@ object Pipeline {
   }
   val pipelineSampleMixSql: String = s"""
     WITH d AS (SELECT source, n_chars,
-        10000 // (1 + COALESCE(CAST(NULLIF(regexp_extract(source, '(\\d+)', 1), '') AS BIGINT), 0) % 4) AS rate_bp,
+        10000 // (1 + COALESCE(CAST(NULLIF(regexp_extract(source, '(\\d{1,18})', 1), '') AS BIGINT), 0) % 4) AS rate_bp,
         (${TextUtil.polySql("(source || ':' || CAST(doc_id AS VARCHAR))")}
           * $MixSpread) % ${TextUtil.HashMod} % 10000 AS coin
       FROM documents)

@@ -266,8 +266,41 @@ object Relational {
        FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey"""
 
+  /** Q12: pivot — order counts and cent volumes cross-tabulated
+    * status × priority. Spark's `pivot` with an EXPLICIT value list: the
+    * values are part of the plan, so the pivot compiles to one pass of
+    * conditional aggregates (map-side combined, |statuses| result rows) —
+    * no second job to discover distinct values and no wide shuffle. The
+    * oracle is the equivalent conditional aggregation. */
+  final val Priorities = Seq(
+    "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+    "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5")
+  def q12Pivot: Q = (spark, dir) => {
+    val piv = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("p_c"))
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Priorities.map(_._1))
+      .agg(count(lit(1)).as("n"), sum("p_c").as("sum_c"))
+    piv.select(col("o_orderstatus") +: Priorities.flatMap { case (v, short) =>
+      Seq(coalesce(col(s"`${v}_n`"), lit(0L)).as(s"${short}_n"),
+        coalesce(col(s"`${v}_sum_c`"), lit(0L)).as(s"${short}_sum_c"))
+    }: _*).orderBy("o_orderstatus")
+  }
+  val q12PivotSql: String = {
+    val cols = Priorities.map { case (v, short) =>
+      s"""CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_n,
+      CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT) AS ${short}_sum_c"""
+    }.mkString(",\n      ")
+    s"""
+    SELECT o_orderstatus,
+      $cols
+    FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "q12_pivot" -> q12Pivot,
     "q11_corr_subquery" -> q11CorrSubquery,
     "q3_join_topk" -> q3JoinTopk,
     "q4_semijoin" -> q4Semijoin,
@@ -279,6 +312,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q12_pivot" -> q12PivotSql,
     "q11_corr_subquery" -> q11CorrSubquerySql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q4_semijoin" -> q4SemijoinSql,

@@ -221,6 +221,41 @@ object TextAnalysis {
       row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
     FROM c QUALIFY rn <= 5 ORDER BY source, rn"""
 
+  // ── text_bigram_lm — n-gram LM count table (top bigrams per source) ──
+  /** The n-gram language-model preparation step: token-bigram counts per
+    * source, top-5 by count (all-integer ranking: count desc, bigram asc
+    * — no smoothing floats in the comparable output; a real LM would
+    * consume the full count table, the top-5 is the driver-checkable
+    * summary). Bigrams are a map-side transform over the materialized
+    * token array (Generate barrier — one tokenization per row however
+    * many lambda references), then ONE shuffle on (source, bigram) with
+    * map-side combine; the window ranks the already-aggregated counts.
+    * At 100 TB this is the wordcount shape — uniform keys, no skew. */
+  def textBigramLm: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = materializedColumn(
+        Tables.documents(spark, dir).select(col("source"), col("text")),
+        "toks", toksCol)
+      .select(col("source"), col("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = docs.select(col("source"), explode(expr(
+      "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+    val counts = bg.groupBy("source", "bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("source", "rn")
+  }
+  val textBigramLmSql = s"""
+    WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+    tt AS (SELECT source, toks FROM t WHERE len(toks) >= 2),
+    bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM tt),
+    c AS (SELECT source, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+    SELECT source, bigram, n,
+      row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rn
+    FROM c QUALIFY rn <= 5 ORDER BY source, rn"""
+
   // ── text_train_split — deterministic train/val/test assignment ───────
   /** Hash-based split assignment (80/10/10): split(doc) is a pure
     * function of doc_id, so the same document lands in the same split
@@ -401,6 +436,7 @@ object TextAnalysis {
     "text_lang_id" -> textLangId,
     "text_train_split" -> textTrainSplit,
     "text_top_terms" -> textTopTerms,
+    "text_bigram_lm" -> textBigramLm,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
@@ -413,6 +449,7 @@ object TextAnalysis {
     "text_lang_id" -> textLangIdSql,
     "text_train_split" -> textTrainSplitSql,
     "text_top_terms" -> textTopTermsSql,
+    "text_bigram_lm" -> textBigramLmSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -174,6 +174,21 @@ object Streaming {
     FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
     WHERE sid <> max_sid ORDER BY user_id, sid"""
 
+  /** Driver-checkable twin of [[dedupStream]]: the one thing the stream's
+    * output guarantees deterministically is the SET of surviving content
+    * hashes (which physical row survives per hash depends on arrival
+    * order), so the registered query is the survivor-count summary —
+    * EventsStreamingSpec asserts the stream emits exactly `n_unique`
+    * rows with distinct hashes on the same input. */
+  def dedupStreamSummaryBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .select(md5(col("text")).as("h"))
+      .agg(countDistinct(col("h")).as("n_unique"), count(lit(1)).as("n_total"))
+  }
+  val dedupStreamSummarySql = """
+    SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      COUNT(*) AS n_total FROM documents"""
+
   // ── Stream-stream interval join ──────────────────────────────────────
 
   /** Watermarked stream-stream join: purchases joined to the clicks of
@@ -233,9 +248,11 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAggBatch,
     "stream_join" -> clickPurchaseJoinQuery,
-    "stream_sessionize" -> (sessionizeClosedBatch _))
+    "stream_sessionize" -> (sessionizeClosedBatch _),
+    "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,
-    "stream_sessionize" -> sessionizeClosedSql)
+    "stream_sessionize" -> sessionizeClosedSql,
+    "stream_dedup" -> dedupStreamSummarySql)
 }

@@ -1,0 +1,164 @@
+package graft
+
+import graft.ops.{Events, Lake, Multimodal, Relational, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-5 operator additions (transition matrix,
+  * integer z-test anomaly, JSON props parse, pivot, merge-upsert, frame
+  * sampling, bigram LM counts). Each test asserts a property the oracle
+  * cannot (conservation laws, brute-force equivalence via a DIFFERENT
+  * computation path, idempotence). */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("ev_transition conserves events: sum(n) == |events| - |users|") {
+    val t = Events.evTransition(spark, sf).collect()
+    assert(t.nonEmpty)
+    val total = t.map(_.getAs[Long]("n")).sum
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // every user contributes (events_u - 1) transitions
+    assert(total == nEvents - nUsers)
+    t.foreach(r => assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n")))
+  }
+
+  test("ev_anomaly equals the brute-force 2-sigma test on collected hourly counts") {
+    val flagged = Events.evAnomaly(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_idx"))).toSet
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hour_idx"))
+      .groupBy("event_type", "hour_idx").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_idx"), r.getAs[Long]("count")))
+    val byType = hourly.groupBy(_._1)
+    val expected = byType.toSeq.flatMap { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val s = rows.map(_._3).sum
+      val ssq = rows.map(c => c._3 * c._3).sum
+      rows.toSeq.filter { case (_, _, c) =>
+        val dev = c * n - s
+        dev * dev > 4L * (n * ssq - s * s)
+      }.map(r => (tpe, r._2))
+    }.toSet
+    assert(flagged == expected)
+    assert(flagged.nonEmpty, "test corpus should contain at least one 2-sigma hour")
+  }
+
+  test("ev_props_parse: JSON path agrees with an independent regexp parse") {
+    val json = Events.evPropsParse(spark, sf).collect()
+    val rx = Tables.events(spark, sf)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type").collect()
+    assert(json.nonEmpty && json.toSeq == rx.toSeq)
+    json.foreach(r => assert(r.getAs[Long]("n_k") == r.getAs[Long]("n"),
+      "every props payload should parse"))
+  }
+
+  test("q12_pivot row-sums equal the plain per-status aggregate") {
+    val piv = Relational.q12Pivot(spark, sf).collect()
+    assert(piv.nonEmpty)
+    val plain = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.util.Det.cents(col("o_totalprice"))).as("sum_c"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_c"))).toMap
+    piv.foreach { r =>
+      val n = Relational.Priorities.map(p => r.getAs[Long](s"${p._2}_n")).sum
+      val s = Relational.Priorities.map(p => r.getAs[Long](s"${p._2}_sum_c")).sum
+      assert((n, s) == plain(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("lake mergeUpsert accounting and idempotence") {
+    import spark.implicits._
+    val base = Seq((1L, "A", 10.0, 1L), (2L, "B", 20.0, 1L), (3L, "C", 30.0, 1L))
+      .toDF("k", "status", "price", "version")
+    val changes = Seq((2L, "U", 25.0, 2L), (9L, "N", 90.0, 2L))
+      .toDF("k", "status", "price", "version")
+    val once = Lake.mergeUpsert(base, changes, "k", "version")
+    val rows = once.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("status"), r.getAs[Double]("price"))).toSet
+    assert(rows == Set((1L, "A", 10.0), (2L, "U", 25.0), (3L, "C", 30.0), (9L, "N", 90.0)))
+    // re-applying the same change batch is a no-op (latest-version-wins
+    // over identical rows)
+    val twice = Lake.mergeUpsert(once, changes, "k", "version").collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("status"), r.getAs[Double]("price"))).toSet
+    assert(twice == rows)
+  }
+
+  test("lake_merge_upsert query: updates replace, inserts add, others persist") {
+    val merged = Lake.lakeMergeUpsert(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n")).toMap
+    val orders = Tables.orders(spark, sf)
+    val nBase = orders.count()
+    val nUpd = orders.filter(col("o_orderkey") % 7 === 0).count()
+    val nIns = orders.filter(col("o_orderkey") % 13 === 0).count()
+    assert(merged.values.sum == nBase + nIns)
+    assert(merged("U") == nUpd && merged("N") == nIns)
+  }
+
+  test("mm_frame_sample offsets/lengths/checksums equal a per-doc recompute") {
+    val M = graft.util.TextUtil.HashMod
+    def poly(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % M)
+    val frames = Multimodal.mmFrameSample(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, fs) =>
+      val text = docs(id)
+      val expected = Iterator.from(0)
+        .takeWhile(i => i * Multimodal.FrameStride < text.length)
+        .filter(_ % Multimodal.FrameKeepEvery == 0)
+        .map { i =>
+          val off = i * Multimodal.FrameStride
+          val len = math.min(Multimodal.FrameLen, text.length - off)
+          (i.toLong, off.toLong, len.toLong, poly(text.substring(off, off + len)))
+        }.toSeq
+    val got = fs.sortBy(_.getAs[Long]("frame_idx")).toSeq.map(r =>
+        (r.getAs[Long]("frame_idx"), r.getAs[Long]("off_bytes"),
+          r.getAs[Long]("f_len"), r.getAs[Long]("checksum")))
+      assert(got == expected, s"doc $id frame mismatch")
+    }
+  }
+
+  test("text_bigram_lm top-1 equals brute-force bigram count per source") {
+    val top = TextAnalysis.textBigramLm(spark, sf).collect()
+    assert(top.nonEmpty)
+    // ranks contiguous from 1, counts non-increasing within source
+    top.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn").toLong).toSeq == (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("n") >= b.getAs[Long]("n")
+        case _ => true
+      })
+    }
+    // brute force on the driver with the same tokenizer regex
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+    val brute = docs.groupBy(_.getAs[String]("source")).map { case (src, rows) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach { r =>
+        val toks = r.getAs[String]("text").toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        toks.sliding(2).filter(_.length == 2)
+          .foreach(bg => counts.update(bg.mkString(" "), counts.getOrElse(bg.mkString(" "), 0L) + 1))
+      }
+      src -> counts.toMap
+    }
+    top.filter(_.getAs[Int]("rn") == 1).foreach { r =>
+      val src = r.getAs[String]("source")
+      val maxN = brute(src).values.max
+      assert(r.getAs[Long]("n") == maxN, s"source $src top bigram count")
+      assert(brute(src)(r.getAs[String]("bigram")) == maxN)
+    }
+  }
+}
