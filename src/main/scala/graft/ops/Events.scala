@@ -259,12 +259,18 @@ object Events {
     * (c·n − s)² > 4·(n·ssq − s²) — so every comparison is exact BIGINT
     * arithmetic and the oracle replays it bit-for-bit (no float variance
     * anywhere). Two aggregates: hourly counts (map-side combined), then a
-    * |types|-row stats frame broadcast back onto the hourly series. At
-    * 100 TB both shuffles carry counts, never events. */
+    * |types|-row stats frame broadcast back onto the hourly series. The
+    * hourly frame is staged once ([[graft.util.Persist.stage]]) — it
+    * feeds both the stats branch and the probe side, and without the
+    * materialization Spark would re-scan and re-aggregate the raw events
+    * for each branch (the corpus scan is the 100 TB cost; the staged
+    * frame is only |types × hours| rows). */
   def evAnomaly: Q = (spark, dir) => {
-    val hourly = ev(spark, dir)
-      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
-      .agg(count(lit(1)).as("c"))
+    val hourly = graft.util.Persist.stage(
+      ev(spark, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+        .agg(count(lit(1)).as("c")),
+      eager = false)
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum("c").as("s"), sum(col("c") * col("c")).as("ssq"))
     val dev = col("c") * col("nh") - col("s")

@@ -267,11 +267,13 @@ object Relational {
     ORDER BY c_custkey"""
 
   /** Q12: pivot — order counts and cent volumes cross-tabulated
-    * status × priority. Spark's `pivot` with an EXPLICIT value list: the
-    * values are part of the plan, so the pivot compiles to one pass of
-    * conditional aggregates (map-side combined, |statuses| result rows) —
-    * no second job to discover distinct values and no wide shuffle. The
-    * oracle is the equivalent conditional aggregation. */
+    * status × priority. Spark's `pivot` with an EXPLICIT value list — no
+    * extra job to discover distinct pivot values (an implicit pivot runs
+    * a collect first). Compiles to the two-level aggregate shape: a
+    * map-side-combined aggregate on (status, priority) collapses the
+    * corpus to |statuses × priorities| rows, then the pivot aggregate
+    * rotates those few rows — both exchanges carry aggregate rows only.
+    * The oracle is the equivalent conditional aggregation. */
   final val Priorities = Seq(
     "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
     "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5")
