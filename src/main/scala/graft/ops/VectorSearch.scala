@@ -376,6 +376,158 @@ object VectorSearch {
     FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.cid = c.code
     GROUP BY c.vec_id ORDER BY adist, c.vec_id LIMIT 10"""
 
+  // ── vs_ivfpq_search — IVF coarse cells + PQ-encoded residuals (ADC) ──
+  final val IvfPqNprobe = 2
+
+  /** The composed production ANN index (Jégou et al. 2011 §IV "IVFADC",
+    * the FAISS `IVFx,PQy` shape): a coarse IVF quantizer partitions the
+    * corpus into cells, each vector stores only the PQ code of its
+    * RESIDUAL (v − centroid), and a query scans just its nprobe nearest
+    * cells with per-cell asymmetric distance tables built from the
+    * query's own residual against each probed centroid. Composes
+    * [[vsIvfSearch]]'s deterministic coarse codebook (first-8-ids
+    * centroids, cosine-distance assignment) with [[vsPqSearch]]'s
+    * integer PQ pipeline, now over the residual int8 grid.
+    *
+    * Scale shape: the corpus path is ONE scan — map-only assign →
+    * residual → quantize → encode (Generate barriers keep each stage
+    * computed once per row), then a probed-cell filter and a TakeOrdered
+    * reduction; no corpus shuffle anywhere. Centroids, PQ codebook, and
+    * the nprobe distance tables are k×dim driver state broadcast as
+    * literals. At 100 TB the persisted artifact would be the `coded`
+    * frame — cell + 4-byte code per vector, the index a real build
+    * writes once ([[graft.sources.Sinks]]) and serves from.
+    *
+    * Determinism: assignment/probe distances reuse the proven r6 cosine
+    * kernel; residuals are elementwise double subtraction (IEEE-exact on
+    * both engines); everything after the int8 grid is integer, so the
+    * SQL oracle reproduces codes and ADC distances bit-for-bit. */
+  def vsIvfPqSearch: Q = (spark, dir) => {
+    def sq(c: Column): Column = c * c
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centRows = e.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+    require(centRows.length == 8, s"need 8 coarse centroids, got ${centRows.length}")
+    val cents: Seq[(Long, Seq[Double])] =
+      centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cellStructs(v: Column): Seq[Column] = cents.map { case (cid, cv) =>
+      struct(dist(v, typedlit(cv)).as("dist"), lit(cid).as("cid"))
+    }
+    val centsLit = typedlit(cents.map(_._2)) // index i+1 = cell i (ids are 0..7)
+    // One corpus pass: cell assignment (map-only argmin over literal
+    // centroids), then the residual — each behind a Generate barrier.
+    val assigned = graft.util.Det.materializedColumn(
+      e.select(col("vec_id"), col("v"),
+        least(cellStructs(col("v")): _*).getField("cid").as("cell")),
+      "r", zip_with(col("v"), element_at(centsLit, col("cell").cast("int") + 1),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("r"))
+    val mx = assigned.agg(max(array_max(transform(col("r"), x => abs(x)))).as("maxabs"))
+    val quant = graft.util.Det.materializedColumn(
+      assigned.crossJoin(broadcast(mx))
+        .select(col("vec_id"), col("cell"),
+          transform(col("r"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
+            .as("qr_raw")),
+      "qr", col("qr_raw")).select("vec_id", "cell", "qr")
+    // PQ codebook over RESIDUAL space: quantized residuals of the first
+    // PqK ids, collected in Spark's own arithmetic.
+    val seedRows = quant.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
+    require(seedRows.length == PqK, s"need $PqK codebook seeds, got ${seedRows.length}")
+    val seeds: Array[Array[Long]] = seedRows.map(_.getSeq[Long](2).toArray)
+    val cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
+      (0 until PqK).map(c => (0 until PqDsub).map(d => seeds(c)(m * PqDsub + d))))
+    val cbL = typedlit(cb)
+    val codesExpr = transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val ds = transform(sequence(lit(0), lit(PqK - 1)), c =>
+        aggregate(sequence(lit(1), lit(PqDsub)), lit(0L), (acc, d) =>
+          acc + sq(element_at(col("qr"), m * lit(PqDsub) + d) -
+            element_at(element_at(element_at(cbL, m + lit(1)), c + lit(1)), d))))
+      array_position(ds, array_min(ds)) - lit(1L)
+    })
+    val coded = graft.util.Det.materializedColumn(quant, "codes", codesExpr)
+      .select(col("vec_id"), col("cell"), col("codes"))
+    // Query = vec 0's ORIGINAL vector; probe its nprobe nearest cells.
+    val qDf = e.filter(col("vec_id") === 0)
+    val probeCells: Seq[Long] = qDf
+      .select(explode(slice(array_sort(array(cellStructs(col("v")): _*)),
+        1, IvfPqNprobe)).as("p"))
+      .select(col("p.cid")).collect().toSeq.map(_.getLong(0))
+    // Per-cell query residual, quantized IN SPARK arithmetic (a driver
+    // recompute could round differently), then integer distance tables
+    // on the driver — |nprobe|×PqM×PqK longs of state.
+    val qq: Map[Long, Array[Long]] = qDf.crossJoin(broadcast(mx))
+      .select(explode(typedlit(probeCells)).as("cell"), col("v"), col("maxabs"))
+      .select(col("cell"),
+        transform(zip_with(col("v"), element_at(centsLit, col("cell").cast("int") + 1),
+          (a, b) => a - b), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
+          .as("qq"))
+      .collect().map(r => r.getAs[Long]("cell") -> r.getSeq[Long](1).toArray).toMap
+    val dtabByCell: Seq[Seq[Seq[Long]]] = probeCells.map { c =>
+      (0 until PqM).map(m => (0 until PqK).map { k =>
+        (0 until PqDsub).map { d =>
+          val diff = qq(c)(m * PqDsub + d) - seeds(k)(m * PqDsub + d); diff * diff
+        }.sum
+      })
+    }
+    val dtabL = typedlit(dtabByCell)
+    val cellPos = array_position(typedlit(probeCells), col("cell")).cast("int")
+    coded.filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell"),
+        concat_ws(":", transform(col("codes"), _.cast("string"))).as("code"),
+        aggregate(sequence(lit(1), lit(PqM)), lit(0L), (acc, m) =>
+          acc + element_at(element_at(element_at(dtabL, cellPos), m),
+            element_at(col("codes"), m).cast("int") + lit(1)))
+          .as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+  val vsIvfPqSearchSql: String = s"""
+    WITH e AS ($eSql),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (SELECT vec_id, cell, cv FROM (
+        SELECT e.vec_id, cent.cid AS cell, cent.cv,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${distSql("e.v", "cent.cv")}, cent.cid) AS rn
+        FROM e, cent) WHERE rn = 1),
+    res AS (SELECT a.vec_id, a.cell,
+        list_transform(range(1, ${PqM * PqDsub + 1}), d -> e.v[d] - a.cv[d]) AS r
+      FROM assign a JOIN e ON e.vec_id = a.vec_id),
+    mx AS (SELECT MAX(list_max(list_transform(r, x -> abs(x)))) AS maxabs FROM res),
+    quant AS (SELECT vec_id, cell,
+        list_transform(r, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qr
+      FROM res, mx),
+    seeds AS (SELECT vec_id AS kid, qr AS sd FROM quant WHERE vec_id < $PqK),
+    sub AS (SELECT range AS m FROM range(0, $PqM)),
+    cdist AS (SELECT t.vec_id, s.m, sd.kid,
+        CAST(list_sum(list_transform(range(1, ${PqDsub + 1}), d ->
+          (t.qr[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d])
+          * (t.qr[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d]))) AS BIGINT) AS d2
+      FROM quant t, sub s, seeds sd),
+    codes AS (SELECT vec_id, m, kid AS code FROM
+        (SELECT vec_id, m, kid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, kid) AS rn
+         FROM cdist)
+      WHERE rn = 1),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid, cv FROM (
+        SELECT cent.cid, cent.cv,
+          row_number() OVER (ORDER BY ${distSql("q.v", "cent.cv")}, cent.cid) AS rn
+        FROM q, cent) WHERE rn <= $IvfPqNprobe),
+    qq AS (SELECT p.cid,
+        list_transform(range(1, ${PqM * PqDsub + 1}),
+          d -> CAST(round(((q.v[d] - p.cv[d]) * 127.0) / maxabs) AS BIGINT)) AS qq
+      FROM q, probe p, mx),
+    dtab AS (SELECT qq.cid, s.m, sd.kid,
+        CAST(list_sum(list_transform(range(1, ${PqDsub + 1}), d ->
+          (qq.qq[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d])
+          * (qq.qq[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d]))) AS BIGINT) AS d2
+      FROM qq, sub s, seeds sd)
+    SELECT c.vec_id, c.cell, string_agg(cd.code::VARCHAR, ':' ORDER BY cd.m) AS code,
+      CAST(SUM(dt.d2) AS BIGINT) AS adist
+    FROM quant c JOIN codes cd ON cd.vec_id = c.vec_id
+      JOIN dtab dt ON dt.cid = c.cell AND dt.m = cd.m AND dt.kid = cd.code
+    GROUP BY c.vec_id, c.cell ORDER BY adist, c.vec_id LIMIT 10"""
+
   // ── vs_ivf_trained — Lloyd-trained IVF codebook, probe + recall ──────
   /** Probe width and acceptance floor for [[vsIvfTrained]]: the query
     * GRADES mean recall@5 against the floor and emits a `below_floor`
@@ -605,6 +757,7 @@ object VectorSearch {
     "vs_ivf_trained" -> vsIvfTrained,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
+    "vs_ivfpq_search" -> vsIvfPqSearch,
     "vs_lsh_search" -> vsLshSearch)
 
   // vs_ivf_trained has no oracleSql (rows-only): the trained codebook is
@@ -620,5 +773,6 @@ object VectorSearch {
     "vs_ivf_search" -> vsIvfSearchSql,
     "vs_quant_search" -> vsQuantSearchSql,
     "vs_pq_search" -> vsPqSearchSql,
+    "vs_ivfpq_search" -> vsIvfPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql)
 }

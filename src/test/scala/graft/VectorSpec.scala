@@ -196,6 +196,92 @@ class VectorSpec extends SparkSpec {
       s"PQ scoring must not key-shuffle the corpus:\n${df.queryExecution.executedPlan}")
   }
 
+  test("vs_ivfpq_search equals an independent Scala IVF+PQ/ADC implementation") {
+    import VectorSearch.{PqM, PqDsub, PqK, IvfPqNprobe}
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .sortBy(_._1)
+    assert(raw.take(PqK).map(_._1).toSeq == (0L until PqK.toLong))
+    // r6 cosine distance, HALF_UP like Spark's round(x, 6)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r6(1.0 - dot / math.sqrt(na * nb))
+    }
+    val cents = raw.take(8).map(_._2)
+    def assign(v: Array[Double]): Int = {
+      val ds = cents.map(c => cosDist(v, c))
+      ds.indexOf(ds.min) // ties → lowest cid (struct least / row_number parity)
+    }
+    val assigned = raw.map { case (id, v) =>
+      val cell = assign(v); (id, cell, v.zip(cents(cell)).map { case (a, b) => a - b })
+    }
+    val maxabs = assigned.iterator.map(_._3.map(math.abs).max).max
+    def qz(x: Double): Long = {
+      val y = x * 127.0 / maxabs
+      if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
+    }
+    val quant = assigned.map { case (id, cell, r) => (id, cell, r.map(qz)) }
+    val seeds = quant.take(PqK).map(_._3)
+    def subDist(a: Array[Long], b: Array[Long], m: Int): Long =
+      (0 until PqDsub).map { d =>
+        val diff = a(m * PqDsub + d) - b(m * PqDsub + d); diff * diff
+      }.sum
+    def encode(v: Array[Long]): Array[Int] =
+      Array.tabulate(PqM) { m =>
+        val ds = seeds.map(s => subDist(v, s, m))
+        ds.indexOf(ds.min)
+      }
+    // query = vec 0's ORIGINAL vector; probe its nprobe nearest cells
+    val qv = raw.head._2
+    val probeCells = cents.indices.map(c => (cosDist(qv, cents(c)), c))
+      .sorted.take(IvfPqNprobe).map(_._2)
+    val dtabByCell = probeCells.map { c =>
+      val qres = qv.zip(cents(c)).map { case (a, b) => a - b }.map(qz)
+      c -> Array.tabulate(PqM, PqK)((m, k) => subDist(qres, seeds(k), m))
+    }.toMap
+    val expected = quant.filter(t => probeCells.contains(t._2)).map { case (id, cell, r) =>
+      val codes = encode(r)
+      (id, cell.toLong, codes.mkString(":"),
+        codes.zipWithIndex.map { case (c, m) => dtabByCell(cell)(m)(c) }.sum)
+    }.sortBy { case (id, _, _, adist) => (adist, id) }.take(10).toSeq
+    val got = VectorSearch.vsIvfPqSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[String]("code"), r.getAs[Long]("adist")))
+      .toSeq
+    assert(got == expected)
+    // query vec 0 is in a probed cell (its own) with residual == seed 0
+    // → codes all 0 and ADC distance exactly 0
+    assert(got.head == ((0L, got.head._2, Seq.fill(PqM)("0").mkString(":"), 0L)))
+  }
+
+  test("vs_ivfpq_search plan: corpus path is map-only — no key shuffle, no corpus join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val df = VectorSearch.vsIvfPqSearch(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    val keyed = nodes.collect {
+      case s: ShuffleExchangeLike
+        if s.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] ||
+           s.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => s
+    }
+    assert(keyed.isEmpty,
+      s"IVF-PQ scoring must not key-shuffle the corpus:\n${df.queryExecution.executedPlan}")
+  }
+
   test("vs_lsh_search pairs are a subset of vs_range_search pairs (recall check)") {
     def key(r: Row) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
     val exact = VectorSearch.vsRangeSearch(spark, sf).collect().map(key).toSet
