@@ -300,9 +300,112 @@ object Relational {
     FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
   }
 
+  /** Q13: GROUPING SETS over two *independent* dimensions — the
+    * multi-dimensional report shape that rollup/cube can't express
+    * (rollup is the nested-prefix special case, see [[q8Rollup]]).
+    * Spark plans one scan + one Expand (each row is replicated once per
+    * grouping set with the non-member columns nulled) feeding a single
+    * hash aggregate — partial aggregation still applies per set, so the
+    * exchange carries |flags|+|statuses| rows, not the corpus. Ordering
+    * by grouping_id first keeps NULL placement irrelevant (within a gid
+    * each grouping column is all-null or all-non-null), sidestepping the
+    * Spark NULLS FIRST / DuckDB NULLS LAST default mismatch. */
+  def q13GroupingSets: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+  val q13GroupingSetsSql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+      COUNT(*) AS n,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY gid, l_returnflag, l_linestatus"""
+
+  /** Q14: exact distributed percentiles (median + p90) per group, in
+    * integer cents — the "exact quantile without a sketch" shape. One
+    * shuffle on the group key serves BOTH windows (row_number + count
+    * share the partition), then rank-position arithmetic picks the
+    * central and p90 rows: lo=(n+1)÷2, hi=n÷2+1, p90=⌈9n/10⌉. All
+    * positions are integer expressions, so both engines select the same
+    * rows; the value at a rank is order-independent among ties, making
+    * the result fully deterministic. Median is emitted doubled
+    * (med2_c = val[lo]+val[hi]) to stay in BIGINT. At 100 TB: a single
+    * hash partitioning by group, no global sort, no collect — for
+    * ultra-wide groups the same arithmetic runs on a pre-aggregated
+    * (value, count) frame. */
+  def q14Median: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p_c"))
+    val w = Window.partitionBy("l_returnflag").orderBy("p_c")
+    val ranked = li
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .withColumn("lo", expr("(n + 1) div 2"))
+      .withColumn("hi", expr("n div 2 + 1"))
+      .withColumn("p90", expr("(9 * n + 9) div 10"))
+      .filter(col("rn") === col("lo") or col("rn") === col("hi") or col("rn") === col("p90"))
+    ranked.groupBy("l_returnflag")
+      .agg(max("n").as("n"),
+        (sum(when(col("rn") === col("lo"), col("p_c")).otherwise(0L)) +
+          sum(when(col("rn") === col("hi"), col("p_c")).otherwise(0L))).as("med2_c"),
+        max(when(col("rn") === col("p90"), col("p_c"))).as("p90_c"))
+      .orderBy("l_returnflag")
+  }
+  val q14MedianSql: String = s"""
+    WITH r AS (
+      SELECT l_returnflag, ${centsSql("l_extendedprice")} AS p_c,
+        CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY ${centsSql("l_extendedprice")}) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag, MAX(n) AS n,
+      CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN p_c ELSE 0 END)
+         + SUM(CASE WHEN rn = n // 2 + 1 THEN p_c ELSE 0 END) AS BIGINT) AS med2_c,
+      CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN p_c END) AS BIGINT) AS p90_c
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 OR rn = (9 * n + 9) // 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  /** Q15: set operations — INTERSECT and EXCEPT compile to (null-safe)
+    * semi/anti hash joins on the deduplicated key sets, not sorts.
+    * Segments: customers with an URGENT order ∩ customers with a HIGH
+    * order, minus customers holding any order above 500k — the audience-
+    * segmentation shape. Each leg is a filtered projection of the same
+    * orders scan; the final count is exact. */
+  def q15Setops: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val high = o.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+    val big = o.filter(col("o_totalprice") > 500000).select("o_custkey")
+    urgent.intersect(high).except(big)
+      .agg(count(lit(1)).as("n_custs"), sum("o_custkey").as("key_sum"))
+  }
+  val q15SetopsSql: String = """
+    WITH seg AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 500000)
+    SELECT COUNT(*) AS n_custs, CAST(SUM(o_custkey) AS BIGINT) AS key_sum FROM seg"""
+
   val queries: Map[String, Q] = Map(
+    "q14_median" -> q14Median,
+    "q15_setops" -> q15Setops,
     "q1_agg" -> q1Agg,
     "q12_pivot" -> q12Pivot,
+    "q13_grouping_sets" -> q13GroupingSets,
     "q11_corr_subquery" -> q11CorrSubquery,
     "q3_join_topk" -> q3JoinTopk,
     "q4_semijoin" -> q4Semijoin,
@@ -313,8 +416,11 @@ object Relational {
     "q10_topn_group" -> q10TopnGroup)
 
   val oracles: Map[String, String] = Map(
+    "q14_median" -> q14MedianSql,
+    "q15_setops" -> q15SetopsSql,
     "q1_agg" -> q1AggSql,
     "q12_pivot" -> q12PivotSql,
+    "q13_grouping_sets" -> q13GroupingSetsSql,
     "q11_corr_subquery" -> q11CorrSubquerySql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q4_semijoin" -> q4SemijoinSql,

@@ -91,6 +91,41 @@ object VectorSearch {
     WHERE ${distSql("v", "qv")} < 0.6
     ORDER BY dist, vec_id LIMIT 10"""
 
+  // ── vs_filtered_search — metadata-filtered ANN (pgvector WHERE + <=>) ──
+  /** The filtered-search pattern: scalar predicates narrow the candidate
+    * set BEFORE any distance math — pgvector's
+    * `WHERE meta = … ORDER BY vector <=> $q LIMIT k` (reference search
+    * shape, src/main.rs:86-96, plus a metadata filter). Pre-filtering is
+    * the Spark-native strategy: `label IN (…)` pushes into the embeddings
+    * parquet scan and `lang = 'en'` into the documents scan
+    * (PushedFilters), the surviving rows join on the shared id, and the
+    * codegen'd cosine kernel runs only on survivors. The query vector is
+    * a 1-row broadcast, so the corpus side never shuffles for it; at
+    * 100 TB the id join is the standard co-partitioned fact join (or
+    * colocate metadata in the vector table, as pgvector does, making the
+    * whole query map-only). */
+  def vsFilteredSearch: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .filter(col("lang") === "en")
+    e.filter(col("label").isin(1, 3, 5, 7, 9))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("lang"),
+        dist(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+  val vsFilteredSearchSql = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, d.lang, ${distSql("e.v", "qv")} AS dist
+    FROM e JOIN documents d ON e.vec_id = d.doc_id, q
+    WHERE e.label IN (1, 3, 5, 7, 9) AND d.lang = 'en'
+    ORDER BY dist, vec_id LIMIT 10"""
+
   // ── vs_knn_join — batch kNN: bounded query set × corpus, top-5 each ──
   /** Broadcast the (bounded) query set; one pass over the corpus computes
     * all query distances; top-k per query via window on q_id. At 100 TB the
@@ -750,6 +785,7 @@ object VectorSearch {
     "vs_hybrid_search" -> vsHybridSearch,
     "vec_functions" -> vecFunctions,
     "vs_search_topk" -> vsSearchTopk,
+    "vs_filtered_search" -> vsFilteredSearch,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
@@ -767,6 +803,7 @@ object VectorSearch {
     "vs_hybrid_search" -> vsHybridSearchSql,
     "vec_functions" -> vecFunctionsSql,
     "vs_search_topk" -> vsSearchTopkSql,
+    "vs_filtered_search" -> vsFilteredSearchSql,
     "vs_knn_join" -> vsKnnJoinSql,
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,
