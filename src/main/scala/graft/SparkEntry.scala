@@ -10,12 +10,14 @@ object SparkEntry {
     ops.Relational.queries ++ ops.VectorSearch.queries ++
       ops.Dedup.queries ++ ops.TextAnalysis.queries ++
       ops.Events.queries ++ ops.Multimodal.queries ++
-      ops.Lake.queries ++ ops.Pipeline.queries ++ streaming.Streaming.queries
+      ops.Lake.queries ++ ops.Pipeline.queries ++ ops.Graph.queries ++
+      streaming.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.VectorSearch.oracles ++
       ops.Dedup.oracles ++ ops.TextAnalysis.oracles ++
       ops.Events.oracles ++ ops.Multimodal.oracles ++
-      ops.Lake.oracles ++ ops.Pipeline.oracles ++ streaming.Streaming.oracles
+      ops.Lake.oracles ++ ops.Pipeline.oracles ++ ops.Graph.oracles ++
+      streaming.Streaming.oracles
 }

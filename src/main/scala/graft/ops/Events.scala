@@ -291,6 +291,42 @@ object Events {
     WHERE (c*nh - s)*(c*nh - s) > 4*(nh*ssq - s*s)
     ORDER BY event_type, hour_idx"""
 
+  // ── ev_gap_fill — dense time-spine densification (zero-filled hours) ──
+  /** Gap filling: the hourly series per event type densified onto a
+    * complete hour spine, missing hours zero-filled — the step before
+    * any window/forecast model that assumes equidistant points. The
+    * corpus is scanned ONCE into the |types × hours| hourly aggregate
+    * (staged); spine bounds, the type list, and the join probe all read
+    * the staged frame. The spine itself is generated, not scanned:
+    * `sequence(h0, h1)` exploded per type — O(types · hours) rows from a
+    * 1-row bounds frame, no shuffle. At 100 TB the spine stays tiny
+    * (types × hours is thousands of rows) while the corpus contributes
+    * only its one aggregation shuffle. */
+  def evGapFill: Q = (spark, dir) => {
+    val hourly = graft.util.Persist.stage(
+      ev(spark, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+        .agg(count(lit(1)).as("n")),
+      eager = false)
+    val bounds = hourly.agg(min("hour_idx").as("h0"), max("hour_idx").as("h1"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour_idx"))
+    spine.join(hourly, Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_idx")
+  }
+  val evGapFillSql = s"""
+    WITH hourly AS (SELECT event_type, epoch_us(ts) // $HourUs AS hour_idx, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(hour_idx) AS h0, MAX(hour_idx) AS h1 FROM hourly),
+    spine AS (SELECT t.event_type, unnest(range(b.h0, b.h1 + 1)) AS hour_idx
+              FROM (SELECT DISTINCT event_type FROM hourly) t, b)
+    SELECT s.event_type, s.hour_idx, CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN hourly USING (event_type, hour_idx)
+    ORDER BY event_type, hour_idx"""
+
   // ── ev_props_parse — semi-structured JSON property extraction ────────
   /** Event payloads arrive as JSON strings; this is the
     * schema-on-read extraction step every event pipeline starts with.
@@ -328,7 +364,8 @@ object Events {
     "ev_range_join" -> evRangeJoin,
     "ev_transition" -> evTransition,
     "ev_anomaly" -> evAnomaly,
-    "ev_props_parse" -> evPropsParse)
+    "ev_props_parse" -> evPropsParse,
+    "ev_gap_fill" -> evGapFill)
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
@@ -340,5 +377,6 @@ object Events {
     "ev_range_join" -> evRangeJoinSql,
     "ev_transition" -> evTransitionSql,
     "ev_anomaly" -> evAnomalySql,
-    "ev_props_parse" -> evPropsParseSql)
+    "ev_props_parse" -> evPropsParseSql,
+    "ev_gap_fill" -> evGapFillSql)
 }

@@ -33,6 +33,8 @@ object Lake {
   final val UsPerDay = 86400000000L
 
   private[graft] def partitionedEventsPath: String = s"$lakeDir/events_by_day"
+  private[graft] def fragmentedEventsPath: String = s"$lakeDir/events_fragmented"
+  private[graft] def compactedEventsPath: String = s"$lakeDir/events_compacted"
   private[graft] def nationCsvPath: String = s"$lakeDir/nation_csv"
   private[graft] def regionJsonPath: String = s"$lakeDir/region_json"
   private[graft] def supplierOrcPath: String = s"$lakeDir/supplier_orc"
@@ -71,6 +73,16 @@ object Lake {
             expr(s"(ts div 1000) div $UsPerDay").as("day"))
           .repartition(col("day"))
         Sinks.writePartitioned(ev, partitionedEventsPath, Seq("day"))
+        // Small-file pathology + its fix, for lake_compact: a fragmented
+        // copy (64 deliberate slivers — the "too many tiny files" state
+        // every long-lived ingest reaches) and the compacted rewrite.
+        // coalesce(4) compacts WITHOUT a shuffle: 4 tasks each
+        // concatenate 16 input files off the scan.
+        val slim = Tables.events(spark, dir)
+          .select("event_id", "event_type", "value")
+        slim.repartition(64).write.mode("overwrite").parquet(fragmentedEventsPath)
+        spark.read.parquet(fragmentedEventsPath).coalesce(4)
+          .write.mode("overwrite").parquet(compactedEventsPath)
         // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
@@ -236,12 +248,73 @@ object Lake {
       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
     FROM merged WHERE rn = 1 GROUP BY 1 ORDER BY o_orderstatus"""
 
+  // ── lake_compact — small-file compaction (content-preserving) ────────
+  /** Reads the COMPACTED copy of the deliberately fragmented events
+    * layout (see [[ensureLake]]: 64 sliver files → `coalesce(4)` rewrite,
+    * no shuffle) and aggregates it. The oracle runs the same aggregate
+    * over the original table — compaction must preserve every row — and
+    * LakeSpec asserts the file counts (64 → 4) plus that the compacted
+    * scan plans fewer partitions. At 100 TB compaction is the
+    * maintenance job that keeps scan task counts (and NameNode/listing
+    * pressure) proportional to data, not to ingest history; the id sum
+    * doubles as a cheap content checksum. */
+  def lakeCompact: Q = (spark, dir) => {
+    ensureLake(spark, dir)
+    spark.read.parquet(compactedEventsPath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("event_type")
+  }
+  val lakeCompactSql: String = s"""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1 ORDER BY event_type"""
+
+  // ── lake_incremental_agg — algebraic materialized-view maintenance ───
+  /** Incremental aggregate maintenance: the per-type (COUNT, SUM) view
+    * is refreshed by merging the BASE partial (days < d0+25, the stored
+    * MV) with the DELTA partial (the last days' new arrivals) — COUNT
+    * and SUM are algebraic, so merge = sum of partials, bit-exact. Here
+    * both partials derive from one scan (grouped by segment then
+    * re-merged) purely to PROVE merge ≡ full recompute against the
+    * oracle's direct aggregate; in production the base partial is a
+    * stored table and only the delta scans — the pattern that turns a
+    * daily 100 TB rescan into a 1-day incremental read. The segment
+    * boundary comes from a broadcast 1-row bounds frame, not a driver
+    * literal. */
+  def lakeIncrementalAgg: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"),
+        expr(s"(ts div 1000) div $UsPerDay").as("day"))
+    val bounds = ev.agg(min("day").as("d0"))
+    val partials = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_delta", (col("day") >= col("d0") + 25).cast("long"))
+      .groupBy("event_type", "is_delta")
+      .agg(count(lit(1)).as("n"), sum("v_c").as("s_c"))
+    partials.groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s_c").as("sum_c"),
+        sum(when(col("is_delta") === 1L, col("n")).otherwise(0L)).as("n_delta"))
+      .orderBy("event_type")
+  }
+  val lakeIncrementalAggSql: String = s"""
+    WITH e AS (SELECT event_type, ${centsSql("value")} AS v_c,
+        epoch_us(ts) // $UsPerDay AS day FROM events),
+    b AS (SELECT MIN(day) AS d0 FROM e)
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS sum_c,
+      CAST(SUM(CASE WHEN day >= d0 + 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM e, b GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "lake_compact" -> lakeCompact,
+    "lake_incremental_agg" -> lakeIncrementalAgg,
     "lake_bucketed_join" -> lakeBucketedJoin,
     "lake_partitioned_scan" -> lakePartitionedScan,
     "lake_format_roundtrip" -> lakeFormatRoundtrip,
     "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
+    "lake_compact" -> lakeCompactSql,
+    "lake_incremental_agg" -> lakeIncrementalAggSql,
     "lake_bucketed_join" -> lakeBucketedJoinSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,
     "lake_format_roundtrip" -> lakeFormatRoundtripSql,

@@ -429,7 +429,38 @@ object TextAnalysis {
     SELECT doc_id, COUNT(*) AS n_match, CAST(SUM(cm) AS BIGINT) AS score_micro
     FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK"""
 
+  // ── text_clean — normalization pass (the pipeline's first map) ───────
+  /** Text normalization: lowercase, trim, collapse whitespace runs —
+    * the canonical first transform of every training-data pipeline
+    * (normalize BEFORE dedup so formatting variants collide). Pure
+    * map-only projection: no shuffle, stays inside whole-stage codegen,
+    * parallelism = input splits at any scale. Emits per-doc before/after
+    * lengths and the codepoint polyhash of the cleaned text (the key a
+    * downstream exact-dedup would group on). DuckDB's regexp_replace
+    * needs the explicit 'g' flag to match Spark's replace-all default. */
+  def textClean: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("clean", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(col("clean")).cast("long").as("clean_len"),
+        (col("clean") =!= col("text")).cast("long").as("changed"),
+        poly_hash_cp(col("clean")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+  val textCleanSql: String = s"""
+    WITH c AS (SELECT doc_id, text,
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean
+      FROM documents)
+    SELECT doc_id, CAST(len(text) AS BIGINT) AS raw_len,
+      CAST(len(clean) AS BIGINT) AS clean_len,
+      CAST(CASE WHEN clean <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+      ${graft.util.TextUtil.polySql("clean")} AS clean_hash
+    FROM c ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "text_clean" -> textClean,
     "text_chunk" -> textChunk,
     "text_bm25" -> textBm25,
     "text_decontaminate" -> textDecontaminate,
@@ -443,6 +474,7 @@ object TextAnalysis {
     "text_kmv_sketch" -> textKmvSketch)
 
   val oracles: Map[String, String] = Map(
+    "text_clean" -> textCleanSql,
     "text_chunk" -> textChunkSql,
     "text_bm25" -> textBm25Sql,
     "text_decontaminate" -> textDecontaminateSql,

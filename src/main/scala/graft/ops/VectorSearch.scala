@@ -126,6 +126,51 @@ object VectorSearch {
     WHERE e.label IN (1, 3, 5, 7, 9) AND d.lang = 'en'
     ORDER BY dist, vec_id LIMIT 10"""
 
+  // ── vs_centroids — per-label vector centroid aggregation ─────────────
+  /** Vector AGGREGATION (the missing half of vector search): elementwise
+    * mean embedding per label — class prototypes / cluster summaries /
+    * the "average user vector" shape. Bit-reproducibility is the design
+    * point: parallel float SUM is order-nondeterministic, so this
+    * deterministic variant folds the id-SORTED vector list sequentially
+    * (collect_list + sort_array + `aggregate`/`zip_with`) — the same
+    * IEEE op sequence DuckDB's ordered `list_reduce` replays, hence a
+    * full hash oracle. Per-group state is |group|×dim; for unbounded
+    * groups at 100 TB flip to the commutative posexplode+SUM form (one
+    * shuffle, map-side combined) and accept last-digit wobble — that
+    * trade is the documented knob, [[graft.ops.IvfIndex]] uses it for
+    * training where exactness isn't needed. */
+  def vsCentroids: Q = (spark, dir) => {
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("label"), col("n"),
+        expr("aggregate(vs, array_repeat(0.0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
+          .as("sumv"))
+      .select(col("label"), col("n"),
+        r6(expr("sumv[0]") / col("n")).as("c0"),
+        r6(expr("sumv[1]") / col("n")).as("c1"),
+        r6(expr("sumv[2]") / col("n")).as("c2"),
+        r6(expr("sumv[3]") / col("n")).as("c3"),
+        r6(expr("aggregate(sumv, 0.0D, (a, x) -> a + x / n)")).as("csum"))
+      .orderBy("label")
+  }
+  val vsCentroidsSql = s"""
+    WITH e AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    g AS (SELECT label, COUNT(*) AS n, list(v ORDER BY vec_id) AS vs
+          FROM e GROUP BY label),
+    s AS (SELECT label, n,
+            list_reduce(vs, (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])) AS sumv
+          FROM g)
+    SELECT label, n,
+      round(sumv[1] / n, 6) AS c0, round(sumv[2] / n, 6) AS c1,
+      round(sumv[3] / n, 6) AS c2, round(sumv[4] / n, 6) AS c3,
+      round(list_reduce(list_transform(sumv, x -> x / n), (a, b) -> a + b), 6) AS csum
+    FROM s ORDER BY label"""
+
   // ── vs_knn_join — batch kNN: bounded query set × corpus, top-5 each ──
   /** Broadcast the (bounded) query set; one pass over the corpus computes
     * all query distances; top-k per query via window on q_id. At 100 TB the
@@ -786,6 +831,7 @@ object VectorSearch {
     "vec_functions" -> vecFunctions,
     "vs_search_topk" -> vsSearchTopk,
     "vs_filtered_search" -> vsFilteredSearch,
+    "vs_centroids" -> vsCentroids,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
@@ -804,6 +850,7 @@ object VectorSearch {
     "vec_functions" -> vecFunctionsSql,
     "vs_search_topk" -> vsSearchTopkSql,
     "vs_filtered_search" -> vsFilteredSearchSql,
+    "vs_centroids" -> vsCentroidsSql,
     "vs_knn_join" -> vsKnnJoinSql,
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,
