@@ -327,6 +327,61 @@ object Events {
     FROM spine s LEFT JOIN hourly USING (event_type, hour_idx)
     ORDER BY event_type, hour_idx"""
 
+  // ── ev_moving_window — RANGE-frame moving 3-hour totals ──────────────
+  /** Moving window over the TIME VALUE, not row positions: for each
+    * (type, hour) the trailing 3-hour totals via a RANGE frame
+    * (`rangeBetween(-2, 0)` on hour_idx) — unlike a ROWS frame this is
+    * gap-correct: a missing hour narrows the window instead of silently
+    * reaching further back. Computed on the |types × hours| hourly
+    * aggregate, so the corpus contributes one aggregation shuffle and
+    * the window runs on thousands of rows at any corpus size. Integer
+    * sums only (a moving "average" would be mov_sum/mov_n downstream). */
+  def evMovingWindow: Q = (spark, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("hour_idx")
+      .rangeBetween(-2, Window.currentRow)
+    ev(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .withColumn("mov_n", sum("n").over(w))
+      .withColumn("mov_sum_c", sum("sum_value_c").over(w))
+      .orderBy("event_type", "hour_idx")
+  }
+  val evMovingWindowSql = s"""
+    WITH hourly AS (SELECT event_type, epoch_us(ts) // $HourUs AS hour_idx,
+        COUNT(*) AS n, CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour_idx, n, sum_value_c,
+      CAST(SUM(n) OVER w AS BIGINT) AS mov_n,
+      CAST(SUM(sum_value_c) OVER w AS BIGINT) AS mov_sum_c
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, hour_idx"""
+
+  // ── ev_histogram — equi-width value histogram per event type ─────────
+  /** Distribution profiling: 16 equi-width buckets over the GLOBAL cents
+    * range (shared bounds so per-type histograms are comparable), with
+    * per-bucket count and observed min/max. Bounds come from a broadcast
+    * 1-row aggregate — the two-pass histogram shape (bounds pass +
+    * bucket pass) whose second pass is map-side-combined; bucket math is
+    * exact integer arithmetic. At 100 TB both passes are single scans
+    * with |types × 16|-row shuffles. */
+  def evHistogram: Q = (spark, dir) => {
+    val e = ev(spark, dir).select(col("event_type"), cents(col("value")).as("v_c"))
+    val bounds = e.agg(min("v_c").as("mn"), max("v_c").as("mx"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("((v_c - mn) * 16) div (mx - mn + 1)"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min("v_c").as("lo_c"), max("v_c").as("hi_c"))
+      .orderBy("event_type", "bucket")
+  }
+  val evHistogramSql = s"""
+    WITH e AS (SELECT event_type, ${centsSql("value")} AS v_c FROM events),
+    b AS (SELECT MIN(v_c) AS mn, MAX(v_c) AS mx FROM e)
+    SELECT event_type, ((v_c - mn) * 16) // (mx - mn + 1) AS bucket,
+      COUNT(*) AS n, MIN(v_c) AS lo_c, MAX(v_c) AS hi_c
+    FROM e, b GROUP BY 1, 2 ORDER BY event_type, bucket"""
+
   // ── ev_props_parse — semi-structured JSON property extraction ────────
   /** Event payloads arrive as JSON strings; this is the
     * schema-on-read extraction step every event pipeline starts with.
@@ -365,7 +420,9 @@ object Events {
     "ev_transition" -> evTransition,
     "ev_anomaly" -> evAnomaly,
     "ev_props_parse" -> evPropsParse,
-    "ev_gap_fill" -> evGapFill)
+    "ev_gap_fill" -> evGapFill,
+    "ev_histogram" -> evHistogram,
+    "ev_moving_window" -> evMovingWindow)
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
@@ -378,5 +435,7 @@ object Events {
     "ev_transition" -> evTransitionSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_props_parse" -> evPropsParseSql,
-    "ev_gap_fill" -> evGapFillSql)
+    "ev_gap_fill" -> evGapFillSql,
+    "ev_histogram" -> evHistogramSql,
+    "ev_moving_window" -> evMovingWindowSql)
 }

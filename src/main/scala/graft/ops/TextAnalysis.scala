@@ -459,7 +459,45 @@ object TextAnalysis {
       ${graft.util.TextUtil.polySql("clean")} AS clean_hash
     FROM c ORDER BY doc_id"""
 
+  // ── text_redact — denylist token redaction ───────────────────────────
+  /** Denylist redaction — the filtering/PII-scrub shape: every token on
+    * the denylist is replaced by a sentinel, and the doc reports its
+    * redaction count plus the hash of the redacted text (proof the
+    * replacement actually happened, not just counting). Membership here
+    * is hash-derived (poly_hash(token) % 97 == 0 — a deterministic
+    * stand-in the oracle replays; a production denylist is a broadcast
+    * set probed the same way). Map-only over a Generate-barriered
+    * tokenization (computed once per row despite three references —
+    * see [[graft.util.Det.materializedColumn]]); no shuffle at any
+    * scale. */
+  def textRedact: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.util.Det.materializedColumn(docs, "toks", graft.util.TextUtil.toksCol)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(toks, t -> poly_hash(t) % 97 = 0))").cast("long").as("n_redacted"),
+        poly_hash_cp(expr(
+          "array_join(transform(toks, t -> IF(poly_hash(t) % 97 = 0, '<r>', t)), ' ')"))
+          .as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+  val textRedactSql: String = {
+    def polySql(c: String) = graft.util.TextUtil.polySql(c)
+    s"""
+    WITH t AS (SELECT doc_id, ${graft.util.TextUtil.toksSql} AS toks FROM documents),
+    r AS (SELECT doc_id, toks,
+        array_to_string(list_transform(toks,
+          t -> CASE WHEN ${polySql("t")} % 97 = 0 THEN '<r>' ELSE t END), ' ') AS red
+      FROM t)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(toks, t -> ${polySql("t")} % 97 = 0)) AS BIGINT) AS n_redacted,
+      CASE WHEN len(red) = 0 THEN 0 ELSE ${polySql("red")} END AS redacted_hash
+    FROM r ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_redact" -> textRedact,
     "text_clean" -> textClean,
     "text_chunk" -> textChunk,
     "text_bm25" -> textBm25,
@@ -474,6 +512,7 @@ object TextAnalysis {
     "text_kmv_sketch" -> textKmvSketch)
 
   val oracles: Map[String, String] = Map(
+    "text_redact" -> textRedactSql,
     "text_clean" -> textCleanSql,
     "text_chunk" -> textChunkSql,
     "text_bm25" -> textBm25Sql,

@@ -171,6 +171,50 @@ object VectorSearch {
       round(list_reduce(list_transform(sumv, x -> x / n), (a, b) -> a + b), 6) AS csum
     FROM s ORDER BY label"""
 
+  // ── vs_binary_search — sign quantization + Hamming prefilter ─────────
+  /** Binary quantization: each 64-dim vector collapses to its SIGN
+    * pattern — two 32-bit halves packed into longs (split to keep every
+    * value positive: bit 63 of a single 64-bit key is sign-hazardous
+    * across engines). Search runs Hamming-distance (`bit_count(xor)`,
+    * both codegen'd built-ins) over the 16-byte signatures to take 64
+    * candidates, then exact cosine reranks the top 10. This is the
+    * extreme compression point of the quantization family (32× smaller
+    * than float32; cf. vs_quant_search int8 = 4×, vs_pq_search 4-bit =
+    * 64×): at 100 TB the first pass streams ONLY packed longs — the
+    * full vectors are fetched for 64 rows. Signature packing is integer
+    * arithmetic, so the oracle rebuilds identical signatures and the
+    * whole pipeline is hash-exact. */
+  def vsBinarySearch: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def sig(off: Int): Column = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + IF(element_at(v, i + $off + 1) > 0D, shiftleft(1L, i), 0L))")
+    val s = e.withColumn("lo", sig(0)).withColumn("hi", sig(32))
+    val q = s.filter(col("vec_id") === 0)
+      .select(col("lo").as("qlo"), col("hi").as("qhi"), col("v").as("qv"))
+    val cand = s.crossJoin(broadcast(q))
+      .withColumn("ham",
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("long"))
+      .orderBy(col("ham"), col("vec_id"))
+      .limit(64)
+    cand.select(col("vec_id"), col("ham"), dist(col("v"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+  val vsBinarySearchSql = {
+    def sigSql(off: Int) =
+      s"CAST(list_reduce(list_transform(range(0, 32), i -> CASE WHEN v[i + $off + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS BIGINT)"
+    s"""
+    WITH e AS ($eSql),
+    s AS (SELECT vec_id, v, ${sigSql(0)} AS lo, ${sigSql(32)} AS hi FROM e),
+    q AS (SELECT lo AS qlo, hi AS qhi, v AS qv FROM s WHERE vec_id = 0),
+    cand AS (SELECT vec_id, v, qv,
+        CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT) AS ham
+      FROM s, q ORDER BY ham, vec_id LIMIT 64)
+    SELECT vec_id, ham, ${distSql("v", "qv")} AS dist
+    FROM cand ORDER BY dist, vec_id LIMIT 10"""
+  }
+
   // ── vs_knn_join — batch kNN: bounded query set × corpus, top-5 each ──
   /** Broadcast the (bounded) query set; one pass over the corpus computes
     * all query distances; top-k per query via window on q_id. At 100 TB the
@@ -832,6 +876,7 @@ object VectorSearch {
     "vs_search_topk" -> vsSearchTopk,
     "vs_filtered_search" -> vsFilteredSearch,
     "vs_centroids" -> vsCentroids,
+    "vs_binary_search" -> vsBinarySearch,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
@@ -851,6 +896,7 @@ object VectorSearch {
     "vs_search_topk" -> vsSearchTopkSql,
     "vs_filtered_search" -> vsFilteredSearchSql,
     "vs_centroids" -> vsCentroidsSql,
+    "vs_binary_search" -> vsBinarySearchSql,
     "vs_knn_join" -> vsKnnJoinSql,
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,

@@ -170,6 +170,91 @@ class WideOpsSpec extends SparkSpec {
     assert(deltas.exists(_ > 0L), "delta segment should be non-empty")
   }
 
+  test("vs_binary_search: signatures match plain-Scala packing and rerank is exact on candidates") {
+    val rows = VectorSearch.vsBinarySearch(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def sig(v: Array[Double], off: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) => acc + (if (v(i + off) > 0) 1L << i else 0L))
+    val sigs = emb.map { case (id, v) => id -> (sig(v, 0), sig(v, 32)) }.toMap
+    val (qlo, qhi) = sigs(0L)
+    val qv = emb.find(_._1 == 0L).get._2
+    def ham(id: Long): Long = {
+      val (lo, hi) = sigs(id)
+      java.lang.Long.bitCount(lo ^ qlo).toLong + java.lang.Long.bitCount(hi ^ qhi)
+    }
+    // Hamming column matches the independent packing
+    rows.foreach(r => assert(r.getAs[Long]("ham") == ham(r.getAs[Long]("vec_id"))))
+    // result ids = brute-force candidate set (top-64 by hamming) reranked by cosine
+    val cand = emb.map(_._1).sortBy(id => (ham(id), id)).take(64).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val want = emb.filter(e => cand(e._1))
+      .map(e => (e._1, BigDecimal(1.0 - cos(e._2, qv)).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)))
+      .sortBy(p => (p._2, p._1)).take(10).map(_._1).toSeq
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == want)
+  }
+
+  test("text_redact counts and hash match plain-Scala replacement") {
+    val rows = TextAnalysis.textRedact(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    def poly(s: String): Long = polyCp(s) // [a-z0-9] tokens: byte == codepoint
+    var redactedSomething = false
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val redacted = toks.map(t => if (poly(t) % 97 == 0) "<r>" else t)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_redacted") == toks.count(t => poly(t) % 97 == 0).toLong)
+      assert(r.getAs[Long]("redacted_hash") == polyCp(redacted.mkString(" ")))
+      if (r.getAs[Long]("n_redacted") > 0) redactedSomething = true
+    }
+    assert(redactedSomething, "corpus should trip the denylist at least once")
+  }
+
+  test("ev_histogram conserves counts, respects bucket bounds, and matches per-bucket extremes") {
+    val rows = Events.evHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), graft.util.Det.cents(col("value")).as("v_c")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("v_c")))
+    assert(rows.map(_.getAs[Long]("n")).sum == vals.length.toLong)
+    val mn = vals.map(_._2).min
+    val mx = vals.map(_._2).max
+    val want = vals.groupBy { case (t, v) => (t, (v - mn) * 16 / (mx - mn + 1)) }
+      .map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).min, vs.map(_._2).max) }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getAs[Long]("bucket"))
+      assert(k._2 >= 0 && k._2 < 16)
+      val (n, lo, hi) = want(k)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("lo_c") == lo && r.getAs[Long]("hi_c") == hi)
+    }
+  }
+
+  test("ev_moving_window: RANGE frame sums trailing 3 hours by VALUE, not row position") {
+    val rows = Events.evMovingWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      val m = rs.map(r => r.getAs[Long]("hour_idx") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_value_c"))).toMap
+      rs.foreach { r =>
+        val h = r.getAs[Long]("hour_idx")
+        // independent recompute: sum over hours in [h-2, h] that exist
+        val win = (h - 2 to h).flatMap(m.get)
+        assert(r.getAs[Long]("mov_n") == win.map(_._1).sum)
+        assert(r.getAs[Long]("mov_sum_c") == win.map(_._2).sum)
+      }
+    }
+  }
+
   test("graph_pagerank equals the plain-Scala fixed-point iteration") {
     val rows = Graph.graphPagerank(spark, sf).collect()
     assert(rows.nonEmpty)
