@@ -232,13 +232,23 @@ object Events {
     * followed by a tiny |types|² aggregate. At 100 TB the user_id shuffle
     * is the same exchange sessionization already pays; the transition
     * table itself is O(|types|²) — driver-safe however large the corpus. */
-  def evTransition: Q = (spark, dir) => {
+  /** Consecutive event-type pairs per user — (user_id, prev_type,
+    * next_type). The ONE definition of transition semantics (ordering
+    * tie-break, ns→µs axis), shared by [[evTransition]] and
+    * [[graft.ops.Graph]]'s edge list so the two can never
+    * desynchronize. */
+  private[ops] def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ev(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(byUser))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .select(col("user_id"), col("prev_type"), col("event_type").as("next_type"))
+  }
+
+  def evTransition: Q = (spark, dir) => {
+    transitionPairs(spark, dir)
+      .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
       .orderBy("prev_type", "next_type")
   }

@@ -22,18 +22,13 @@ object Graph {
   final val Iters = 3
 
   /** Weighted directed edges (prev→next, weight = pair count) from the
-    * per-user event sequences. One window shuffle on user_id, then a
-    * |types²|-row aggregate. */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    Tables.events(spark, dir)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("user_id"), col("event_type"))
-      .withColumn("prev_type", lag("event_type", 1).over(byUser))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+    * per-user event sequences — [[Events.transitionPairs]] is the one
+    * definition of transition semantics. One window shuffle on user_id,
+    * then a |types²|-row aggregate. */
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    Events.transitionPairs(spark, dir)
+      .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("w"))
-  }
 
   // ── graph_pagerank — fixed-point integer PageRank, 3 iterations ──────
   /** PageRank in EXACT fixed-point integer arithmetic (rank scaled by

@@ -137,8 +137,7 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val encoder = org.apache.spark.sql.Encoders.row(frameSchema)
     media.mapPartitions { rows =>
-      rows.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.flatMap { r =>
+      rows.flatMap { r =>
           val id = r.getAs[Long]("doc_id")
           val bytes = r.getAs[Array[Byte]]("payload")
           Iterator.from(0).map(_.toLong)
@@ -150,7 +149,6 @@ object Multimodal {
               Row(id, idx, off.toLong, fLen.toLong,
                 java.util.Arrays.copyOfRange(bytes, off, off + fLen))
             }
-        }
       }
     }(encoder)
   }

@@ -437,11 +437,14 @@ object TextAnalysis {
     * parallelism = input splits at any scale. Emits per-doc before/after
     * lengths and the codepoint polyhash of the cleaned text (the key a
     * downstream exact-dedup would group on). DuckDB's regexp_replace
-    * needs the explicit 'g' flag to match Spark's replace-all default. */
+    * needs the explicit 'g' flag to match Spark's replace-all default,
+    * and the whitespace class is spelled out because Java's \\s
+    * includes \\x0B while RE2's does not. */
   def textClean: Q = (spark, dir) => {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .withColumn("clean", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("clean",
+        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f\\u000B]+", " ")))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("raw_len"),
         length(col("clean")).cast("long").as("clean_len"),
@@ -451,12 +454,13 @@ object TextAnalysis {
   }
   val textCleanSql: String = s"""
     WITH c AS (SELECT doc_id, text,
-        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean
+        trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean
       FROM documents)
     SELECT doc_id, CAST(len(text) AS BIGINT) AS raw_len,
       CAST(len(clean) AS BIGINT) AS clean_len,
       CAST(CASE WHEN clean <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
-      ${graft.util.TextUtil.polySql("clean")} AS clean_hash
+      CASE WHEN len(clean) = 0 THEN 0
+           ELSE ${graft.util.TextUtil.polySql("clean")} END AS clean_hash
     FROM c ORDER BY doc_id"""
 
   // ── text_redact — denylist token redaction ───────────────────────────

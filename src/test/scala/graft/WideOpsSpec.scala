@@ -33,7 +33,7 @@ class WideOpsSpec extends SparkSpec {
     }
     val want = emb.toSeq
       .filter(e => Set(1, 3, 5, 7, 9)(e._3) && en(e._1))
-      .map(e => (e._1, BigDecimal(1.0 - cos(e._2, qv)).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)))
+      .map(e => (e._1, BigDecimal(1.0 - cos(e._2, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
       .sortBy(p => (p._2, p._1)).take(10).map(_._1)
     assert(rows.map(_.getAs[Long]("vec_id")).toSeq == want)
     rows.foreach { r =>
@@ -114,7 +114,7 @@ class WideOpsSpec extends SparkSpec {
     assert(rows.length == docs.size)
     rows.foreach { r =>
       val raw = docs(r.getAs[Long]("doc_id"))
-      val clean = raw.toLowerCase.replaceAll("\\s+", " ").trim
+      val clean = raw.toLowerCase.replaceAll("[ \\t\\n\\r\\f\\u000B]+", " ").trim
       assert(r.getAs[Long]("raw_len") == raw.codePointCount(0, raw.length).toLong)
       assert(r.getAs[Long]("clean_len") == clean.codePointCount(0, clean.length).toLong)
       assert(r.getAs[Long]("changed") == (if (clean != raw) 1L else 0L))
@@ -135,7 +135,7 @@ class WideOpsSpec extends SparkSpec {
       val sum = vs.foldLeft(Array.fill(64)(0.0)) { (acc, v) =>
         Array.tabulate(64)(i => acc(i) + v(i))
       }
-      def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getAs[Double]("c0") == rd(sum(0) / n))
       assert(r.getAs[Double]("c3") == rd(sum(3) / n))
       val csum = sum.foldLeft(0.0)((a, x) => a + x / n)
@@ -194,7 +194,7 @@ class WideOpsSpec extends SparkSpec {
       d / math.sqrt(na * nb)
     }
     val want = emb.filter(e => cand(e._1))
-      .map(e => (e._1, BigDecimal(1.0 - cos(e._2, qv)).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)))
+      .map(e => (e._1, BigDecimal(1.0 - cos(e._2, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
       .sortBy(p => (p._2, p._1)).take(10).map(_._1).toSeq
     assert(rows.map(_.getAs[Long]("vec_id")).toSeq == want)
   }
