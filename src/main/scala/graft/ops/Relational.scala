@@ -400,7 +400,42 @@ object Relational {
       SELECT o_custkey FROM orders WHERE o_totalprice > 500000)
     SELECT COUNT(*) AS n_custs, CAST(SUM(o_custkey) AS BIGINT) AS key_sum FROM seg"""
 
+  /** Q16: unpivot/melt — the inverse of [[q12Pivot]], via
+    * `Dataset.unpivot` (one Expand node: each aggregate row is
+    * replicated once per measure — no join, no shuffle beyond the
+    * upstream 3-group aggregate). Wide per-flag totals become the long
+    * (flag, measure, value) form that generic reporting/plotting
+    * consumers want. */
+  def q16Unpivot: Q = (spark, dir) => {
+    val wide = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .groupBy("l_returnflag")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty_c"), col("sum_price_c"), col("n_rows")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+  val q16UnpivotSql: String = s"""
+    WITH wide AS (
+      SELECT l_returnflag,
+        CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+        CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+        COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty_c' AS measure, sum_qty_c AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price_c', sum_price_c FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+    ORDER BY l_returnflag, measure"""
+
   val queries: Map[String, Q] = Map(
+    "q16_unpivot" -> q16Unpivot,
     "q14_median" -> q14Median,
     "q15_setops" -> q15Setops,
     "q1_agg" -> q1Agg,
@@ -416,6 +451,7 @@ object Relational {
     "q10_topn_group" -> q10TopnGroup)
 
   val oracles: Map[String, String] = Map(
+    "q16_unpivot" -> q16UnpivotSql,
     "q14_median" -> q14MedianSql,
     "q15_setops" -> q15SetopsSql,
     "q1_agg" -> q1AggSql,

@@ -238,6 +238,23 @@ class WideOpsSpec extends SparkSpec {
     }
   }
 
+  test("q16_unpivot is the exact inverse of re-pivoting") {
+    val long = Relational.q16Unpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("value")).toMap
+    val wide = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), graft.util.Det.cents(col("l_quantity")).as("q_c"),
+        graft.util.Det.cents(col("l_extendedprice")).as("p_c"))
+      .groupBy("l_returnflag")
+      .agg(sum("q_c").as("q"), sum("p_c").as("p"), count(lit(1)).as("n")).collect()
+    assert(wide.nonEmpty && long.size == wide.length * 3)
+    wide.foreach { r =>
+      val flag = r.getString(0)
+      assert(long((flag, "sum_qty_c")) == r.getAs[Long]("q"))
+      assert(long((flag, "sum_price_c")) == r.getAs[Long]("p"))
+      assert(long((flag, "n_rows")) == r.getAs[Long]("n"))
+    }
+  }
+
   test("ev_moving_window: RANGE frame sums trailing 3 hours by VALUE, not row position") {
     val rows = Events.evMovingWindow(spark, sf).collect()
     assert(rows.nonEmpty)
