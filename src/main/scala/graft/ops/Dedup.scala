@@ -230,6 +230,47 @@ object Dedup {
     SELECT src AS doc_id, MIN(dst) AS cluster_id
     FROM reach GROUP BY src ORDER BY doc_id"""
 
+  // ── dedup_survivor — keep-BEST near-dup survivorship (not min-id) ────
+  /** Survivorship policy: real pipelines keep the best copy of a
+    * near-dup group, not the lowest id. Composes the verified MinHash
+    * pair graph with the text-quality score: a doc is DROPPED when any
+    * neighbor beats it on (score desc, id asc); the pairwise-greedy rule
+    * needs no iteration (one aggregate over the symmetric pair list),
+    * and each group's best member always survives. Corpus-sized data
+    * touches only the two score joins (hash joins on doc id); the pair
+    * list is the tiny verified-candidate set. Emits every pair
+    * participant with its score, neighbor count, and verdict — the
+    * audit record a dedup run should leave behind. */
+  def dedupSurvivor: Q = (spark, dir) => {
+    val pairs = dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+    val scores = TextAnalysis.qualityScoresFrame(spark, dir)
+    val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+    sym
+      .join(scores.select(col("doc_id").as("id"), col("score").as("s_id")), "id")
+      .join(scores.select(col("doc_id").as("nb"), col("score").as("s_nb")), "nb")
+      .groupBy("id")
+      .agg(max(when(col("s_nb") > col("s_id") ||
+            (col("s_nb") === col("s_id") && col("nb") < col("id")), 1L)
+          .otherwise(0L)).as("beaten"),
+        count(lit(1)).as("n_neighbors"), max("s_id").as("score"))
+      .select(col("id").as("doc_id"), col("score"), col("n_neighbors"),
+        (lit(1L) - col("beaten")).as("survives"))
+      .orderBy("doc_id")
+  }
+  val dedupSurvivorSql: String = minhashCtes + s""",
+    pairs AS (SELECT a_id, b_id FROM jj WHERE jaccard >= 0.7),
+    sym AS (SELECT a_id AS id, b_id AS nb FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+    sc AS (${TextAnalysis.qualityScoresSql})
+    SELECT s.id AS doc_id, MAX(a.score) AS score,
+      COUNT(*) AS n_neighbors,
+      CAST(1 - MAX(CASE WHEN b.score > a.score
+                     OR (b.score = a.score AND s.nb < s.id)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS survives
+    FROM sym s JOIN sc a ON a.doc_id = s.id JOIN sc b ON b.doc_id = s.nb
+    GROUP BY s.id ORDER BY doc_id"""
+
   // ── dedup_simhash — 64-bit SimHash, 32-bit chunk-pair banding, Ham ≤ 2 ─
   /** Token-hash sign votes per bit; the 64-bit signature is kept as four
     * 16-bit chunks. Candidate pairs share one of the C(4,2)=6 *chunk-pair*
@@ -442,7 +483,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "dedup_survivor" -> dedupSurvivor)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -450,5 +492,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_survivor" -> dedupSurvivorSql)
 }

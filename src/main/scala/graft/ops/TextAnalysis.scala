@@ -78,6 +78,25 @@ object TextAnalysis {
     floor((uniq * 0.4 + alpha * 0.3
       + least(lit(1.0), nTok / 100.0) * 0.3) * 1000 + 0.5).cast("long")
 
+  /** (doc_id, score) integer quality scores — the reusable form
+    * [[graft.ops.Dedup.dedupSurvivor]] joins against. */
+  private[ops] def qualityScoresFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toksCol.as("toks"))
+    base.filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        qualityScore(uniqRatio(col("toks")), alphaRatio(col("text")),
+          size(col("toks"))).as("score"))
+  }
+  /** DuckDB subquery mirroring [[qualityScoresFrame]]. */
+  private[ops] val qualityScoresSql: String = s"""
+    SELECT doc_id,
+      CAST(floor((round(len(list_distinct(toks))::DOUBLE / len(toks), 6) * 0.4
+        + round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(text), 6) * 0.3
+        + least(1.0, len(toks) / 100.0) * 0.3) * 1000 + 0.5) AS BIGINT) AS score
+    FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+    WHERE len(toks) > 0"""
+
   def textQuality: Q = (spark, dir) => {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
       toksCol.as("toks"))

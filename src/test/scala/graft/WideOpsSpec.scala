@@ -272,6 +272,28 @@ class WideOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_survivor: best member of every near-dup cluster survives; losers are dropped") {
+    val rows = graft.ops.Dedup.dedupSurvivor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = graft.ops.Dedup.dedupMinhashLsh(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val scores = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    def beats(x: Long, y: Long): Boolean = // (score desc, id asc)
+      scores(x) > scores(y) || (scores(x) == scores(y) && x < y)
+    val neighbors = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val survives = r.getAs[Long]("survives") == 1L
+      assert(survives == neighbors(id).forall(nb => beats(id, nb)))
+      assert(r.getAs[Long]("n_neighbors") == neighbors(id).size.toLong)
+    }
+    // the greedy rule keeps each connected cluster's global best
+    assert(rows.exists(_.getAs[Long]("survives") == 1L))
+    assert(rows.exists(_.getAs[Long]("survives") == 0L))
+  }
+
   test("graph_pagerank equals the plain-Scala fixed-point iteration") {
     val rows = Graph.graphPagerank(spark, sf).collect()
     assert(rows.nonEmpty)
