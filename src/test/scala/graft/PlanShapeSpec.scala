@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Events, Lake, Relational, VectorSearch}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+/** Plan-shape regression guards for the round-5 operators: the
+  * scale-critical properties (pushdown, scan counts, shuffle counts)
+  * asserted on the executed post-AQE plans, so a refactor that silently
+  * de-optimizes a plan fails a spec, not a production run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def executedNodes(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("vs_filtered_search pushes both metadata predicates into the parquet scans") {
+    val nodes = executedNodes(VectorSearch.vsFilteredSearch(spark, sf))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.flatMap(_.dataFilters).map(_.toString).mkString("; ")
+    assert(scans.exists(_.dataFilters.exists(_.toString.contains("label"))),
+      s"label filter not pushed to a scan: $pushed")
+    assert(scans.exists(_.dataFilters.exists(_.toString.contains("lang"))),
+      s"lang filter not pushed to a scan: $pushed")
+  }
+
+  test("ev_gap_fill scans the events table exactly once") {
+    val nodes = executedNodes(Events.evGapFill(spark, sf))
+    // the staged hourly aggregate is the ONLY consumer of the raw scan;
+    // bounds, type list, and probe all read the checkpointed frame
+    val eventScans = nodes.collect {
+      case s: FileSourceScanExec if s.relation.location.inputFiles
+        .exists(_.contains("events")) => s
+    }
+    assert(eventScans.length <= 1,
+      s"gap fill must not rescan events (found ${eventScans.length} scans)")
+  }
+
+  test("q14_median uses a single group-key hash exchange for windows AND aggregate") {
+    val nodes = executedNodes(Relational.q14Median(spark, sf))
+    val hashExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+          e.outputPartitioning.toString.contains("l_returnflag") => e
+    }
+    assert(hashExchanges.length == 1,
+      s"expected exactly 1 hash exchange on l_returnflag, got ${hashExchanges.length}")
+  }
+
+  test("lake_compact reads the compacted copy in at most 4 partitions") {
+    val df = Lake.lakeCompact(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val scan = nodes.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.inputRDD.getNumPartitions <= 4,
+      s"compacted scan should be <= 4 partitions, got ${scan.inputRDD.getNumPartitions}")
+  }
+}
