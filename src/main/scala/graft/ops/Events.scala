@@ -262,6 +262,40 @@ object Events {
     FROM t WHERE prev_type IS NOT NULL
     GROUP BY 1, 2 ORDER BY prev_type, next_type"""
 
+  // ── ev_top_paths — top event-type trigram paths (sequence mining) ────
+  /** The most common 3-step behavioral paths (p1→p2→p3) across all user
+    * sequences — the sequence-mining summary behind funnel discovery and
+    * next-event models. Two lags over the SAME per-user window (one
+    * shuffle on user_id — Spark plans consecutive lags over one
+    * WindowExec), then a map-side-combined count on the (p1,p2,p3) key:
+    * at most |types|³ aggregate rows however large the corpus. The
+    * global top-10 is orderBy+limit — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge of 10 rows), NOT a
+    * single-partition global sort; ties broken by path so the cut is
+    * deterministic. */
+  def evTopPaths: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag("event_type", 2).over(byUser))
+      .withColumn("p2", lag("event_type", 1).over(byUser))
+      .filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("p2"), col("event_type").as("p3"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+      .limit(10)
+  }
+  val evTopPathsSql = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    t AS (SELECT user_id, event_type AS p3,
+        lag(event_type, 1) OVER w AS p2,
+        lag(event_type, 2) OVER w AS p1
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT p1, p2, p3, COUNT(*) AS n,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM t WHERE p1 IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY n DESC, p1, p2, p3 LIMIT 10"""
+
   // ── ev_anomaly — hourly-count outliers, integer-exact z-test ─────────
   /** Volume-anomaly detection over the hourly count series: flag hours
     * whose event count deviates from the type's mean by more than 2
@@ -428,6 +462,7 @@ object Events {
     "ev_asof_join" -> evAsofJoin,
     "ev_range_join" -> evRangeJoin,
     "ev_transition" -> evTransition,
+    "ev_top_paths" -> evTopPaths,
     "ev_anomaly" -> evAnomaly,
     "ev_props_parse" -> evPropsParse,
     "ev_gap_fill" -> evGapFill,
@@ -443,6 +478,7 @@ object Events {
     "ev_asof_join" -> evAsofJoinSql,
     "ev_range_join" -> evRangeJoinSql,
     "ev_transition" -> evTransitionSql,
+    "ev_top_paths" -> evTopPathsSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_props_parse" -> evPropsParseSql,
     "ev_gap_fill" -> evGapFillSql,

@@ -38,6 +38,7 @@ object Lake {
   private[graft] def nationCsvPath: String = s"$lakeDir/nation_csv"
   private[graft] def regionJsonPath: String = s"$lakeDir/region_json"
   private[graft] def supplierOrcPath: String = s"$lakeDir/supplier_orc"
+  private[graft] def schemaEvoPath: String = s"$lakeDir/nation_evo"
 
   // Write-once/join-often: the lake layouts are the PERSISTENT artifacts
   // these operators exist to demonstrate, so they are written once per
@@ -83,6 +84,17 @@ object Lake {
         slim.repartition(64).write.mode("overwrite").parquet(fragmentedEventsPath)
         spark.read.parquet(fragmentedEventsPath).coalesce(4)
           .write.mode("overwrite").parquet(compactedEventsPath)
+        // Schema-evolution table for lake_schema_evolution: an "old"
+        // batch written before the n_regionkey column existed, then a
+        // "new" batch appended with the widened schema — two footer
+        // schemas in one directory, the additive-migration state every
+        // long-lived lake table passes through.
+        val nat = Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name", "n_regionkey")
+        nat.filter(col("n_nationkey") < 13).select("n_nationkey", "n_name")
+          .write.mode("overwrite").parquet(schemaEvoPath)
+        nat.filter(col("n_nationkey") >= 13)
+          .write.mode("append").parquet(schemaEvoPath)
         // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
@@ -305,7 +317,30 @@ object Lake {
       CAST(SUM(CASE WHEN day >= d0 + 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
     FROM e, b GROUP BY 1 ORDER BY event_type"""
 
+  // ── lake_schema_evolution — additive column migration (mergeSchema) ──
+  /** Reading a table whose files span two schema versions: the pre-
+    * migration files simply lack the new column and every engine-visible
+    * row gets NULL there — old data stays valid with zero rewrite, the
+    * additive-evolution contract lake tables rely on. `mergeSchema`
+    * reconciles the footer schemas at planning time (a per-file footer
+    * read — fine for a demonstration; at 100 TB the reconciled schema
+    * lives in a table format / metastore so planning stays O(1), which
+    * is exactly what [[Sinks]]' explicit-schema readers model). The
+    * oracle replays the NULL boundary relationally: layout history must
+    * not change a single value. */
+  def lakeSchemaEvolution: Q = (spark, dir) => {
+    ensureLake(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(schemaEvoPath)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+  val lakeSchemaEvolutionSql: String = """
+    SELECT n_nationkey, n_name,
+      CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END AS n_regionkey
+    FROM nation ORDER BY n_nationkey"""
+
   val queries: Map[String, Q] = Map(
+    "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_compact" -> lakeCompact,
     "lake_incremental_agg" -> lakeIncrementalAgg,
     "lake_bucketed_join" -> lakeBucketedJoin,
@@ -313,6 +348,7 @@ object Lake {
     "lake_format_roundtrip" -> lakeFormatRoundtrip,
     "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
+    "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_compact" -> lakeCompactSql,
     "lake_incremental_agg" -> lakeIncrementalAggSql,
     "lake_bucketed_join" -> lakeBucketedJoinSql,

@@ -212,10 +212,50 @@ object Pipeline {
       CAST(SUM(CASE WHEN coin < rate_bp THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
     FROM d GROUP BY 1, 2 ORDER BY source"""
 
+  // ── pipeline_stratified_sample — exact-N-per-stratum sampling ────────
+  /** Exact-count stratified sampling: exactly [[StratK]] documents per
+    * source (vs [[pipelineSampleMix]]'s rate-based coin, which only hits
+    * the target in expectation). Sample = the K smallest (hash-coin,
+    * doc_id) per stratum — deterministic, RNG-free, and reproducible
+    * across retries and partitionings, exactly like a seeded reservoir
+    * but with no sequential state. The rank-≤-K filter on a row_number
+    * window is the shape Spark rewrites to WindowGroupLimit: each map
+    * partition keeps only its local top-K BEFORE the shuffle, so the
+    * exchange carries O(partitions · K) rows per stratum, not the
+    * stratum — the reservoir-sampling communication bound, free from the
+    * optimizer. One stratum never perturbs another's sample; within a
+    * stratum, appends reshuffle the sample (inherent to exact-N). */
+  final val StratK = 16
+  def pipelineStratifiedSample: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val coin = (graft.functions.poly_hash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+      * MixSpread) % TextUtil.HashMod
+    val w = Window.partitionBy("source").orderBy(col("coin"), col("doc_id"))
+    Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+      .withColumn("coin", coin)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= StratK)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rn")
+  }
+  val pipelineStratifiedSampleSql: String = s"""
+    WITH d AS (SELECT doc_id, source, n_chars,
+        (${TextUtil.polySql("(source || ':' || CAST(doc_id AS VARCHAR))")}
+          * $MixSpread) % ${TextUtil.HashMod} AS coin
+      FROM documents),
+    r AS (SELECT source, doc_id, n_chars,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY coin, doc_id) AS BIGINT) AS rn
+      FROM d)
+    SELECT source, rn, doc_id, n_chars FROM r
+    WHERE rn <= $StratK ORDER BY source, rn"""
+
   val queries: Map[String, Q] = Map(
     "pipeline_curate" -> pipelineCurate,
-    "pipeline_sample_mix" -> pipelineSampleMix)
+    "pipeline_sample_mix" -> pipelineSampleMix,
+    "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
-    "pipeline_sample_mix" -> pipelineSampleMixSql)
+    "pipeline_sample_mix" -> pipelineSampleMixSql,
+    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql)
 }

@@ -434,7 +434,35 @@ object Relational {
       SELECT l_returnflag, 'n_rows', n_rows FROM wide)
     ORDER BY l_returnflag, measure"""
 
+  // ── q17_cube — CUBE over status × priority (all 4 grouping sets) ─────
+  /** CUBE = every subset of the two dimensions in one pass — completes
+    * the multi-level-aggregate trio (ROLLUP q8, GROUPING SETS q13). One
+    * scan + Expand(4 sets) + a single partially-aggregated hash
+    * aggregate: the Expand multiplies rows ×4 BEFORE the exchange, but
+    * map-side partial aggregation collapses each set to its |keys|
+    * partials per map partition, so the shuffle carries O(sets ·
+    * |status×priority|) rows however large the fact table. `gid` keys
+    * the output rows so NULL-as-total and NULL-as-value can never
+    * collide in the compare. */
+  def q17Cube: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("p_c"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("p_c").as("sum_c"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+  val q17CubeSql: String = s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
+    "q17_cube" -> q17Cube,
     "q16_unpivot" -> q16Unpivot,
     "q14_median" -> q14Median,
     "q15_setops" -> q15Setops,
@@ -451,6 +479,7 @@ object Relational {
     "q10_topn_group" -> q10TopnGroup)
 
   val oracles: Map[String, String] = Map(
+    "q17_cube" -> q17CubeSql,
     "q16_unpivot" -> q16UnpivotSql,
     "q14_median" -> q14MedianSql,
     "q15_setops" -> q15SetopsSql,

@@ -215,6 +215,68 @@ object TextAnalysis {
                  ELSE ${(KmvK - 1).toDouble} * ${graft.util.TextUtil.HashMod.toDouble} / hk::DOUBLE END, 6) AS kmv_estimate
     FROM exact e LEFT JOIN kth USING (source) ORDER BY source"""
 
+  // ── text_hll_sketch — deterministic HyperLogLog registers per source ─
+  /** HyperLogLog cardinality sketch built from scratch so it is
+    * bit-deterministic across engines (Spark's own `approx_count_distinct`
+    * is HLL++ with an engine-private hash — useful, but not
+    * oracle-checkable). Token hash → Fibonacci-spread (the raw polynomial
+    * hash has no avalanche) → 5-bit bucket + rank-of-first-bit rho;
+    * register = MAX(rho) per (source, bucket). MAX is algebraic and
+    * duplicate-insensitive — no distinct pass anywhere, map-side combined,
+    * and two sketches merge by elementwise max: the O(m)-state mergeable
+    * shape that lets 1000 executors sketch 100 TB and combine 32 longs
+    * per source. The estimate αm²/Σ2^−rho is cleared of floats: Σ2^−rho
+    * scaled by 2^26 is an exact BIGINT, α=697/1000 applied as one integer
+    * division. KMV (order statistic, exact-k state) and HLL (max
+    * registers, fixed-m state) are the two classic mergeable-sketch
+    * families — both now spec'd deterministic. */
+  final val HllM = 32           // registers per source (5-bit bucket)
+  final val HllW = 26           // rho ∈ [1, 26]: hash div 32 < 2^25
+  final val HllSpread = 2654435761L // 2^32/φ, odd — h < 1e9+7 keeps h·spread < 2^62
+  private val HllAlphaNum = 697L * (1L << 36) // α·m²·2^26 with α = 697/1000
+  def textHllSketch: Q = (spark, dir) => {
+    val m = graft.util.TextUtil.HashMod
+    val hx = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksCol).as("tok"))
+      .select(col("source"),
+        ((poly_hash(col("tok")) * HllSpread) % m).as("hs"))
+    val regs = hx
+      .select(col("source"), (col("hs") % HllM).as("bucket"),
+        expr(s"hs div $HllM").as("w"))
+      .select(col("source"), col("bucket"),
+        when(col("w") === 0L, lit(HllW))
+          .otherwise(lit(HllW) - length(bin(col("w")))).cast("long").as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(1, ${HllW} - r)")).as("nz"))
+    val exact = hx.groupBy("source").agg(countDistinct("hs").as("n_exact"))
+    exact.join(regs, "source")
+      .select(col("source"), col("n_exact"), col("n_present"),
+        (col("nz") + (lit(HllM.toLong) - col("n_present")) * (1L << HllW))
+          .as("reg_sum"))
+      .withColumn("hll_est", expr(s"$HllAlphaNum div (1000 * reg_sum)"))
+      .orderBy("source")
+  }
+  val textHllSketchSql = s"""
+    WITH hx AS (
+      SELECT source,
+        (${graft.util.TextUtil.polySql("tok")} * $HllSpread) % ${graft.util.TextUtil.HashMod} AS hs
+      FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+    regs AS (SELECT source, hs % $HllM AS bucket,
+        MAX(CASE WHEN hs // $HllM = 0 THEN $HllW
+             ELSE $HllW - length(bin(hs // $HllM)) END) AS r
+      FROM hx GROUP BY 1, 2),
+    agg AS (SELECT source, COUNT(*) AS n_present,
+        CAST(SUM(1 << ($HllW - r)) AS BIGINT) AS nz
+      FROM regs GROUP BY 1),
+    exact AS (SELECT source, CAST(COUNT(DISTINCT hs) AS BIGINT) AS n_exact
+      FROM hx GROUP BY 1)
+    SELECT source, n_exact, n_present,
+      nz + ($HllM - n_present) * ${1L << HllW} AS reg_sum,
+      $HllAlphaNum // (1000 * (nz + ($HllM - n_present) * ${1L << HllW})) AS hll_est
+    FROM exact JOIN agg USING (source) ORDER BY source"""
+
   // ── text_top_terms — term-frequency leaders per source ───────────────
   /** Top-5 tokens per source by count (all-integer ranking: count desc,
     * token asc — no idf logs, so no float-parity risk). One shuffle on
@@ -532,7 +594,8 @@ object TextAnalysis {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
-    "text_kmv_sketch" -> textKmvSketch)
+    "text_kmv_sketch" -> textKmvSketch,
+    "text_hll_sketch" -> textHllSketch)
 
   val oracles: Map[String, String] = Map(
     "text_redact" -> textRedactSql,
@@ -547,5 +610,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_kmv_sketch" -> textKmvSketchSql)
+    "text_kmv_sketch" -> textKmvSketchSql,
+    "text_hll_sketch" -> textHllSketchSql)
 }

@@ -171,6 +171,43 @@ object VectorSearch {
       round(list_reduce(list_transform(sumv, x -> x / n), (a, b) -> a + b), 6) AS csum
     FROM s ORDER BY label"""
 
+  // ── vs_prefix_search — truncated-dimension (Matryoshka) prefilter ────
+  /** Dimension-truncation search (the Matryoshka-embedding serving
+    * pattern, Kusupati et al. 2022): screen the corpus with a dot
+    * product over only the first [[PrefixDims]] of 64 dimensions, keep
+    * 64 candidates, exact-cosine rerank the top 10. The point at scale
+    * is IO, not FLOPs: stored as a separate prefix column (or a prefix
+    * of a dim-major layout), pass 1 reads 4× fewer vector bytes and
+    * stays a pure scan + TakeOrderedAndProject (per-partition top-64
+    * heaps — no global sort, no shuffle of the corpus); the full
+    * vectors are fetched for 64 rows. Complements the quantization
+    * family: same two-pass shape, compression along dims instead of
+    * bits. Prefix dot, cut, and rerank are all bit-exact in the oracle
+    * (list_inner_product ≡ the kernel's sequential accumulation). */
+  final val PrefixDims = 16
+  def vsPrefixSearch: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(slice(col("v"), 1, PrefixDims).as("qp"), col("v").as("qv"))
+    val cand = e.crossJoin(broadcast(q))
+      .withColumn("pdot", inner_product(slice(col("v"), 1, PrefixDims), col("qp")))
+      .orderBy(col("pdot").desc, col("vec_id"))
+      .limit(64)
+    cand.select(col("vec_id"), r6(col("pdot")).as("pdot"),
+        dist(col("v"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+  val vsPrefixSearchSql = s"""
+    WITH e AS ($eSql),
+    q AS (SELECT v[1:$PrefixDims] AS qp, v AS qv FROM e WHERE vec_id = 0),
+    cand AS (SELECT vec_id, v, qv,
+        ${dotSql(s"v[1:$PrefixDims]", "qp")} AS pdot
+      FROM e, q ORDER BY pdot DESC, vec_id LIMIT 64)
+    SELECT vec_id, round(pdot, 6) AS pdot, ${distSql("v", "qv")} AS dist
+    FROM cand ORDER BY dist, vec_id LIMIT 10"""
+
   // ── vs_binary_search — sign quantization + Hamming prefilter ─────────
   /** Binary quantization: each 64-dim vector collapses to its SIGN
     * pattern — two 32-bit halves packed into longs (split to keep every
@@ -877,6 +914,7 @@ object VectorSearch {
     "vs_filtered_search" -> vsFilteredSearch,
     "vs_centroids" -> vsCentroids,
     "vs_binary_search" -> vsBinarySearch,
+    "vs_prefix_search" -> vsPrefixSearch,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
@@ -897,6 +935,7 @@ object VectorSearch {
     "vs_filtered_search" -> vsFilteredSearchSql,
     "vs_centroids" -> vsCentroidsSql,
     "vs_binary_search" -> vsBinarySearchSql,
+    "vs_prefix_search" -> vsPrefixSearchSql,
     "vs_knn_join" -> vsKnnJoinSql,
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,

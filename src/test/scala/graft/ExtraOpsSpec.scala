@@ -1,0 +1,172 @@
+package graft
+
+import graft.ops.{Events, Graph, Lake, Pipeline, Relational, TextAnalysis, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-5 second widening batch (trigram paths,
+  * HLL sketch, stratified sampling, CUBE, triangle listing, schema
+  * evolution, prefix search). Each test checks the operator against an
+  * INDEPENDENT computation path — plain-Scala brute force on collected
+  * sf0.001 data, a conservation law, or a different DataFrame
+  * decomposition — never the operator's own SQL oracle.
+  */
+class ExtraOpsSpec extends SparkSpec {
+
+  private val HashMod = 1000000007L
+  private def poly(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c) % HashMod)
+
+  test("ev_top_paths equals brute-force trigram mining on collected events") {
+    val rows = Events.evTopPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(w => ((w(0), w(1), w(2)), u)).toSeq
+    }
+    val n = paths.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nUsers = paths.distinct.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val want = n.toSeq.sortBy { case ((a, b, c), cnt) => (-cnt, a, b, c) }.take(10)
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (r, (path, cnt)) =>
+      assert((r.getString(0), r.getString(1), r.getString(2)) == path)
+      assert(r.getAs[Long]("n") == cnt)
+      assert(r.getAs[Long]("n_users") == nUsers(path))
+    }
+  }
+
+  test("text_hll_sketch registers match brute force and the estimate is within HLL error") {
+    val rows = TextAnalysis.textHllSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase)
+        .map(t => (r.getString(0), t)))
+    val bySource = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val hs = bySource(src).map(t => (poly(t._2) * 2654435761L) % HashMod).distinct
+      assert(r.getAs[Long]("n_exact") == hs.length.toLong)
+      // registers re-derived independently: bucket = hs%32, rho = 26-bitlen(hs/32)
+      val regs = hs.groupBy(_ % 32).map { case (b, v) =>
+        b -> v.map { h =>
+          val w = h / 32
+          if (w == 0L) 26L else 26L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max
+      }
+      val nz = regs.values.map(r0 => 1L << (26 - r0)).sum
+      val regSum = nz + (32L - regs.size) * (1L << 26)
+      assert(r.getAs[Long]("n_present") == regs.size.toLong)
+      assert(r.getAs[Long]("reg_sum") == regSum)
+      val est = (697L * (1L << 36)) / (1000L * regSum)
+      assert(r.getAs[Long]("hll_est") == est)
+      // m=32 → standard error ≈ 1.04/√32 ≈ 18%; assert a loose 3σ envelope
+      val exact = hs.length.toDouble
+      assert(est > exact * 0.45 && est < exact * 1.8,
+        s"$src: HLL estimate $est too far from exact $exact")
+    }
+  }
+
+  test("pipeline_stratified_sample: exactly K per stratum, matching brute-force hash order") {
+    val rows = Pipeline.pipelineStratifiedSample(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (id, _) => (id, (poly(s"$src:$id") * 2654435761L) % HashMod) }
+        .sortBy { case (id, coin) => (coin, id) }.take(Pipeline.StratK)
+        .zipWithIndex.map { case ((id, _), i) => (src, i + 1L, id) }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (r, (src, rn, id)) =>
+      assert(r.getAs[String]("source") == src)
+      assert(r.getAs[Long]("rn") == rn)
+      assert(r.getAs[Long]("doc_id") == id)
+    }
+    // every stratum with ≥ K docs contributes exactly K
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val got = rows.count(_.getAs[String]("source") == src)
+      assert(got == math.min(ds.length, Pipeline.StratK))
+    }
+  }
+
+  test("q17_cube: gid slices are consistent (details sum to marginals and total)") {
+    val rows = Relational.q17Cube(spark, sf).collect()
+    def slice(g: Long) = rows.filter(_.getAs[Long]("gid") == g)
+    val detail = slice(0L)
+    val total = slice(3L)
+    assert(total.length == 1)
+    assert(detail.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    assert(detail.map(_.getAs[Long]("sum_c")).sum == total.head.getAs[Long]("sum_c"))
+    // marginal over priority (gid=1: status kept, priority rolled up)
+    val byStatus = detail.groupBy(_.getAs[String]("o_orderstatus"))
+      .map { case (k, v) => k -> (v.map(_.getAs[Long]("n")).sum, v.map(_.getAs[Long]("sum_c")).sum) }
+    slice(1L).foreach { r =>
+      val (n, s) = byStatus(r.getAs[String]("o_orderstatus"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_c") == s)
+    }
+    val byPriority = detail.groupBy(_.getAs[String]("o_orderpriority"))
+      .map { case (k, v) => k -> (v.map(_.getAs[Long]("n")).sum, v.map(_.getAs[Long]("sum_c")).sum) }
+    slice(2L).foreach { r =>
+      val (n, s) = byPriority(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_c") == s)
+    }
+    assert(slice(1L).nonEmpty && slice(2L).nonEmpty)
+  }
+
+  test("graph_triangles equals brute-force enumeration over the undirected edge set") {
+    val tris = Graph.graphTriangles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val und = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+        .filter(_.length == 2)
+        .map(w => if (w(0) <= w(1)) (w(0), w(1)) else (w(1), w(0))).toSeq
+    }.filter(e => e._1 != e._2).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+      x = nodes(i); y = nodes(j); z = nodes(k)
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } yield (x, y, z)
+    assert(tris.toSeq == want.toSeq)
+    assert(tris.nonEmpty, "test graph should contain at least one triangle")
+  }
+
+  test("lake_schema_evolution: old rows NULL the new column, values otherwise intact") {
+    val rows = Lake.lakeSchemaEvolution(spark, sf).collect()
+    val nation = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows.length == nation.size)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getString(1) == nation(k)._1)
+      if (k < 13) assert(r.isNullAt(2), s"pre-migration row $k must be NULL")
+      else assert(r.getInt(2) == nation(k)._2)
+    }
+  }
+
+  test("vs_prefix_search equals the brute-force prefix-screen + exact rerank") {
+    val rows = VectorSearch.vsPrefixSearch(spark, sf).collect()
+    assert(rows.length == 10)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val qv = emb.find(_._1 == 0L).get._2
+    def dot(a: Array[Double], b: Array[Double], n: Int): Double = {
+      var d = 0.0; for (i <- 0 until n) d += a(i) * b(i); d
+    }
+    val cand = emb.toSeq
+      .map { case (id, v) => (id, v, dot(v, qv, VectorSearch.PrefixDims)) }
+      .sortBy { case (id, _, p) => (-p, id) }.take(64)
+    val want = cand.map { case (id, v, _) =>
+      val cos = dot(v, qv, v.length) / math.sqrt(dot(v, v, v.length) * dot(qv, qv, qv.length))
+      (id, BigDecimal(1.0 - cos).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == want)
+  }
+}

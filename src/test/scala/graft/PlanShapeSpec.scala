@@ -65,4 +65,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.inputRDD.getNumPartitions <= 4,
       s"compacted scan should be <= 4 partitions, got ${scan.inputRDD.getNumPartitions}")
   }
+
+  test("pipeline_stratified_sample plans WindowGroupLimit (map-side top-K before the shuffle)") {
+    val nodes = executedNodes(graft.ops.Pipeline.pipelineStratifiedSample(spark, sf))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      s"rank<=K filter should rewrite to WindowGroupLimit; got: ${nodes.map(_.nodeName).distinct}")
+  }
+
+  test("ev_top_paths and vs_prefix_search plan TakeOrderedAndProject, not a global sort") {
+    for (df <- Seq(Events.evTopPaths(spark, sf),
+        VectorSearch.vsPrefixSearch(spark, sf))) {
+      val nodes = executedNodes(df)
+      assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+        s"global top-k cut should be TakeOrderedAndProject; got: ${nodes.map(_.nodeName).distinct}")
+    }
+  }
 }
