@@ -237,7 +237,7 @@ object Events {
     * tie-break, ns→µs axis), shared by [[evTransition]] and
     * [[graft.ops.Graph]]'s edge list so the two can never
     * desynchronize. */
-  private[ops] def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ev(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))

@@ -236,22 +236,28 @@ object TextAnalysis {
   private val HllAlphaNum = 697L * (1L << 36) // α·m²·2^26 with α = 697/1000
   def textHllSketch: Q = (spark, dir) => {
     val m = graft.util.TextUtil.HashMod
-    val hx = Tables.documents(spark, dir)
+    // ONE pipeline, no branch re-computation: hash → (bucket, rho) in a
+    // single projection, then one (source, bucket) aggregate that carries
+    // BOTH the register (max rho) and the per-bucket distinct count —
+    // buckets partition the hash space, so the per-source exact distinct
+    // is the SUM of per-bucket distincts and no second corpus pass or
+    // join is ever needed. (A first cut computed registers and
+    // countDistinct as separate branches of an un-materialized frame:
+    // two explodes + a join, 8× slower at sf0.1.)
+    Tables.documents(spark, dir)
       .select(col("source"), explode(toksCol).as("tok"))
       .select(col("source"),
         ((poly_hash(col("tok")) * HllSpread) % m).as("hs"))
-    val regs = hx
-      .select(col("source"), (col("hs") % HllM).as("bucket"),
+      .select(col("source"), col("hs"), (col("hs") % HllM).as("bucket"),
         expr(s"hs div $HllM").as("w"))
-      .select(col("source"), col("bucket"),
+      .select(col("source"), col("hs"), col("bucket"),
         when(col("w") === 0L, lit(HllW))
           .otherwise(lit(HllW) - length(bin(col("w")))).cast("long").as("rho"))
-      .groupBy("source", "bucket").agg(max("rho").as("r"))
+      .groupBy("source", "bucket")
+      .agg(countDistinct("hs").as("nd"), max("rho").as("r"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_present"),
+      .agg(sum("nd").as("n_exact"), count(lit(1)).as("n_present"),
         sum(expr(s"shiftleft(1, ${HllW} - r)")).as("nz"))
-    val exact = hx.groupBy("source").agg(countDistinct("hs").as("n_exact"))
-    exact.join(regs, "source")
       .select(col("source"), col("n_exact"), col("n_present"),
         (col("nz") + (lit(HllM.toLong) - col("n_present")) * (1L << HllW))
           .as("reg_sum"))

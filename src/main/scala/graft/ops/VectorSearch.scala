@@ -171,6 +171,45 @@ object VectorSearch {
       round(list_reduce(list_transform(sumv, x -> x / n), (a, b) -> a + b), 6) AS csum
     FROM s ORDER BY label"""
 
+  // ── vs_mips_search — maximum-inner-product search via norm reduction ─
+  /** MIPS (maximum inner-product search — the recommendation/reranking
+    * objective, where un-normalized vector length carries signal) and
+    * its reduction to cosine search (Bachrach et al. 2014 / Shrivastava
+    * & Li 2014): augment every corpus vector with one extra coordinate
+    * sqrt(M² − |v|²) where M = max corpus norm, and the query with 0 —
+    * all augmented corpus vectors then share norm M, making augmented
+    * cosine order IDENTICAL to inner-product order, so every
+    * cosine-family index here (LSH planes, IVF cells) serves MIPS
+    * unchanged. The query emits both scores and orders by the raw inner
+    * product; the augmented cosine column proves the reduction on every
+    * output row (spec asserts order agreement). Shape: broadcast 1-row
+    * max-norm frame + broadcast query, map-only scoring,
+    * TakeOrderedAndProject cut — the corpus is scanned once and never
+    * shuffled. */
+  def vsMipsSearch: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val bound = e.agg(max(inner_product(col("v"), col("v"))).as("m2"))
+    e.crossJoin(broadcast(q)).crossJoin(broadcast(bound))
+      .withColumn("ip", inner_product(col("v"), col("qv")))
+      // augmented cosine: dot([v, sqrt(M²−|v|²)], [q, 0]) = ip; norms:
+      // |v_aug| = M for every corpus row, |q_aug| = |q| — same order.
+      .withColumn("cos_aug",
+        col("ip") / sqrt(col("m2") * inner_product(col("qv"), col("qv"))))
+      .select(col("vec_id"), r6(col("ip")).as("ip"), r6(col("cos_aug")).as("cos_aug"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+  }
+  val vsMipsSearchSql = s"""
+    WITH e AS ($eSql),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT MAX(${dotSql("v", "v")}) AS m2 FROM e)
+    SELECT vec_id, round(${dotSql("v", "qv")}, 6) AS ip,
+      round(${dotSql("v", "qv")} / sqrt(m2 * ${dotSql("qv", "qv")}), 6) AS cos_aug
+    FROM e, q, b
+    ORDER BY ${dotSql("v", "qv")} DESC, vec_id LIMIT 10"""
+
   // ── vs_prefix_search — truncated-dimension (Matryoshka) prefilter ────
   /** Dimension-truncation search (the Matryoshka-embedding serving
     * pattern, Kusupati et al. 2022): screen the corpus with a dot
@@ -914,6 +953,7 @@ object VectorSearch {
     "vs_filtered_search" -> vsFilteredSearch,
     "vs_centroids" -> vsCentroids,
     "vs_binary_search" -> vsBinarySearch,
+    "vs_mips_search" -> vsMipsSearch,
     "vs_prefix_search" -> vsPrefixSearch,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,
@@ -935,6 +975,7 @@ object VectorSearch {
     "vs_filtered_search" -> vsFilteredSearchSql,
     "vs_centroids" -> vsCentroidsSql,
     "vs_binary_search" -> vsBinarySearchSql,
+    "vs_mips_search" -> vsMipsSearchSql,
     "vs_prefix_search" -> vsPrefixSearchSql,
     "vs_knn_join" -> vsKnnJoinSql,
     "vs_range_search" -> vsRangeSearchSql,

@@ -189,6 +189,64 @@ object Streaming {
     SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
       COUNT(*) AS n_total FROM documents"""
 
+  // ── Stateful transition mining (cross-batch sequence continuity) ─────
+
+  case class TransEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class LastSeen(ts_us: Long, event_id: Long, event_type: String)
+  case class TransOut(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming form of [[graft.ops.Events.evTransition]]: per-user
+    * `GroupState[LastSeen]` carries ONLY the last event across
+    * micro-batches, so consecutive-pair mining stays correct when a
+    * user's sequence spans batch boundaries — the cross-batch
+    * continuity problem every streaming sequence miner has to solve.
+    * State is one record per user regardless of history (same bound as
+    * [[sessionizeStream]]); each arriving event emits at most one
+    * (prev, next) pair. Downstream the pairs feed the same
+    * map-side-combined count the batch form uses. */
+  def transitionStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TransEvent], state: GroupState[LastSeen]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = IndexedSeq.newBuilder[TransOut]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransOut(user, p.event_type, e.event_type))
+            prev = Some(LastSeen(e.ts_us, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** Driver-checkable twin of [[transitionStream]]: the transition
+    * counts the emitted pair stream aggregates to — the incrementally-
+    * maintainable slice of `ev_transition` (COUNT is algebraic over the
+    * pair stream; the batch form's per-pair DISTINCT user count is not,
+    * which is exactly why it is absent here). */
+  def transitionCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Events.transitionPairs(spark, dir)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+  val transitionCountsSql = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    t AS (SELECT user_id, event_type AS next_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM e)
+    SELECT prev_type, next_type, COUNT(*) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY prev_type, next_type"""
+
   // ── Stream-stream interval join ──────────────────────────────────────
 
   /** Watermarked stream-stream join: purchases joined to the clicks of
@@ -249,10 +307,12 @@ object Streaming {
     "stream_window_agg" -> windowAggBatch,
     "stream_join" -> clickPurchaseJoinQuery,
     "stream_sessionize" -> (sessionizeClosedBatch _),
+    "stream_transition" -> (transitionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,
     "stream_sessionize" -> sessionizeClosedSql,
+    "stream_transition" -> transitionCountsSql,
     "stream_dedup" -> dedupStreamSummarySql)
 }

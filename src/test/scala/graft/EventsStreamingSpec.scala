@@ -113,6 +113,25 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stateful stream transition pairs aggregate to the batch transition counts") {
+    val q = Streaming.transitionStream(spark, sf).writeStream
+      .format("memory").queryName("stream_trans")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_trans")
+      .groupBy("prev_type", "next_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    val batch = Streaming.transitionCountsBatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // conservation: one pair per event after each user's first
+    val ev = graft.Tables.events(spark, sf)
+    assert(streamed.values.sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+  }
+
   test("streaming dedup emits one row per distinct content hash") {
     val q = Streaming.dedupStream(spark, sf).writeStream
       .format("memory").queryName("stream_dedup")

@@ -151,6 +151,25 @@ class ExtraOpsSpec extends SparkSpec {
     }
   }
 
+  test("vs_mips_search equals brute-force inner-product ranking; augmented cosine agrees") {
+    val rows = VectorSearch.vsMipsSearch(spark, sf).collect()
+    assert(rows.length == 10)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val qv = emb.find(_._1 == 0L).get._2
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; for (i <- a.indices) d += a(i) * b(i); d
+    }
+    val want = emb.toSeq.map { case (id, v) => (id, dot(v, qv)) }
+      .sortBy { case (id, ip) => (-ip, id) }.take(10).map(_._1)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == want)
+    // the augmented-cosine column must rank identically to the raw inner
+    // product (the whole point of the norm-augmentation reduction)
+    val cos = rows.map(_.getAs[Double]("cos_aug"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+      s"augmented cosine not monotone with inner product: ${cos.toSeq}")
+  }
+
   test("vs_prefix_search equals the brute-force prefix-screen + exact rerank") {
     val rows = VectorSearch.vsPrefixSearch(spark, sf).collect()
     assert(rows.length == 10)

@@ -72,6 +72,25 @@ class PlanShapeSpec extends SparkSpec {
       s"rank<=K filter should rewrite to WindowGroupLimit; got: ${nodes.map(_.nodeName).distinct}")
   }
 
+  test("vs_mips_search: TakeOrderedAndProject cut, corpus never shuffled (only the 1-row bounds agg)") {
+    val nodes = executedNodes(VectorSearch.vsMipsSearch(spark, sf))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")))
+    // ignore the loader's local single-row-group fan-out (RoundRobin —
+    // a no-op at real scale); count only key/single-partition exchanges
+    val shuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("RoundRobin") => e
+    }
+    assert(shuffles.length <= 1,
+      s"expected at most the bounds-aggregate exchange, got ${shuffles.map(_.outputPartitioning)}")
+  }
+
+  test("graph_triangles: every join is keyed — no cartesian product in the wedge plan") {
+    val nodes = executedNodes(graft.ops.Graph.graphTriangles(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      s"wedge enumeration must join on the pivot vertex: ${nodes.map(_.nodeName).distinct}")
+  }
+
   test("ev_top_paths and vs_prefix_search plan TakeOrderedAndProject, not a global sort") {
     for (df <- Seq(Events.evTopPaths(spark, sf),
         VectorSearch.vsPrefixSearch(spark, sf))) {
