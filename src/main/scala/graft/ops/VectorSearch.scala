@@ -171,6 +171,55 @@ object VectorSearch {
       round(list_reduce(list_transform(sumv, x -> x / n), (a, b) -> a + b), 6) AS csum
     FROM s ORDER BY label"""
 
+  // ── vs_outliers — farthest-from-centroid per class (noise screen) ────
+  /** Embedding-space outlier report: the 3 vectors farthest (cosine)
+    * from their own label's centroid, per label — the mislabel/noise
+    * screen a curation pass runs before training on labeled embeddings.
+    * Reuses [[vsCentroids]]' bit-reproducible id-sorted sequential fold
+    * for the centroid (same IEEE op order as the oracle's ordered
+    * list_reduce), broadcasts the |labels|-row centroid frame back onto
+    * the corpus, scores map-only with the codegen'd cosine kernel, and
+    * cuts with a rank-≤-3 window per label — the WindowGroupLimit
+    * shape, so each map partition keeps 3 candidates per label before
+    * the shuffle. Corpus cost at 100 TB: one grouped fold + one
+    * broadcast-join scan. */
+  def vsOutliers: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("label"),
+        expr("transform(aggregate(vs, array_repeat(0.0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b)), x -> x / n)")
+          .as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"), dist(col("v"), col("c")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist"))
+      .orderBy("label", "rank")
+  }
+  val vsOutliersSql = s"""
+    WITH e AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    g AS (SELECT label, COUNT(*) AS n, list(v ORDER BY vec_id) AS vs
+          FROM e GROUP BY label),
+    c AS (SELECT label,
+            list_transform(
+              list_reduce(vs, (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])),
+              x -> x / n) AS c
+          FROM g),
+    d AS (SELECT e.label, e.vec_id, ${distSql("v", "c")} AS dist
+          FROM e JOIN c USING (label)),
+    r AS (SELECT label, vec_id, dist,
+            CAST(row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS BIGINT) AS rank
+          FROM d)
+    SELECT label, rank, vec_id, dist FROM r WHERE rank <= 3
+    ORDER BY label, rank"""
+
   // ── vs_mips_search — maximum-inner-product search via norm reduction ─
   /** MIPS (maximum inner-product search — the recommendation/reranking
     * objective, where un-normalized vector length carries signal) and
@@ -954,6 +1003,7 @@ object VectorSearch {
     "vs_centroids" -> vsCentroids,
     "vs_binary_search" -> vsBinarySearch,
     "vs_mips_search" -> vsMipsSearch,
+    "vs_outliers" -> vsOutliers,
     "vs_prefix_search" -> vsPrefixSearch,
     "vs_knn_join" -> vsKnnJoin,
     "vs_range_search" -> vsRangeSearch,
@@ -976,6 +1026,7 @@ object VectorSearch {
     "vs_centroids" -> vsCentroidsSql,
     "vs_binary_search" -> vsBinarySearchSql,
     "vs_mips_search" -> vsMipsSearchSql,
+    "vs_outliers" -> vsOutliersSql,
     "vs_prefix_search" -> vsPrefixSearchSql,
     "vs_knn_join" -> vsKnnJoinSql,
     "vs_range_search" -> vsRangeSearchSql,

@@ -151,6 +151,34 @@ class ExtraOpsSpec extends SparkSpec {
     }
   }
 
+  test("vs_outliers equals brute-force centroid + farthest-3 ranking") {
+    val rows = VectorSearch.vsOutliers(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; for (i <- a.indices) d += a(i) * b(i); d
+    }
+    val want = emb.groupBy(_._3).toSeq.flatMap { case (label, vs) =>
+      val sorted = vs.sortBy(_._1)
+      // id-sorted sequential fold then per-element /n — the operator's
+      // exact IEEE op order
+      val sum = sorted.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      val c = sum.map(_ / vs.length)
+      sorted.toSeq.map { case (id, v, _) =>
+        val d = BigDecimal(1.0 - dot(v, c) / math.sqrt(dot(v, v) * dot(c, c)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (label, id, d)
+      }.sortBy { case (_, id, d) => (-d, id) }.take(3)
+        .zipWithIndex.map { case ((l, id, d), i) => (l, i + 1L, id, d.toDouble) }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.length == want.length && rows.nonEmpty)
+    rows.zip(want).foreach { case (r, (l, rank, id, d)) =>
+      assert(r.getAs[Long]("label") == l && r.getAs[Long]("rank") == rank)
+      assert(r.getAs[Long]("vec_id") == id, s"label $l rank $rank")
+      assert(math.abs(r.getAs[Double]("dist") - d) < 1e-9)
+    }
+  }
+
   test("vs_mips_search equals brute-force inner-product ranking; augmented cosine agrees") {
     val rows = VectorSearch.vsMipsSearch(spark, sf).collect()
     assert(rows.length == 10)
