@@ -267,8 +267,13 @@ object Events {
     * sequences — the sequence-mining summary behind funnel discovery and
     * next-event models. Two lags over the SAME per-user window (one
     * shuffle on user_id — Spark plans consecutive lags over one
-    * WindowExec), then a map-side-combined count on the (p1,p2,p3) key:
-    * at most |types|³ aggregate rows however large the corpus. The
+    * WindowExec), then the count aggregate. Note the communication
+    * bound: the count alone would shuffle ≤ |types|³ partials, but
+    * `countDistinct(user_id)` makes Spark plan a two-level aggregate
+    * whose first exchange keys on (path, user_id) — up to paths×users
+    * partial rows (map-side combined). That is the price of the
+    * distinct-user column; drop it (as stream_transition's maintainable
+    * form does) if the path key space × user count ever dominates. The
     * global top-10 is orderBy+limit — Spark plans TakeOrderedAndProject
     * (per-partition heaps + driver merge of 10 rows), NOT a
     * single-partition global sort; ties broken by path so the cut is

@@ -39,6 +39,40 @@ object Lake {
   private[graft] def regionJsonPath: String = s"$lakeDir/region_json"
   private[graft] def supplierOrcPath: String = s"$lakeDir/supplier_orc"
   private[graft] def schemaEvoPath: String = s"$lakeDir/nation_evo"
+  private[graft] def zorderEventsPath: String = s"$lakeDir/events_zorder"
+
+  // ── Z-order clustering key (integer-exact, oracle-replayable) ────────
+  final val ZBits = 16          // per-dimension resolution
+  final val ZBuckets = 64       // top 6 z-bits → 8×8 grid of files
+
+  /** Morton/Z-order interleave of two [[ZBits]]-bit scaled dimensions —
+    * the multi-dimensional clustering key that makes min/max file
+    * skipping work on BOTH user_id and time at once (a single-column
+    * sort gives perfect pruning on one dimension and none on the
+    * other). Pure integer arithmetic (scale = histogram bucket math,
+    * interleave = div/mod bit extraction in BIGINT) so the oracle
+    * replays the key bit-for-bit. */
+  private def zExpr(u16: String, h16: String): String =
+    s"""aggregate(sequence(0, ${ZBits - 1}), 0L, (acc, i) ->
+        acc + shiftleft(($u16 div shiftleft(CAST(1 AS BIGINT), i)) % 2, 2*i)
+            + shiftleft(($h16 div shiftleft(CAST(1 AS BIGINT), i)) % 2, 2*i + 1))"""
+
+  /** Events with the deterministic z-bucket of (user_id, hour). */
+  private[graft] def zBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("(ts div 1000) div 3600000000").as("hour_idx"))
+    val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
+      min("hour_idx").as("hmin"), max("hour_idx").as("hmax"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("u16",
+        expr(s"((user_id - umin) * ${1 << ZBits}) div (umax - umin + 1)"))
+      .withColumn("h16",
+        expr(s"((hour_idx - hmin) * ${1 << ZBits}) div (hmax - hmin + 1)"))
+      .withColumn("zbucket",
+        expr(s"(${zExpr("u16", "h16")}) div ${(1L << (2 * ZBits)) / ZBuckets}"))
+      .select(col("event_id"), col("user_id"), col("hour_idx"), col("zbucket"))
+  }
 
   // Write-once/join-often: the lake layouts are the PERSISTENT artifacts
   // these operators exist to demonstrate, so they are written once per
@@ -84,6 +118,13 @@ object Lake {
         slim.repartition(64).write.mode("overwrite").parquet(fragmentedEventsPath)
         spark.read.parquet(fragmentedEventsPath).coalesce(4)
           .write.mode("overwrite").parquet(compactedEventsPath)
+        // Z-order-clustered events copy: repartition on the interleaved
+        // bucket so each file covers a narrow range of BOTH user_id and
+        // hour — the layout a stats-based reader skips on two
+        // dimensions at once.
+        Sinks.writePartitioned(
+          zBucketed(spark, dir).repartition(col("zbucket")),
+          zorderEventsPath, Seq("zbucket"))
         // Schema-evolution table for lake_schema_evolution: an "old"
         // batch written before the n_regionkey column existed, then a
         // "new" batch appended with the widened schema — two footer
@@ -317,6 +358,53 @@ object Lake {
       CAST(SUM(CASE WHEN day >= d0 + 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
     FROM e, b GROUP BY 1 ORDER BY event_type"""
 
+  // ── lake_zorder — multi-dimensional clustering for data skipping ─────
+  /** Z-order (Morton) clustering: events rewritten so each file covers
+    * a narrow range of user_id AND hour simultaneously — the layout
+    * that lets min/max stats skip files for predicates on EITHER
+    * dimension (a plain sort prunes one dimension perfectly and the
+    * other not at all). The registered query reads the clustered copy
+    * back and emits per-bucket (n, user-range, hour-range) — exactly
+    * the stats a format-level reader would skip on; the spec asserts
+    * the locality quantitatively (every bucket's user span AND hour
+    * span ≤ ~1/8 of the global range — the top-3-bits-per-dimension
+    * grid the 64 buckets encode). The z-key is pure BIGINT arithmetic
+    * over broadcast global bounds, so the oracle replays key
+    * assignment relationally — the layout must not change a value. At
+    * 100 TB the rewrite is one repartition+write; the payoff is every
+    * subsequent two-dimensional scan. */
+  def lakeZorder: Q = (spark, dir) => {
+    ensureLake(spark, dir)
+    spark.read.parquet(zorderEventsPath)
+      .groupBy(col("zbucket").cast("long").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_lo"), max("user_id").as("u_hi"),
+        min("hour_idx").as("h_lo"), max("hour_idx").as("h_hi"))
+      .orderBy("zbucket")
+  }
+  val lakeZorderSql: String = {
+    val zCore = s"""list_reduce(list_transform(range(0, $ZBits), i ->
+        ((u16 // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i))
+      + ((h16 // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i + 1))),
+      (a, b) -> a + b)"""
+    s"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hour_idx
+               FROM events),
+    b AS (SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+                 MIN(hour_idx) AS hmin, MAX(hour_idx) AS hmax FROM e),
+    scaled AS (SELECT event_id, user_id, hour_idx,
+        ((user_id - umin) * ${1 << ZBits}) // (umax - umin + 1) AS u16,
+        ((hour_idx - hmin) * ${1 << ZBits}) // (hmax - hmin + 1) AS h16
+      FROM e, b),
+    z AS (SELECT user_id, hour_idx,
+        CAST($zCore // ${(1L << (2 * ZBits)) / ZBuckets} AS BIGINT) AS zbucket
+      FROM scaled)
+    SELECT zbucket, COUNT(*) AS n,
+      MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+      MIN(hour_idx) AS h_lo, MAX(hour_idx) AS h_hi
+    FROM z GROUP BY 1 ORDER BY zbucket"""
+  }
+
   // ── lake_schema_evolution — additive column migration (mergeSchema) ──
   /** Reading a table whose files span two schema versions: the pre-
     * migration files simply lack the new column and every engine-visible
@@ -340,6 +428,7 @@ object Lake {
     FROM nation ORDER BY n_nationkey"""
 
   val queries: Map[String, Q] = Map(
+    "lake_zorder" -> lakeZorder,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_compact" -> lakeCompact,
     "lake_incremental_agg" -> lakeIncrementalAgg,
@@ -348,6 +437,7 @@ object Lake {
     "lake_format_roundtrip" -> lakeFormatRoundtrip,
     "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
+    "lake_zorder" -> lakeZorderSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_compact" -> lakeCompactSql,
     "lake_incremental_agg" -> lakeIncrementalAggSql,

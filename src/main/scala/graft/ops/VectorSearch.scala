@@ -139,16 +139,28 @@ object VectorSearch {
     * shuffle, map-side combined) and accept last-digit wobble — that
     * trade is the documented knob, [[graft.ops.IvfIndex]] uses it for
     * training where exactness isn't needed. */
-  def vsCentroids: Q = (spark, dir) => {
+  /** Embeddings projected to (label, vec_id, v: array<double>). */
+  private def labeled(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label").cast("long").as("label"), col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      .groupBy("label")
+
+  /** Per-label id-sorted sequential vector sum → (label, n, sumv) — the
+    * ONE definition of the bit-reproducible fold (exact IEEE op order,
+    * mirrored by the oracles' ordered list_reduce), shared by
+    * [[vsCentroids]] and [[vsOutliers]] so a dims or fold-order change
+    * can never desynchronize one of them from the oracle the other was
+    * verified against. */
+  private def labelVectorSums(e: DataFrame): DataFrame =
+    e.groupBy("label")
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
       .select(col("label"), col("n"),
         expr("aggregate(vs, array_repeat(0.0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
           .as("sumv"))
+
+  def vsCentroids: Q = (spark, dir) => {
+    labelVectorSums(labeled(spark, dir))
       .select(col("label"), col("n"),
         r6(expr("sumv[0]") / col("n")).as("c0"),
         r6(expr("sumv[1]") / col("n")).as("c1"),
@@ -184,15 +196,9 @@ object VectorSearch {
     * the shuffle. Corpus cost at 100 TB: one grouped fold + one
     * broadcast-join scan. */
   def vsOutliers: Q = (spark, dir) => {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("label").cast("long").as("label"), col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-    val cents = e.groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
-      .select(col("label"),
-        expr("transform(aggregate(vs, array_repeat(0.0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b)), x -> x / n)")
-          .as("c"))
+    val e = labeled(spark, dir)
+    val cents = labelVectorSums(e)
+      .select(col("label"), expr("transform(sumv, x -> x / n)").as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
     e.join(broadcast(cents), "label")
@@ -246,9 +252,12 @@ object VectorSearch {
       // |v_aug| = M for every corpus row, |q_aug| = |q| — same order.
       .withColumn("cos_aug",
         col("ip") / sqrt(col("m2") * inner_product(col("qv"), col("qv"))))
-      .select(col("vec_id"), r6(col("ip")).as("ip"), r6(col("cos_aug")).as("cos_aug"))
+      // cut on the RAW inner product (the oracle's ORDER BY is raw too —
+      // rounding before the cut could flip near-tie membership), round
+      // only the emitted columns.
       .orderBy(col("ip").desc, col("vec_id"))
       .limit(10)
+      .select(col("vec_id"), r6(col("ip")).as("ip"), r6(col("cos_aug")).as("cos_aug"))
   }
   val vsMipsSearchSql = s"""
     WITH e AS ($eSql),

@@ -219,8 +219,20 @@ object Streaming {
           val out = IndexedSeq.newBuilder[TransOut]
           var prev = state.getOption
           sorted.foreach { e =>
-            prev.foreach(p => out += TransOut(user, p.event_type, e.event_type))
-            prev = Some(LastSeen(e.ts_us, e.event_id, e.event_type))
+            prev match {
+              // Late-arrival guard: an event at or before the stored
+              // LastSeen (possible when a later file lands first — the
+              // file source orders batches by discovery, not event time)
+              // is DROPPED deterministically, like any watermarked op;
+              // emitting it would produce a time-reversed pair AND
+              // regress the state. In-order delivery per user is the
+              // stream ≡ batch condition.
+              case Some(p) if e.ts_us < p.ts_us ||
+                  (e.ts_us == p.ts_us && e.event_id <= p.event_id) => ()
+              case _ =>
+                prev.foreach(p => out += TransOut(user, p.event_type, e.event_type))
+                prev = Some(LastSeen(e.ts_us, e.event_id, e.event_type))
+            }
           }
           prev.foreach(state.update)
           out.result().iterator

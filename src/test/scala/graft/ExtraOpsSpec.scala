@@ -137,6 +137,23 @@ class ExtraOpsSpec extends SparkSpec {
     assert(tris.nonEmpty, "test graph should contain at least one triangle")
   }
 
+  test("lake_zorder: every bucket bounds BOTH dimensions; buckets partition the events") {
+    val rows = graft.ops.Lake.lakeZorder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val uSpan = rows.map(_.getAs[Long]("u_hi")).max - rows.map(_.getAs[Long]("u_lo")).min
+    val hSpan = rows.map(_.getAs[Long]("h_hi")).max - rows.map(_.getAs[Long]("h_lo")).min
+    rows.foreach { r =>
+      // top-3-bits-per-dimension grid: each bucket's raw span ≤ ~1/8 of
+      // the global range (assert 1/4 for scaling-floor slack)
+      assert(r.getAs[Long]("u_hi") - r.getAs[Long]("u_lo") <= uSpan / 4 + 1,
+        s"bucket ${r.getAs[Long]("zbucket")} user span too wide")
+      assert(r.getAs[Long]("h_hi") - r.getAs[Long]("h_lo") <= hSpan / 4 + 1,
+        s"bucket ${r.getAs[Long]("zbucket")} hour span too wide")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+    assert(rows.length > 1 && rows.length <= graft.ops.Lake.ZBuckets)
+  }
+
   test("lake_schema_evolution: old rows NULL the new column, values otherwise intact") {
     val rows = Lake.lakeSchemaEvolution(spark, sf).collect()
     val nation = Tables.nation(spark, sf)
