@@ -300,3 +300,116 @@ case class MinhashSig(child: Expression, k: Int,
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
 }
+
+/** Misra-Gries heavy-hitter candidate sketch over BIGINT keys: the
+  * buffer is at most k (key → counter) entries however many rows and
+  * distinct keys flow through — the O(k)-state summary that finds
+  * frequent keys in one pass where a full groupBy would shuffle every
+  * distinct key. GUARANTEE (the only contract callers may rely on):
+  * every key with true frequency > n/(k+1) is present in the emitted
+  * candidate array. The exact candidate SET beyond that is
+  * partition-order-dependent (like any MG merge), which is why the
+  * operator built on this ([[graft.ops.Events.evHeavyHitters]]) always
+  * re-counts candidates exactly and filters on the guarantee threshold —
+  * making the final answer deterministic regardless of merge order.
+  * Merging follows Agarwal et al., "Mergeable Summaries": sum counters,
+  * then subtract the (k+1)-th largest counter and drop non-positives.
+  * Emits the candidate keys sorted ascending. */
+case class MisraGries(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[java.lang.Long, java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, "k must be >= 1")
+  private type Buf = java.util.HashMap[java.lang.Long, java.lang.Long]
+
+  override def prettyName: String = "misra_gries"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires a BIGINT column, got ${child.dataType.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Buf = new java.util.HashMap[java.lang.Long, java.lang.Long](k * 2)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = java.lang.Long.valueOf(v.asInstanceOf[Long])
+      val cur = buf.get(key)
+      if (cur != null) buf.put(key, cur + 1L)
+      else if (buf.size() < k) buf.put(key, 1L)
+      else {
+        // decrement-all step: every stored counter loses 1 (the classic
+        // MG charge of the unmatched arrival against all candidates)
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+    }
+    if (a.size() > k) {
+      // subtract the (k+1)-th largest counter from all, drop <= 0
+      val vals = new java.util.ArrayList[java.lang.Long](a.values())
+      java.util.Collections.sort(vals, Comparator.reverseOrder[java.lang.Long]())
+      val m = vals.get(k)
+      val it2 = a.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (e.getValue <= m) it2.remove() else e.setValue(e.getValue - m)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val keys = new Array[Long](buf.size())
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val out = ByteBuffer.allocate(4 + 16 * buf.size())
+    out.putInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.putLong(e.getKey); out.putLong(e.getValue)
+    }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.put(in.getLong, in.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGries =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGries =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): MisraGries = copy(child = c)
+}

@@ -34,6 +34,10 @@ package object functions {
   /** Aggregate: 64-slot hashing-trick signed count vector. */
   def hash_count_vec(c: Column): Column =
     col(HashCountVec(expr(c)).toAggregateExpression())
+  /** Aggregate: Misra-Gries heavy-hitter candidates (≤ k keys; every key
+    * with frequency > n/(k+1) guaranteed present). */
+  def misra_gries(c: Column, k: Int): Column =
+    col(MisraGries(expr(c), k).toAggregateExpression())
 
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */
@@ -57,6 +61,10 @@ package object functions {
     registerFunction(spark, "minhash_sig", es => {
       require(es.length == 2 && es(1).foldable, "minhash_sig(col, k) needs a literal k")
       MinhashSig(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
+    registerFunction(spark, "misra_gries", es => {
+      require(es.length == 2 && es(1).foldable, "misra_gries(col, k) needs a literal k")
+      MisraGries(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
   }
 }

@@ -301,6 +301,45 @@ object Events {
     FROM t WHERE p1 IS NOT NULL
     GROUP BY 1, 2, 3 ORDER BY n DESC, p1, p2, p3 LIMIT 10"""
 
+  // ── ev_heavy_hitters — Misra-Gries sketch + exact verification ───────
+  /** Frequent-key detection via the two-phase sketch-then-verify shape:
+    * phase 1 runs the [[graft.functions.MisraGries]] aggregate (O(k)
+    * state per partition, map-side merged — NO shuffle of distinct
+    * keys) to get ≤ k candidates guaranteed to contain every key with
+    * frequency > n/(k+1); phase 2 re-counts ONLY the candidates exactly
+    * (broadcast semi-filter, then a ≤ k-key aggregate) and filters on
+    * the guarantee threshold — so the final answer is exact and
+    * deterministic regardless of the sketch's partition-order-dependent
+    * internals, and the oracle is a plain GROUP BY/HAVING. At 100 TB
+    * with billions of distinct keys this replaces the full-key shuffle
+    * a direct groupBy+HAVING pays with two map-side passes. On this
+    * corpus event_type is uniform (~20% each), so with k=9 (threshold
+    * n/10) all five types report — the guarantee math, not the corpus,
+    * is what the spec exercises (it also plants a skewed synthetic
+    * stream and checks candidates ⊇ true heavies). */
+  final val MgK = 9
+  def evHeavyHitters: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val keyed = Tables.events(spark, dir)
+      .select(col("event_type"), graft.functions.poly_hash(col("event_type")).as("k"))
+    val cands = keyed.agg(graft.functions.misra_gries(col("k"), MgK).as("cs"))
+      .select(explode(col("cs")).as("k"))
+    val tot = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_events") * (MgK + 1) > col("n_total"))
+      .select(col("event_type"), col("n_events"), col("n_total"))
+      .orderBy("event_type")
+  }
+  val evHeavyHittersSql = s"""
+    WITH t AS (SELECT COUNT(*) AS n_total FROM events)
+    SELECT event_type, COUNT(*) AS n_events, (SELECT n_total FROM t) AS n_total
+    FROM events GROUP BY 1
+    HAVING COUNT(*) * ${MgK + 1} > (SELECT n_total FROM t)
+    ORDER BY event_type"""
+
   // ── ev_anomaly — hourly-count outliers, integer-exact z-test ─────────
   /** Volume-anomaly detection over the hourly count series: flag hours
     * whose event count deviates from the type's mean by more than 2
@@ -468,6 +507,7 @@ object Events {
     "ev_range_join" -> evRangeJoin,
     "ev_transition" -> evTransition,
     "ev_top_paths" -> evTopPaths,
+    "ev_heavy_hitters" -> evHeavyHitters,
     "ev_anomaly" -> evAnomaly,
     "ev_props_parse" -> evPropsParse,
     "ev_gap_fill" -> evGapFill,
@@ -484,6 +524,7 @@ object Events {
     "ev_range_join" -> evRangeJoinSql,
     "ev_transition" -> evTransitionSql,
     "ev_top_paths" -> evTopPathsSql,
+    "ev_heavy_hitters" -> evHeavyHittersSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_props_parse" -> evPropsParseSql,
     "ev_gap_fill" -> evGapFillSql,

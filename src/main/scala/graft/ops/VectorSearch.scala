@@ -372,6 +372,58 @@ object VectorSearch {
     QUALIFY rn <= 5
     ORDER BY q_id, rn"""
 
+  // ── vs_knn_classify — kNN majority-vote label eval (embedding QA) ────
+  /** Embedding-quality evaluation by 5-NN classification: every 50th
+    * vector is held out as an eval point, its label predicted by
+    * majority vote over its 5 nearest neighbors (self excluded,
+    * count-desc/label-asc tie-break), and the report is per-label
+    * (n_eval, n_correct) — the standard "do embeddings separate the
+    * classes" check a pipeline runs after retraining an encoder. Same
+    * scale shape as [[vsKnnJoin]]: broadcast eval set, one map-only
+    * corpus pass, only k·|Q| candidate rows shuffle into the vote
+    * windows; the vote/accuracy stages run on tiny frames. Distances,
+    * vote counts, and both tie-breaks are integer/rounded-double exact,
+    * so the oracle replays the whole evaluation. */
+  def vsKnnClassify: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("true_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+    val nn = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id").as("c_id"),
+        col("label").as("n_label"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    val wv = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label"))
+    nn.groupBy("q_id", "true_label", "n_label").agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum((col("n_label") === col("true_label")).cast("long")).as("n_correct"))
+      .orderBy("label")
+  }
+  val vsKnnClassifySql = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(label AS BIGINT) AS label FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
+          FROM e WHERE vec_id % 50 = 0),
+    nn AS (SELECT q_id, true_label, e.vec_id AS c_id, e.label AS n_label,
+        row_number() OVER (PARTITION BY q_id
+          ORDER BY ${distSql("e.v", "qv")}, e.vec_id) AS rn
+      FROM e, q WHERE e.vec_id <> q_id QUALIFY rn <= 5),
+    votes AS (SELECT q_id, true_label, n_label, COUNT(*) AS votes
+      FROM nn GROUP BY 1, 2, 3),
+    pred AS (SELECT q_id, true_label, n_label,
+        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS vr
+      FROM votes QUALIFY vr = 1)
+    SELECT true_label AS label, COUNT(*) AS n_eval,
+      CAST(SUM(CASE WHEN n_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM pred GROUP BY 1 ORDER BY label"""
+
   // ── vs_range_search — all pairs with sim ≥ 0.4 (exact baseline) ──────
   /** Exact O(n²) baseline with id<id dedup. This is the *oracle* path with
     * a bounded corpus; the 100 TB path is [[vsLshSearch]] (bucketed). */
@@ -1015,6 +1067,7 @@ object VectorSearch {
     "vs_outliers" -> vsOutliers,
     "vs_prefix_search" -> vsPrefixSearch,
     "vs_knn_join" -> vsKnnJoin,
+    "vs_knn_classify" -> vsKnnClassify,
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
     "vs_ivf_search" -> vsIvfSearch,
@@ -1038,6 +1091,7 @@ object VectorSearch {
     "vs_outliers" -> vsOutliersSql,
     "vs_prefix_search" -> vsPrefixSearchSql,
     "vs_knn_join" -> vsKnnJoinSql,
+    "vs_knn_classify" -> vsKnnClassifySql,
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,
     "vs_ivf_search" -> vsIvfSearchSql,

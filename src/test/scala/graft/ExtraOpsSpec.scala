@@ -137,6 +137,62 @@ class ExtraOpsSpec extends SparkSpec {
     assert(tris.nonEmpty, "test graph should contain at least one triangle")
   }
 
+  test("vs_knn_classify equals brute-force 5-NN majority vote") {
+    val rows = VectorSearch.vsKnnClassify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val results = emb.filter(_._1 % 50 == 0).map { case (qid, qv, trueLabel) =>
+      val nn = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v, l) =>
+          (id, l, BigDecimal(1.0 - cos(v, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (id, _, d) => (d, id) }.take(5)
+      val pred = nn.groupBy(_._2).map { case (l, vs) => (l, vs.size) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      (trueLabel, pred)
+    }
+    val want = results.groupBy(_._1).map { case (l, vs) =>
+      l -> (vs.length.toLong, vs.count(v => v._2 == v._1).toLong)
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (nEval, nCorrect) = want(r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n_eval") == nEval && r.getAs[Long]("n_correct") == nCorrect,
+        s"label ${r.getAs[Long]("label")}")
+    }
+  }
+
+  test("ev_heavy_hitters equals the exact GROUP BY / HAVING answer") {
+    val rows = Events.evHeavyHitters(spark, sf).collect()
+    val n = Tables.events(spark, sf).count()
+    val want = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .filter(_.getAs[Long]("count") * (Events.MgK + 1) > n)
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(rows.nonEmpty && rows.length == want.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == want(r.getAs[String]("event_type")))
+      assert(r.getAs[Long]("n_total") == n)
+    }
+  }
+
+  test("misra_gries guarantee holds on a planted skewed stream under forced merges") {
+    import spark.implicits._
+    // key 7 = 30% of rows; 1400 unique filler keys overflow any k=4 map
+    val data = (Seq.fill(600)(7L) ++ (0 until 1400).map(i => 1000L + i.toLong))
+      .toDF("k").repartition(8)
+    val cands = data.agg(graft.functions.misra_gries(col("k"), 4).as("c"))
+      .head.getSeq[Long](0)
+    assert(cands.length <= 4)
+    // frequency 30% > n/(k+1) = 20% → guaranteed candidate
+    assert(cands.contains(7L), s"heavy key missing from candidates: $cands")
+  }
+
   test("lake_zorder: every bucket bounds BOTH dimensions; buckets partition the events") {
     val rows = graft.ops.Lake.lakeZorder(spark, sf).collect()
     assert(rows.nonEmpty)
