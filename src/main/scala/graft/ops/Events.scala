@@ -319,16 +319,22 @@ object Events {
     * stream and checks candidates ⊇ true heavies). */
   final val MgK = 9
   def evHeavyHitters: Q = (spark, dir) => {
-    graft.functions.register(spark)
     val keyed = Tables.events(spark, dir)
       .select(col("event_type"), graft.functions.poly_hash(col("event_type")).as("k"))
-    val cands = keyed.agg(graft.functions.misra_gries(col("k"), MgK).as("cs"))
-      .select(explode(col("cs")).as("k"))
-    val tot = keyed.agg(count(lit(1)).as("n_total"))
+    // Sketch AND total in ONE aggregate (pass 1 of exactly two corpus
+    // passes); the 1-row result is staged so the candidate and total
+    // branches don't each re-run the scan. NULL keys are skipped by the
+    // aggregate — heavy-hitter detection over a NULLable key column
+    // would need a sentinel (the events schema has none).
+    val sk = graft.util.Persist.stage(
+      keyed.agg(graft.functions.misra_gries(col("k"), MgK).as("cs"),
+        count(lit(1)).as("n_total")),
+      eager = false)
+    val cands = sk.select(explode(col("cs")).as("k"))
     keyed.join(broadcast(cands), Seq("k"), "left_semi")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(sk.select(col("n_total"))))
       .filter(col("n_events") * (MgK + 1) > col("n_total"))
       .select(col("event_type"), col("n_events"), col("n_total"))
       .orderBy("event_type")

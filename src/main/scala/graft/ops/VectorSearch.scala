@@ -353,15 +353,29 @@ object VectorSearch {
   /** Broadcast the (bounded) query set; one pass over the corpus computes
     * all query distances; top-k per query via window on q_id. At 100 TB the
     * corpus never shuffles — only the k·|Q| candidate rows do. */
+  /** Broadcast query set × corpus top-k candidate shape — the ONE
+    * definition of the batch-kNN cut (NULL distances last so a zero-norm
+    * vector never ranks nearest, c_id tie-break), shared by [[vsKnnJoin]]
+    * and [[vsKnnClassify]] so the ordering contract can't drift between
+    * copies. `e` must carry (vec_id, embedding, …), `q` (q_id, qv, …);
+    * extra columns pass through for the caller to select. */
+  private def knnCandidates(e: DataFrame, q: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val joined = e.crossJoin(broadcast(q))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined)
+      .withColumn("c_id", col("vec_id"))
+      .withColumn("dist", dist(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   def vsKnnJoin: Q = (spark, dir) => {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
-    e.crossJoin(broadcast(q))
-      .select(col("q_id"), col("vec_id").as("c_id"), dist(col("embedding"), col("qv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    knnCandidates(e, q, 5, excludeSelf = false)
+      .select("q_id", "c_id", "dist", "rn")
       .orderBy("q_id", "rn")
   }
   val vsKnnJoinSql = s"""
@@ -390,13 +404,9 @@ object VectorSearch {
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("label").as("true_label"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
-    val nn = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("true_label"), col("vec_id").as("c_id"),
-        col("label").as("n_label"), dist(col("embedding"), col("qv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    val nn = knnCandidates(e, q, 5, excludeSelf = true)
+      .select(col("q_id"), col("true_label"), col("c_id"),
+        col("label").as("n_label"))
     val wv = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label"))
     nn.groupBy("q_id", "true_label", "n_label").agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wv))

@@ -91,6 +91,33 @@ class PlanShapeSpec extends SparkSpec {
       s"wedge enumeration must join on the pivot vertex: ${nodes.map(_.nodeName).distinct}")
   }
 
+  test("ev_heavy_hitters: at most two corpus scans and no distinct-key hash shuffle") {
+    val nodes = executedNodes(Events.evHeavyHitters(spark, sf))
+    val eventScans = nodes.collect {
+      case s: FileSourceScanExec if s.relation.location.inputFiles
+        .exists(_.contains("events")) => s
+    }
+    assert(eventScans.length <= 2,
+      s"sketch-then-verify must not rescan events (${eventScans.length} scans)")
+    // the candidate filter must be a broadcast, never a key shuffle of
+    // the corpus onto the hash
+    assert(nodes.exists(_.nodeName.contains("Broadcast")),
+      s"candidate semi-filter should broadcast: ${nodes.map(_.nodeName).distinct}")
+    val keyShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("k#") => e
+    }
+    assert(keyShuffles.isEmpty,
+      s"corpus must never shuffle on the sketch key: ${keyShuffles.map(_.outputPartitioning)}")
+  }
+
+  test("vs_knn_classify: broadcast query set, no non-broadcast cartesian") {
+    val nodes = executedNodes(VectorSearch.vsKnnClassify(spark, sf))
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      s"query set should broadcast onto the corpus scan: ${nodes.map(_.nodeName).distinct}")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+  }
+
   test("ev_top_paths and vs_prefix_search plan TakeOrderedAndProject, not a global sort") {
     for (df <- Seq(Events.evTopPaths(spark, sf),
         VectorSearch.vsPrefixSearch(spark, sf))) {
