@@ -301,6 +301,41 @@ object Events {
     FROM t WHERE p1 IS NOT NULL
     GROUP BY 1, 2, 3 ORDER BY n DESC, p1, p2, p3 LIMIT 10"""
 
+  // ── ev_user_features — per-user ML feature materialization ───────────
+  /** The feature-store shape: one row per user with the behavioral
+    * features a ranking/churn model trains on — per-type counts (pivot
+    * with an EXPLICIT type list, no distinct-discovery job), totals,
+    * distinct active days, value volume (exact cents), and recency.
+    * ONE groupBy(user_id) with map-side combine; the countDistinct on
+    * days plans the standard two-level aggregate (first exchange keyed
+    * on (user, day) — bounded by activity, not events). At 100 TB this
+    * is the nightly feature materialization: a single user-keyed shuffle
+    * writing |users| rows, the same exchange sessionization pays. */
+  final val EvTypes = Seq("click", "error", "purchase", "signup", "view")
+  def evUserFeatures: Q = (spark, dir) => {
+    val typeCounts = EvTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val aggs = typeCounts ++ Seq(
+      count(lit(1)).as("n_events"),
+      countDistinct(expr(s"ts_us div $DayUs")).as("n_days"),
+      sum(cents(col("value"))).as("value_c"),
+      max("ts_us").as("last_ts_us"))
+    ev(spark, dir).groupBy("user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+  val evUserFeaturesSql: String = s"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events)
+    SELECT user_id,
+      ${EvTypes.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+        .mkString(",\n      ")},
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT ts_us // $DayUs) AS BIGINT) AS n_days,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_c,
+      MAX(ts_us) AS last_ts_us
+    FROM e GROUP BY user_id ORDER BY user_id"""
+
   // ── ev_heavy_hitters — Misra-Gries sketch + exact verification ───────
   /** Frequent-key detection via the two-phase sketch-then-verify shape:
     * phase 1 runs the [[graft.functions.MisraGries]] aggregate (O(k)
@@ -514,6 +549,7 @@ object Events {
     "ev_transition" -> evTransition,
     "ev_top_paths" -> evTopPaths,
     "ev_heavy_hitters" -> evHeavyHitters,
+    "ev_user_features" -> evUserFeatures,
     "ev_anomaly" -> evAnomaly,
     "ev_props_parse" -> evPropsParse,
     "ev_gap_fill" -> evGapFill,
@@ -531,6 +567,7 @@ object Events {
     "ev_transition" -> evTransitionSql,
     "ev_top_paths" -> evTopPathsSql,
     "ev_heavy_hitters" -> evHeavyHittersSql,
+    "ev_user_features" -> evUserFeaturesSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_props_parse" -> evPropsParseSql,
     "ev_gap_fill" -> evGapFillSql,

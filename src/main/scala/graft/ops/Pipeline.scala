@@ -250,11 +250,66 @@ object Pipeline {
     SELECT source, rn, doc_id, n_chars FROM r
     WHERE rn <= $StratK ORDER BY source, rn"""
 
+  // ── pipeline_pack — concat-and-chunk sequence packing accounting ─────
+  /** Sequence packing (the pretraining "concat-and-chunk" step): the
+    * corpus is conceptually concatenated in doc_id order and cut into
+    * fixed-[[PackCap]]-token training sequences; each document's pack is
+    * determined by its starting offset in the concatenated token stream,
+    * and documents straddling a pack boundary are counted (the
+    * cross-document-attention accounting trainers need). The offsets are
+    * a corpus-wide running sum computed as a DISTRIBUTED TWO-PASS
+    * PREFIX SUM — per-bucket token subtotals (tiny frame), an exclusive
+    * prefix over the buckets (window over |buckets| rows, not the
+    * corpus), broadcast back, then a per-bucket local cumsum on the
+    * bucket partitioning — never a single-partition window over the
+    * corpus, which is the trap a naive `SUM OVER (ORDER BY doc_id)`
+    * plans. The oracle computes the SAME offsets with the naive global
+    * cumsum, proving two-pass ≡ global. Report: per-pack doc/token
+    * counts + boundary-crossers. */
+  final val PackCap = 2048L
+  final val PackBucket = 100L // doc_ids per prefix bucket
+  def pipelinePack: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.util.TextUtil.toksCol).cast("long").as("t"),
+        expr(s"doc_id div $PackBucket").as("bkt"))
+    val bktPrefix = d.groupBy("bkt").agg(sum("t").as("bt"))
+      .withColumn("boff", coalesce(
+        sum("bt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(bktPrefix), "bkt")
+      .withColumn("off", col("boff") + coalesce(sum("t").over(wIn), lit(0L)))
+      .withColumn("pack_id", expr(s"off div $PackCap"))
+      .withColumn("crosses",
+        (expr(s"(off + t - 1) div $PackCap") =!= col("pack_id")).cast("long"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        sum("crosses").as("n_crossing"))
+      .orderBy("pack_id")
+  }
+  val pipelinePackSql: String = s"""
+    WITH d AS (SELECT doc_id,
+        CAST(len(${TextUtil.toksSql}) AS BIGINT) AS t FROM documents),
+    o AS (SELECT doc_id, t,
+        COALESCE(SUM(t) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d)
+    SELECT off // $PackCap AS pack_id, COUNT(*) AS n_docs,
+      CAST(SUM(t) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN (off + t - 1) // $PackCap <> off // $PackCap
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+    FROM o GROUP BY 1 ORDER BY pack_id"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_pack" -> pipelinePack,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
+    "pipeline_pack" -> pipelinePackSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_sample_mix" -> pipelineSampleMixSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql)

@@ -137,6 +137,34 @@ class ExtraOpsSpec extends SparkSpec {
     assert(tris.nonEmpty, "test graph should contain at least one triangle")
   }
 
+  test("pipeline_pack: distributed prefix-sum equals the sequential concat-and-chunk") {
+    val rows = Pipeline.pipelinePack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).size.toLong))
+      .sortBy(_._1)
+    // sequential reference: running offset in doc_id order
+    var off = 0L
+    val packed = docs.map { case (_, t) =>
+      val p = off / Pipeline.PackCap
+      val crosses = if ((off + t - 1) / Pipeline.PackCap != p) 1L else 0L
+      off += t
+      (p, t, crosses)
+    }
+    val want = packed.groupBy(_._1).map { case (p, vs) =>
+      p -> (vs.length.toLong, vs.map(_._2).sum, vs.map(_._3).sum)
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (nDocs, nToks, nCross) = want(r.getAs[Long]("pack_id"))
+      assert(r.getAs[Long]("n_docs") == nDocs && r.getAs[Long]("n_tokens") == nToks &&
+        r.getAs[Long]("n_crossing") == nCross, s"pack ${r.getAs[Long]("pack_id")}")
+    }
+    // conservation: every doc lands in exactly one pack
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == docs.map(_._2).sum)
+  }
+
   test("vs_knn_classify equals brute-force 5-NN majority vote") {
     val rows = VectorSearch.vsKnnClassify(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -166,6 +194,21 @@ class ExtraOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_eval") == nEval && r.getAs[Long]("n_correct") == nCorrect,
         s"label ${r.getAs[Long]("label")}")
     }
+  }
+
+  test("ev_user_features: per-type counts partition each user's events; totals conserve") {
+    val rows = Events.evUserFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val typeSum = Events.EvTypes.map(t => r.getAs[Long](s"n_$t")).sum
+      assert(typeSum == r.getAs[Long]("n_events"),
+        s"user ${r.getAs[Long]("user_id")}: type counts must partition events")
+      assert(r.getAs[Long]("n_days") >= 1L &&
+        r.getAs[Long]("n_days") <= r.getAs[Long]("n_events"))
+    }
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    assert(rows.length.toLong == ev.select("user_id").distinct().count())
   }
 
   test("ev_heavy_hitters equals the exact GROUP BY / HAVING answer") {
