@@ -308,6 +308,54 @@ object TextAnalysis {
       row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
     FROM c QUALIFY rn <= 5 ORDER BY source, rn"""
 
+  // ── text_collocations — integer-lift association mining (PMI rank) ───
+  /** Collocation extraction: the top token pairs by LIFT — the
+    * count-ratio n·c(a,b) / (c(a)·c(b)) that PMI is the log of. Ranking
+    * on the log is rank-equivalent to ranking on the ratio, so the
+    * score is kept as an exact integer (ratio in micro-units, one BIGINT
+    * division) and no float ever crosses the engine boundary. Shapes:
+    * the wordcount aggregates (map-side combined), a min-support filter
+    * BEFORE the unigram joins (cuts the candidate set to frequent
+    * pairs), two keyed joins onto the vocab-sized unigram table, and a
+    * TakeOrderedAndProject top-20. At 100 TB: corpus → two wordcount
+    * shuffles; everything after operates on vocabulary-sized frames. */
+  final val CollocMinCount = 5L
+  final val CollocScale = 1000000L
+  def textCollocations: Q = (spark, dir) => {
+    val docs = materializedColumn(
+        Tables.documents(spark, dir).select(col("text")), "toks", toksCol)
+      .select(col("toks")).filter(size(col("toks")) >= 2)
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum("cw").as("n"))
+    val bg = docs.select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= CollocMinCount)
+    bg.join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_micro", expr(s"(cab * n * $CollocScale) div (c1 * c2)"))
+      .select("w1", "w2", "cab", "c1", "c2", "lift_micro")
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+  val textCollocationsSql = s"""
+    WITH t AS (SELECT $toksSql AS toks FROM documents),
+    tt AS (SELECT toks FROM t WHERE len(toks) >= 2),
+    cu AS (SELECT w, COUNT(*) AS cw
+           FROM (SELECT unnest(toks) AS w FROM tt) GROUP BY 1),
+    nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM cu),
+    bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2 FROM tt),
+    cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2
+           HAVING COUNT(*) >= $CollocMinCount)
+    SELECT w1, w2, cab, cu1.cw AS c1, cu2.cw AS c2,
+      (cab * nn.n * $CollocScale) // (cu1.cw * cu2.cw) AS lift_micro
+    FROM cb JOIN cu cu1 ON cu1.w = w1 JOIN cu cu2 ON cu2.w = w2, nn
+    ORDER BY lift_micro DESC, w1, w2 LIMIT 20"""
+
   // ── text_bigram_lm — n-gram LM count table (top bigrams per source) ──
   /** The n-gram language-model preparation step: token-bigram counts per
     * source, top-5 by count (all-integer ranking: count desc, bigram asc
@@ -597,6 +645,7 @@ object TextAnalysis {
     "text_train_split" -> textTrainSplit,
     "text_top_terms" -> textTopTerms,
     "text_bigram_lm" -> textBigramLm,
+    "text_collocations" -> textCollocations,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
@@ -613,6 +662,7 @@ object TextAnalysis {
     "text_train_split" -> textTrainSplitSql,
     "text_top_terms" -> textTopTermsSql,
     "text_bigram_lm" -> textBigramLmSql,
+    "text_collocations" -> textCollocationsSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,

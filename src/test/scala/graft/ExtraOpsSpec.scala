@@ -38,6 +38,28 @@ class ExtraOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_collocations equals brute-force integer-lift ranking") {
+    val rows = TextAnalysis.textCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .map(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase).toSeq)
+      .filter(_.length >= 2)
+    val uni = toks.flatten.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val n = uni.values.sum
+    val bg = toks.flatMap(ts => ts.zip(ts.tail)).groupBy(identity)
+      .map { case (p, v) => p -> v.size.toLong }.filter(_._2 >= TextAnalysis.CollocMinCount)
+    val want = bg.toSeq.map { case ((w1, w2), cab) =>
+      (w1, w2, cab, uni(w1), uni(w2),
+        cab * n * TextAnalysis.CollocScale / (uni(w1) * uni(w2)))
+    }.sortBy { case (w1, w2, _, _, _, lift) => (-lift, w1, w2) }.take(20)
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (r, (w1, w2, cab, c1, c2, lift)) =>
+      assert((r.getString(0), r.getString(1)) == (w1, w2))
+      assert(r.getAs[Long]("cab") == cab && r.getAs[Long]("c1") == c1 &&
+        r.getAs[Long]("c2") == c2 && r.getAs[Long]("lift_micro") == lift)
+    }
+  }
+
   test("text_hll_sketch registers match brute force and the estimate is within HLL error") {
     val rows = TextAnalysis.textHllSketch(spark, sf).collect()
     assert(rows.nonEmpty)
