@@ -283,8 +283,12 @@ object Pipeline {
     d.join(broadcast(bktPrefix), "bkt")
       .withColumn("off", col("boff") + coalesce(sum("t").over(wIn), lit(0L)))
       .withColumn("pack_id", expr(s"off div $PackCap"))
+      // t > 0 guard: a zero-token doc whose offset sits exactly on a pack
+      // boundary has off+t-1 in the PREVIOUS pack but occupies nothing —
+      // it can never straddle.
       .withColumn("crosses",
-        (expr(s"(off + t - 1) div $PackCap") =!= col("pack_id")).cast("long"))
+        (col("t") > 0 &&
+          expr(s"(off + t - 1) div $PackCap") =!= col("pack_id")).cast("long"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
         sum("crosses").as("n_crossing"))
@@ -299,7 +303,7 @@ object Pipeline {
       FROM d)
     SELECT off // $PackCap AS pack_id, COUNT(*) AS n_docs,
       CAST(SUM(t) AS BIGINT) AS n_tokens,
-      CAST(SUM(CASE WHEN (off + t - 1) // $PackCap <> off // $PackCap
+      CAST(SUM(CASE WHEN t > 0 AND (off + t - 1) // $PackCap <> off // $PackCap
         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
     FROM o GROUP BY 1 ORDER BY pack_id"""
 

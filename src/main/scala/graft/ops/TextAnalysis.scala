@@ -311,20 +311,34 @@ object TextAnalysis {
   // ── text_collocations — integer-lift association mining (PMI rank) ───
   /** Collocation extraction: the top token pairs by LIFT — the
     * count-ratio n·c(a,b) / (c(a)·c(b)) that PMI is the log of. Ranking
-    * on the log is rank-equivalent to ranking on the ratio, so the
-    * score is kept as an exact integer (ratio in micro-units, one BIGINT
-    * division) and no float ever crosses the engine boundary. Shapes:
+    * on the log is rank-equivalent to ranking on the ratio, so no log
+    * ever crosses the engine boundary; the ratio itself is computed in
+    * DOUBLE with a pinned op order (cab·n·10⁶ then ÷ c1·c2 — the same
+    * IEEE sequence in DuckDB, like every distance kernel here) because
+    * the integer product cab·n·10⁶ overflows BIGINT on large corpora
+    * (n ~ 10¹³ at the 100 TB posture) — Spark would wrap silently while
+    * the oracle errors. The cut orders on the RAW double (pair
+    * tie-break), output rounded to 6 dp. Shapes:
     * the wordcount aggregates (map-side combined), a min-support filter
     * BEFORE the unigram joins (cuts the candidate set to frequent
     * pairs), two keyed joins onto the vocab-sized unigram table, and a
     * TakeOrderedAndProject top-20. At 100 TB: corpus → two wordcount
     * shuffles; everything after operates on vocabulary-sized frames. */
+  /** Documents with the token array materialized (Generate barrier) and
+    * length-≥-2 filtered — the ONE bigram-op preamble shared by
+    * [[textBigramLm]] and [[textCollocations]] so the tokenize/filter
+    * fragment can't drift between copies. */
+  private def bigramDocs(spark: SparkSession, dir: String, extra: String*): DataFrame =
+    materializedColumn(
+        Tables.documents(spark, dir).select((extra :+ "text").map(col): _*),
+        "toks", toksCol)
+      .select((extra :+ "toks").map(col): _*)
+      .filter(size(col("toks")) >= 2)
+
   final val CollocMinCount = 5L
   final val CollocScale = 1000000L
   def textCollocations: Q = (spark, dir) => {
-    val docs = materializedColumn(
-        Tables.documents(spark, dir).select(col("text")), "toks", toksCol)
-      .select(col("toks")).filter(size(col("toks")) >= 2)
+    val docs = bigramDocs(spark, dir)
     val uni = docs.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val n = uni.agg(sum("cw").as("n"))
@@ -336,10 +350,13 @@ object TextAnalysis {
     bg.join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
       .crossJoin(broadcast(n))
-      .withColumn("lift_micro", expr(s"(cab * n * $CollocScale) div (c1 * c2)"))
-      .select("w1", "w2", "cab", "c1", "c2", "lift_micro")
-      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .withColumn("lift_raw", expr(
+        s"(cast(cab as double) * cast(n as double) * ${CollocScale}.0D)" +
+          " / (cast(c1 as double) * cast(c2 as double))"))
+      .orderBy(col("lift_raw").desc, col("w1"), col("w2"))
       .limit(20)
+      .select(col("w1"), col("w2"), col("cab"), col("c1"), col("c2"),
+        graft.util.Det.r6(col("lift_raw")).as("lift_micro"))
   }
   val textCollocationsSql = s"""
     WITH t AS (SELECT $toksSql AS toks FROM documents),
@@ -350,11 +367,13 @@ object TextAnalysis {
     bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
                   unnest(toks[2:len(toks)]) AS w2 FROM tt),
     cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2
-           HAVING COUNT(*) >= $CollocMinCount)
-    SELECT w1, w2, cab, cu1.cw AS c1, cu2.cw AS c2,
-      (cab * nn.n * $CollocScale) // (cu1.cw * cu2.cw) AS lift_micro
-    FROM cb JOIN cu cu1 ON cu1.w = w1 JOIN cu cu2 ON cu2.w = w2, nn
-    ORDER BY lift_micro DESC, w1, w2 LIMIT 20"""
+           HAVING COUNT(*) >= $CollocMinCount),
+    sc AS (SELECT w1, w2, cab, cu1.cw AS c1, cu2.cw AS c2,
+        (CAST(cab AS DOUBLE) * CAST(nn.n AS DOUBLE) * ${CollocScale}.0)
+          / (CAST(cu1.cw AS DOUBLE) * CAST(cu2.cw AS DOUBLE)) AS lift_raw
+      FROM cb JOIN cu cu1 ON cu1.w = w1 JOIN cu cu2 ON cu2.w = w2, nn
+      ORDER BY lift_raw DESC, w1, w2 LIMIT 20)
+    SELECT w1, w2, cab, c1, c2, round(lift_raw, 6) AS lift_micro FROM sc"""
 
   // ── text_bigram_lm — n-gram LM count table (top bigrams per source) ──
   /** The n-gram language-model preparation step: token-bigram counts per
@@ -368,11 +387,7 @@ object TextAnalysis {
     * At 100 TB this is the wordcount shape — uniform keys, no skew. */
   def textBigramLm: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = materializedColumn(
-        Tables.documents(spark, dir).select(col("source"), col("text")),
-        "toks", toksCol)
-      .select(col("source"), col("toks"))
-      .filter(size(col("toks")) >= 2)
+    val docs = bigramDocs(spark, dir, "source")
     val bg = docs.select(col("source"), explode(expr(
       "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
     val counts = bg.groupBy("source", "bigram").agg(count(lit(1)).as("n"))

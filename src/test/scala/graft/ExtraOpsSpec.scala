@@ -49,14 +49,17 @@ class ExtraOpsSpec extends SparkSpec {
     val bg = toks.flatMap(ts => ts.zip(ts.tail)).groupBy(identity)
       .map { case (p, v) => p -> v.size.toLong }.filter(_._2 >= TextAnalysis.CollocMinCount)
     val want = bg.toSeq.map { case ((w1, w2), cab) =>
-      (w1, w2, cab, uni(w1), uni(w2),
-        cab * n * TextAnalysis.CollocScale / (uni(w1) * uni(w2)))
+      // the operator's exact IEEE op order: (cab·n·1e6) / (c1·c2)
+      val lift = cab.toDouble * n.toDouble * TextAnalysis.CollocScale.toDouble /
+        (uni(w1).toDouble * uni(w2).toDouble)
+      (w1, w2, cab, uni(w1), uni(w2), lift)
     }.sortBy { case (w1, w2, _, _, _, lift) => (-lift, w1, w2) }.take(20)
     assert(rows.length == want.length)
     rows.zip(want).foreach { case (r, (w1, w2, cab, c1, c2, lift)) =>
       assert((r.getString(0), r.getString(1)) == (w1, w2))
       assert(r.getAs[Long]("cab") == cab && r.getAs[Long]("c1") == c1 &&
-        r.getAs[Long]("c2") == c2 && r.getAs[Long]("lift_micro") == lift)
+        r.getAs[Long]("c2") == c2)
+      assert(math.abs(r.getAs[Double]("lift_micro") - lift) < 1e-6 * math.max(1.0, lift))
     }
   }
 
@@ -169,7 +172,7 @@ class ExtraOpsSpec extends SparkSpec {
     var off = 0L
     val packed = docs.map { case (_, t) =>
       val p = off / Pipeline.PackCap
-      val crosses = if ((off + t - 1) / Pipeline.PackCap != p) 1L else 0L
+      val crosses = if (t > 0 && (off + t - 1) / Pipeline.PackCap != p) 1L else 0L
       off += t
       (p, t, crosses)
     }

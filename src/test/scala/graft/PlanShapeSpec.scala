@@ -118,6 +118,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
   }
 
+  test("pipeline_pack: the corpus cumsum window is bucket-partitioned, never single-partition") {
+    val nodes = executedNodes(graft.ops.Pipeline.pipelinePack(spark, sf))
+    val bktExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+          e.outputPartitioning.toString.contains("bkt") => e
+    }
+    assert(bktExchanges.nonEmpty,
+      s"per-bucket local cumsum must partition on bkt: ${nodes.map(_.nodeName).distinct}")
+  }
+
+  test("text_collocations and ev_user_features keep their claimed cut/exchange shapes") {
+    val colloc = executedNodes(graft.ops.TextAnalysis.textCollocations(spark, sf))
+    assert(colloc.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      s"top-20 cut should be TakeOrderedAndProject: ${colloc.map(_.nodeName).distinct}")
+    val feats = executedNodes(Events.evUserFeatures(spark, sf))
+    val userExchanges = feats.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+          e.outputPartitioning.toString.contains("user_id") => e
+    }
+    // one hash exchange for the (user, day) distinct partials + one on
+    // user_id (the final orderBy's range exchange is presentation only)
+    assert(userExchanges.nonEmpty && userExchanges.length <= 2,
+      s"feature aggregate should hash-shuffle on user_id at most twice: ${userExchanges.map(_.outputPartitioning)}")
+  }
+
   test("ev_top_paths and vs_prefix_search plan TakeOrderedAndProject, not a global sort") {
     for (df <- Seq(Events.evTopPaths(spark, sf),
         VectorSearch.vsPrefixSearch(spark, sf))) {
