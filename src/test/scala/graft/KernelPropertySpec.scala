@@ -68,6 +68,35 @@ class KernelPropertySpec extends SparkSpec {
     assert(tooFew.isNullAt(0))
   }
 
+  test("misra_gries guarantee holds on random skewed streams across random partitionings") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val r = new scala.util.Random(1000 + trial)
+      val k = 2 + r.nextInt(6)              // sketch size 2..7
+      val nHeavy = 1 + r.nextInt(2)         // 1-2 planted heavy keys
+      val n = 500 + r.nextInt(1500)
+      // each heavy key must exceed total/(k+1) where total includes the
+      // heavy keys themselves: heavyCount·(k+1−nHeavy) > n suffices
+      val heavyCount = n / (k + 1 - nHeavy) + 1 + r.nextInt(20)
+      val heavy = (1 to nHeavy).map(i => -i.toLong)
+      val rows = heavy.flatMap(h => Seq.fill(heavyCount)(h)) ++
+        (0 until n).map(_ => r.nextInt(10000).toLong) // noisy tail
+      val total = rows.length.toLong
+      val cands = rows.toDF("v").repartition(1 + r.nextInt(12))
+        .agg(graft.functions.misra_gries(col("v"), k).as("c"))
+        .head.getSeq[Long](0)
+      assert(cands.length <= k, s"trial $trial: ${cands.length} > k=$k")
+      heavy.foreach { h =>
+        // exact frequency may exceed heavyCount if the tail collides
+        // (it can't — tail keys are non-negative); guarantee applies
+        assert(heavyCount.toLong > total / (k + 1),
+          s"trial $trial: planted key not actually heavy")
+        assert(cands.contains(h),
+          s"trial $trial: heavy key $h (count $heavyCount of $total, k=$k) missing from $cands")
+      }
+    }
+  }
+
   test("poly_hash_cp equals poly_hash on ASCII but folds codepoints on non-ASCII") {
     import spark.implicits._
     val r = Seq(("abc", "café")).toDF("a", "u").select(
