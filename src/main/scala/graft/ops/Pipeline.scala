@@ -301,7 +301,7 @@ object Pipeline {
         COALESCE(SUM(t) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       FROM d)
-    SELECT off // $PackCap AS pack_id, COUNT(*) AS n_docs,
+    SELECT CAST(off // $PackCap AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
       CAST(SUM(t) AS BIGINT) AS n_tokens,
       CAST(SUM(CASE WHEN t > 0 AND (off + t - 1) // $PackCap <> off // $PackCap
         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing

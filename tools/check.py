@@ -21,6 +21,10 @@ def canon(rows, cols):
 def eq(a, b):
     if a is None or b is None:
         return a is None and b is None
+    # non-scalar cells (numpy arrays from list columns): compare rendered
+    if (hasattr(a, "__len__") and not isinstance(a, (str, bytes))) or \
+       (hasattr(b, "__len__") and not isinstance(b, (str, bytes))):
+        return str(a) == str(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -40,23 +44,36 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            odf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False)]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        scols = [d[0] for d in cur.description]
-        srows = cur.fetchall()
+        sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.itertuples(index=False)]
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        # Dtype-family check: the driver's pandas hasher distinguishes
+        # int64 from float64 even when values compare equal (e.g. an
+        # uncast DuckDB HUGEINT window sum renders float64). Mirror that
+        # strictness here so the class of bug is caught locally.
+        fam = lambda k: {"i": "int", "u": "int", "f": "float"}.get(k, k)
+        tbad = [c for c in scols
+                if fam(sdf[c].dtype.kind) != fam(odf[c].dtype.kind)]
+        if tbad:
+            print(f"FAIL {name}: dtype family mismatch on {tbad}: "
+                  f"spark={[str(sdf[c].dtype) for c in tbad]} "
+                  f"oracle={[str(odf[c].dtype) for c in tbad]}")
             n_fail += 1
             continue
         so, _ = canon(srows, scols)
