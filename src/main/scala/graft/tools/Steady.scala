@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `bench_steady.json`: per-query trailing-median steady states
+  * (median of SPARK_GRAFT_REPS reps, default 5, noop sink) that
+  * `graft.Bench` uses as its stall detector. Run on an idle host:
+  *   sbt "runMain graft.tools.Steady bench_steady.json"
+  * The medians are a detection reference only — bench headlines always
+  * come from the bench's own reps.
+  */
+object Steady {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("bench_steady.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val medians = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med = ts(ts.size / 2)
+      println(f"STEADY $name%s median=$med%.3f s reps=${ts.map(t => f"$t%.2f").mkString(",")}")
+      name -> med
+    }
+    val json = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
