@@ -68,6 +68,69 @@ object IvfIndex {
     model
   }
 
+  /** Integer k-means model: centroids live on the int8 quantization grid
+    * so every training step is exact BIGINT arithmetic — reproducible
+    * bit-for-bit by a SQL engine (the [[VectorSearch.vsIvfTrained]]
+    * oracle unrolls the same iterations as CTEs). */
+  final case class IntModel(centroids: IndexedSeq[(Int, IndexedSeq[Long])]) {
+    def k: Int = centroids.length
+  }
+
+  /** Squared L2 distance between an int8-grid vector column and an integer
+    * centroid literal — exact in LONG (|diff| <= 254 per dim, so the sum
+    * is far below overflow at any realistic dimensionality). On unit-norm
+    * embeddings L2 ordering equals cosine ordering, so the integer grid
+    * preserves the assignment geometry. */
+  def intD2(q: Column, c: IndexedSeq[Long]): Column =
+    aggregate(zip_with(q, typedlit(c), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid cell id under integer L2, ties to the smaller cid. */
+  def intCellOf(q: Column, model: IntModel): Column =
+    least(model.centroids.map { case (cid, cv) =>
+      struct(intD2(q, cv).as("d2"), lit(cid).as("cid"))
+    }: _*).getField("cid")
+
+  /** Round-half-up of s/n for any sign of s, in pure integer arithmetic:
+    * shift by 127n so the numerator is non-negative (grid values are in
+    * [-127,127]), where truncating and floor division agree on every
+    * engine. */
+  private def roundDiv(s: Long, n: Long): Long =
+    (2L * (s + 127L * n) + n) / (2L * n) - 127L
+
+  /** Integer Lloyd: deterministic init (first k rows by id, already
+    * quantized to the int8 grid) + `iters` rounds of integer-L2
+    * assignment and BIGINT sum/count centroid updates with fixed
+    * round-half-up division. Same Spark shape as [[fit]] (map-only assign
+    * + one (cell,dim)-keyed aggregation per round; k×dim rows to the
+    * driver) but every number is exact — the whole trainer replays in SQL. */
+  def fitInt(vectors: DataFrame, idCol: String, qCol: String, k: Int, iters: Int): IntModel = {
+    val base = vectors.select(col(idCol).as("id"), col(qCol).as("q"))
+    var model = IntModel(base.orderBy("id").limit(k).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toIndexedSeq) }.toIndexedSeq)
+    for (_ <- 0 until iters) {
+      val sums = base.withColumn("cell", intCellOf(col("q"), model))
+        .select(col("cell"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      model = IntModel(model.centroids.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val next = old.toArray
+            rows.foreach { r =>
+              next(r.getAs[Int]("dim")) =
+                roundDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))
+            }
+            (cid, next.toIndexedSeq)
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      })
+    }
+    model
+  }
+
   /** Mean cosine distance of each vector to its assigned centroid —
     * the quantization error Lloyd iterations should not increase. */
   def quantizationError(vectors: DataFrame, vecCol: String, model: Model): Double = {

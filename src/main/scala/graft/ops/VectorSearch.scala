@@ -854,58 +854,166 @@ object VectorSearch {
     * flag column (0 = passing) — a report, not a crash, so retuning the
     * trainer degrades one graded row instead of failing the whole
     * bench/correctness run; IvfSpec asserts the flag is 0 at every SF.
-    * Measured headroom at nprobe=3 is 0.88/0.68/0.70 at sf0.001/0.01/0.1
-    * (deterministic: the trainer and data are fixed). Re-measure
-    * procedure when IVF parameters change: run IvfSpec (it prints and
-    * floors mean recall at all three SFs) and update these docs. Per-query
-    * min recall is NOT floored: a single query sitting on a cell boundary
-    * legitimately bottoms out at 0.4 on this corpus. */
+    * Re-measure procedure when IVF parameters change: run IvfSpec (it
+    * prints and floors mean recall at all three SFs) and update these
+    * docs. Per-query min recall is NOT floored: a single query sitting on
+    * a cell boundary legitimately bottoms out at 0.4 on this corpus. */
   final val IvfTrainedNprobe = 3
-  final val IvfTrainedRecallFloor = 0.6
+  final val IvfTrainedRecallFloorPpm = 600000L
 
-  /** End-to-end trained IVF: [[IvfIndex.fit]] runs 2 Lloyd rounds (k=8,
-    * deterministic first-k init) as DataFrame jobs, the probe is the
-    * nprobe=3 cell join of [[IvfIndex.search]], and the output grades the
-    * trained index against the exact brute-force top-5 — one row per
-    * query: (q_id, n_hits of 5, recall, mean_recall, below_floor). Driver
-    * check is rows-only (per SURVEY §2): parallel double summation in the
-    * trainer is not bit-reproducible across engines, so recall-vs-exact is
-    * the oracle — the query grades mean recall against
-    * [[IvfTrainedRecallFloor]] into the `below_floor` column and IvfSpec
-    * asserts it stays 0.
+  /** End-to-end trained IVF, fully SQL-oracle-able: the trainer is
+    * [[IvfIndex.fitInt]] — integer Lloyd (k=8, 2 rounds, deterministic
+    * first-k init) on the int8 quantization grid, where every assignment
+    * (integer L2, ties to smaller cid) and every centroid update (BIGINT
+    * sum/count, fixed round-half-up division) is exact arithmetic the
+    * DuckDB oracle replays with unrolled per-iteration CTEs (the
+    * graph_pagerank technique). The probe is the nprobe=3 integer-L2 cell
+    * join; candidates rerank by exact float cosine (r6, ties by id).
+    * Output grades the trained index against the exact brute-force top-5 —
+    * one row per query: (q_id, n_exact, n_hits, recall, mean_recall_ppm,
+    * below_floor), with mean recall in exact integer micro-units
+    * (1e6·Σhits/Σexact — macro ≡ micro here since every query has
+    * n_exact = 5).
     * Scale: training is the classic Spark k-means shape (driver holds
-    * k×dim doubles only); probe joins hash on cell id. */
+    * k×dim longs only; one map-only assign + one (cell,dim) aggregation
+    * per round); the probe joins hash on cell id. On unit-norm embeddings
+    * integer-L2 ordering tracks cosine ordering, so the grid changes the
+    * geometry only by quantization error. */
   def vsIvfTrained: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val model = IvfIndex.fit(e, "vec_id", "embedding", k = 8, iters = 2)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+    // (vec_id, q): int8-grid quantization, same arithmetic as vs_quant_search.
+    // Staged once — the trainer's per-round jobs, the final assignment and
+    // the probe all reuse it (Persist.stage survives executor loss).
+    val qv = graft.util.Persist.stage(
+      e.crossJoin(broadcast(mx)).select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
+    val model = IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 2)
+    val assigned = qv.select(col("vec_id").as("c_id"),
+      IvfIndex.intCellOf(col("q"), model).as("cell"))
+    val probeStructs = model.centroids.map { case (cid, cv) =>
+      struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+    }
+    val probes = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .select(col("q_id"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, IvfTrainedNprobe)).as("p"))
+      .select(col("q_id"), col("p.cid").as("cell"))
+    val qraw = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val approx = IvfIndex.search(e, "vec_id", "embedding", model,
-        q, "q_id", "qv", nprobe = IvfTrainedNprobe, kNeighbors = 5)
-      .select(col("q_id"), col("c_id"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
-    val exact = e.crossJoin(broadcast(q))
+    val approx = assigned.join(broadcast(probes), "cell")
+      .join(e.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qraw), "q_id")
+      .select(col("q_id"), col("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val exact = e.crossJoin(broadcast(qraw))
       .select(col("q_id"), col("vec_id").as("c_id"),
         dist(col("embedding"), col("qv")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"))
-    // |Q| rows — materialize so the grade aggregate below and the
-    // returned frame share one evaluation of the probe + exact pipelines
-    // (Persist.stage: survives executor loss in cluster mode).
+    // |Q| rows — materialize so the mean-recall aggregate below and the
+    // returned frame share one evaluation of the probe + exact pipelines.
     val graded = graft.util.Persist.stage(
       exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
         .groupBy("q_id")
-        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(col("q_id"), col("n_exact"), col("n_hits"),
-          r6(col("n_hits") / col("n_exact")).as("recall"))
-        .orderBy("q_id"))
-    val meanRow = graded.agg(avg("recall")).head()
-    require(!meanRow.isNullAt(0), "trained IVF has no queries to grade (empty query set)")
-    val meanRecall = meanRow.getDouble(0)
-    graded.withColumn("mean_recall", r6(lit(meanRecall)))
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits")))
+    val tot = graded.agg(sum("n_hits"), sum("n_exact")).head()
+    require(!tot.isNullAt(1) && tot.getLong(1) > 0,
+      "trained IVF has no queries to grade (empty query set)")
+    val ppm = 1000000L * tot.getLong(0) / tot.getLong(1)
+    graded.select(col("q_id"), col("n_exact"), col("n_hits"),
+        r6(col("n_hits") / col("n_exact")).as("recall"))
+      .withColumn("mean_recall_ppm", lit(ppm))
       .withColumn("below_floor",
-        lit(if (meanRecall < IvfTrainedRecallFloor) 1L else 0L))
+        lit(if (ppm < IvfTrainedRecallFloorPpm) 1L else 0L))
+      .orderBy("q_id")
+  }
+
+  /** Full SQL replay of [[vsIvfTrained]]: quantize → unrolled integer
+    * Lloyd (init c0 = first-8 grid vectors; per round: integer-L2 argmin
+    * assignment, BIGINT per-(cell,dim) sums, round-half-up centroid
+    * update with empty cells keeping their centroid) → final assignment →
+    * nprobe=3 probe → exact-cosine rerank → recall grade. Every centroid
+    * coordinate and distance is integer arithmetic; the only floats are
+    * the shared round-6 cosine rerank and the single recall division. */
+  val vsIvfTrainedSql: String = {
+    // One Lloyd round as CTE text: assignment from centroid set `cin`,
+    // update into centroid set `cout` (suffix keeps CTE names unique).
+    def round_(i: Int, cin: String, cout: String) = s"""
+    d$i AS (SELECT t.vec_id, t.q, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qv t, $cin c),
+    a$i AS (SELECT vec_id, q, cid FROM (
+        SELECT vec_id, q, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$i)
+      WHERE rn = 1),
+    s$i AS (SELECT cid, dd.d AS dim, CAST(SUM(q[dd.d]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM a$i, (SELECT unnest(range(1, 65)) AS d) dd GROUP BY cid, dd.d),
+    u$i AS (SELECT cid,
+        list((2 * (s + 127 * n) + n) // (2 * n) - 127 ORDER BY dim) AS c
+      FROM s$i GROUP BY cid),
+    $cout AS (SELECT $cin.cid, COALESCE(u$i.c, $cin.c) AS c
+      FROM $cin LEFT JOIN u$i ON $cin.cid = u$i.cid)"""
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    qv AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM e, mx),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
+      FROM qv ORDER BY vec_id LIMIT 8),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    df AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qv t, c2 c),
+    af AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+      WHERE rn = 1),
+    qs AS (SELECT vec_id AS q_id, q FROM qv WHERE vec_id % 100 = 0),
+    pd AS (SELECT t.q_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qs t, c2 c),
+    probe AS (SELECT q_id, cid AS cell FROM (
+        SELECT q_id, cid,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd)
+      WHERE rn <= $IvfTrainedNprobe),
+    qraw AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0),
+    araw AS (SELECT p.q_id, a.c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM probe p JOIN af a ON a.cell = p.cell
+        JOIN e ec ON ec.vec_id = a.c_id
+        JOIN qraw eq ON eq.q_id = p.q_id),
+    approx AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM araw)
+      WHERE rn <= 5),
+    eraw AS (SELECT eq.q_id, ec.vec_id AS c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM e ec, qraw eq),
+    exact AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM eraw)
+      WHERE rn <= 5),
+    hits AS (SELECT x.q_id, COUNT(*) AS n_exact,
+        CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.c_id = x.c_id
+      GROUP BY x.q_id),
+    tot AS (SELECT CAST((1000000 * SUM(n_hits)) // SUM(n_exact) AS BIGINT) AS ppm
+      FROM hits)
+    SELECT q_id, n_exact, n_hits,
+      round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+      ppm AS mean_recall_ppm,
+      CAST(CASE WHEN ppm < $IvfTrainedRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT)
+        AS below_floor
+    FROM hits, tot ORDER BY q_id"""
   }
 
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
@@ -1087,9 +1195,8 @@ object VectorSearch {
     "vs_ivfpq_search" -> vsIvfPqSearch,
     "vs_lsh_search" -> vsLshSearch)
 
-  // vs_ivf_trained has no oracleSql (rows-only): the trained codebook is
-  // not bit-reproducible in SQL; the query itself grades recall vs exact.
   val oracles: Map[String, String] = Map(
+    "vs_ivf_trained" -> vsIvfTrainedSql,
     "vs_count" -> vsCountSql,
     "vs_hybrid_search" -> vsHybridSearchSql,
     "vec_functions" -> vecFunctionsSql,

@@ -34,10 +34,30 @@ class IvfSpec extends SparkSpec {
       // THE acceptance gate: the query reports the floor verdict in
       // below_floor rather than throwing; this spec is what enforces it.
       assert(r.getAs[Long]("below_floor") == 0L)
-      assert(r.getAs[Double]("mean_recall") >= ops.VectorSearch.IvfTrainedRecallFloor)
+      assert(r.getAs[Long]("mean_recall_ppm") >= ops.VectorSearch.IvfTrainedRecallFloorPpm)
     }
-    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
-    assert(math.abs(rows.head.getAs[Double]("mean_recall") - mean) < 1e-6)
+    val meanPpm = 1000000L * rows.map(_.getAs[Long]("n_hits")).sum /
+      rows.map(_.getAs[Long]("n_exact")).sum
+    info(s"sf=$sf mean recall ppm = $meanPpm over ${rows.length} queries")
+    assert(rows.head.getAs[Long]("mean_recall_ppm") == meanPpm)
+  }
+
+  test("integer Lloyd trainer is deterministic and lives on the int8 grid") {
+    import org.apache.spark.sql.functions.{abs => cabs, array_max, transform => ctransform, broadcast, round => cround, lit, max => cmax}
+    val e = vectors
+    val mx = e.agg(cmax(array_max(ctransform(col("embedding"), x => cabs(x)))).as("maxabs"))
+    val qv = e.crossJoin(broadcast(mx)).select(col("vec_id"),
+      ctransform(col("embedding"),
+        x => cround(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q"))
+    val a = IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 2)
+    val b = IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 2)
+    assert(a == b)
+    a.centroids.foreach { case (_, c) =>
+      assert(c.forall(x => x >= -127L && x <= 127L))
+    }
+    // Training moved at least one centroid off its init vector.
+    val init = IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 0)
+    assert(a != init)
   }
 
   test("probe search returns k neighbors per query with sane recall vs exact") {
