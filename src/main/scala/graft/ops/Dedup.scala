@@ -432,7 +432,7 @@ object Dedup {
     * 16-bit band values — bucket count grows with content) behind the
     * degenerate-bucket cap ([[graft.util.Skew.cappedSelfPairs]]), then
     * verify with the exact kernel — no O(n²) join anywhere in the plan.
-    * The oracle regenerates the identical bands (bit-identical LCG
+    * The oracle regenerates the identical bands (bit-identical mixer
     * planes); the exact all-pairs baseline is
     * [[graft.ops.VectorSearch.vsRangeSearch]]'s oracle.
     *
@@ -440,8 +440,11 @@ object Dedup {
     * floor, not a recall target — 16-plane bands pass a sim≈0.4 pair
     * with only ~1% probability, so in practice only near-identical
     * pairs (sim ≳ 0.8) surface; see LshRecallSpec for the measured
-    * banded-vs-exact recall. At a 0.4-recall requirement, use narrower
-    * bands (planesPerBand 4-8) and pay the candidate blowup. */
+    * banded-vs-exact recall. For an engineered recall target, derive the
+    * geometry from the S-curve with
+    * [[graft.ops.VectorSearch.lshBandsForRecall]] (the registered
+    * `vs_lsh_tuned` runs the 8-plane × 14-band solution for 90% recall
+    * at sim 0.8) and pay the candidate blowup. */
   def dedupEmbedding: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
       inner_product(col("embedding"), col("embedding")).as("nsq"))

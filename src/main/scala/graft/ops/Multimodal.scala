@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   *
   * Real pipelines carry image/audio/video as parquet `binary` columns with
   * a metadata struct; decode/resize/frame-sample run as batched
-  * per-partition workers. This container has no media libs (SURVEY §6), so
-  * the DECODE STEP IS STUBBED with a deterministic fake (byte-statistics
+  * per-partition workers. The IMAGE leg ([[mmImageDecode]]) is a REAL
+  * decode: `javax.imageio` (the JDK's PNG codec — no external media lib)
+  * parses genuine PNG payloads from the binary column and the emitted
+  * stats come from the decoded raster. The audio/video legs have no JDK
+  * codec and this container has no media libs (SURVEY §6), so THEIR
+  * decode step is stubbed with a deterministic fake (byte-statistics
   * "features"); everything Spark-side — schema, binary column, batch
-  * shape, partition-parallel execution, output schema — is real.
+  * shape, partition-parallel execution, output schema — is real on every
+  * leg.
   *
   * Scale posture: mapPartitions processes fixed-size batches (no
   * per-row framework overhead, bounded memory per batch), partition
@@ -174,10 +179,114 @@ object Multimodal {
       ${graft.util.TextUtil.polySql("fr")} AS checksum
     FROM k ORDER BY doc_id, frame_idx"""
 
+  // ── mm_image_decode — REAL image decode over a binary PNG column ────
+  final val ImgW = 16
+  final val ImgH = 16
+
+  /** Deterministic grayscale pixel value for (doc, x, y): integer formula
+    * over doc_id and text length, so a SQL engine can recompute every
+    * pixel without an image codec. */
+  private[graft] def pixelValue(docId: Long, len: Long, x: Int, y: Int): Int =
+    ((docId * 31L + len * 17L + x * 7L + y * 13L) % 256L).toInt
+
+  /** Encode the deterministic image as a REAL PNG via `javax.imageio`
+    * (JDK codec — no external media lib needed). */
+  private[graft] def encodePng(docId: Long, len: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) { raster.setSample(x, y, 0, pixelValue(docId, len, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val imageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("png", BinaryType, nullable = false)))
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("px_wsum", LongType, nullable = false)))
+
+  /** (doc_id, png) binary-column frame: each document carries a real
+    * 16×16 grayscale PNG payload (deterministic content). Map-only. */
+  private[graft] def mmImages(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("len"))
+    val encoder = org.apache.spark.sql.Encoders.row(imageSchema)
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodePng(id, r.getLong(1)))
+      })
+    }(encoder)
+  }
+
+  /** The image leg of the multimodal pipeline with a REAL decode — no
+    * stub: `javax.imageio.ImageIO.read` parses the PNG payload from the
+    * binary column and the emitted statistics come from the DECODED
+    * raster (sum / min / max / position-weighted checksum over raster
+    * order, all exact BIGINT). Because the encoded image content is a
+    * deterministic integer formula, the DuckDB oracle recomputes the same
+    * stats pixel-by-pixel without a codec — any decoder deviation
+    * (wrong pixel, wrong order, wrong dimensions) breaks the hash.
+    * Batched mapPartitions, map-only, frames never leave their partition:
+    * the same scale shape as the stubbed legs. */
+  def mmImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(imageStatsSchema)
+    mmImages(spark, dir).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            wsum += v * (y.toLong * w + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w.toLong, h.toLong, sum, mn, mx, wsum)
+      })
+    }(encoder).orderBy("doc_id")
+  }
+
+  /** Oracle: replay the pixel formula directly (i = y·W + x raster
+    * order) — equality proves the PNG round-trip decoded every pixel
+    * at its exact position. */
+  val mmImageDecodeSql: String = s"""
+    WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+    px AS (SELECT doc_id, p.range AS i,
+        (doc_id * 31 + len * 17 + (p.range % $ImgW) * 7 + (p.range // $ImgW) * 13) % 256 AS v
+      FROM d, range(0, ${ImgW * ImgH}) p)
+    SELECT doc_id, CAST($ImgW AS BIGINT) AS width, CAST($ImgH AS BIGINT) AS height,
+      CAST(SUM(v) AS BIGINT) AS px_sum, CAST(MIN(v) AS BIGINT) AS px_min,
+      CAST(MAX(v) AS BIGINT) AS px_max, CAST(SUM(v * (i + 1)) AS BIGINT) AS px_wsum
+    FROM px GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_image_decode" -> (mmImageDecode _))
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_image_decode" -> mmImageDecodeSql)
 }

@@ -1024,10 +1024,11 @@ object VectorSearch {
     * disguise at corpus scale). Candidate pairs share a band bucket, then
     * verify with the exact kernel: the only join is a hash join on
     * (band_idx, band_val) — never O(n²). This is the scale path for
-    * [[vsRangeSearch]]. Hyperplane values come from an integer LCG mapped
-    * to [-0.5, 0.5) with power-of-two division, so every coordinate is
-    * exactly representable and the SQL oracle regenerates bit-identical
-    * planes. Recall note: wide bands target true near-dups (sim ≳ 0.8);
+    * [[vsRangeSearch]]. Hyperplane values come from an integer
+    * multiply-xor avalanche mixer mapped to [-0.5, 0.5) with power-of-two
+    * division, so every coordinate is exactly representable and the SQL
+    * oracle regenerates bit-identical planes (see [[planeVal]] for why
+    * not a plain LCG). Recall note: wide bands target true near-dups (sim ≳ 0.8);
     * on this corpus (pair sims ≈ 0.5) they are intentionally selective. */
   final val LshPlanesPerBand = 16
   final val LshBands = 16
@@ -1040,8 +1041,54 @@ object VectorSearch {
     * cap²/2 pairs instead of letting one boilerplate bucket emit 10¹¹
     * pairs on one reducer. */
   final val LshBucketCap = 10000L
-  private def planeVal(j: Int, i: Int): Double =
-    ((1103515245L * (j * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  /** Collision probability of ONE random hyperplane for cosine similarity
+    * s (Goemans–Williamson): P[signs agree] = 1 − θ/π with θ = arccos(s). */
+  def lshCollisionProb(s: Double): Double = 1.0 - math.acos(s) / math.Pi
+  /** The standard banding S-curve: a pair at similarity s becomes a
+    * candidate with probability 1 − (1 − p^r)^b for r planes per band and
+    * b bands, p = [[lshCollisionProb]]. LshRecallSpec asserts this
+    * prediction against measured recall at two settings. */
+  def lshPredictedRecall(s: Double, planesPerBand: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(lshCollisionProb(s), planesPerBand), bands)
+  /** Minimal band count whose predicted recall at `designSim` reaches
+    * `targetRecall`: b = ⌈ln(1−target)/ln(1−p^r)⌉ — the banding curve
+    * solved for b. This is how band geometry is DERIVED rather than
+    * hand-picked: pick the design similarity your dedup targets, a recall
+    * requirement, and a band width (selectivity knob), and the count
+    * follows. */
+  def lshBandsForRecall(targetRecall: Double, designSim: Double, planesPerBand: Int): Int = {
+    val pr = math.pow(lshCollisionProb(designSim), planesPerBand)
+    require(pr > 0.0 && pr < 1.0, s"degenerate per-band collision probability $pr")
+    math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt
+  }
+  /** Near-dup design point for [[vsLshTuned]]: 90% recall of sim ≥ 0.8
+    * pairs with 8-plane bands → [[lshBandsForRecall]] gives 14 bands
+    * (p(0.8)=0.795, p^8=0.160, ⌈ln 0.1 / ln 0.840⌉ = 14). The default
+    * 16×16 geometry keeps its documented low-recall/high-precision
+    * regime; this one is the engineered near-dup setting. */
+  final val LshDesignSim = 0.8
+  final val LshTargetRecall = 0.9
+  final val LshTunedPlanesPerBand = 8
+  val LshTunedBands: Int =
+    lshBandsForRecall(LshTargetRecall, LshDesignSim, LshTunedPlanesPerBand)
+
+  /** Plane coordinate (j = plane, i = dim) from a two-round multiply-xor
+    * avalanche mixer, mapped to [-0.5, 0.5). Every step stays under 2^63
+    * (x0 ≤ ~2^14, products ≤ 2^31·2246822519 < 2^62) so DuckDB BIGINT
+    * arithmetic reproduces it bit-for-bit — the reason this is not
+    * splitmix64 (whose wrapping multiplies a SQL engine can't replay).
+    * A plain LCG here is NOT enough: its lattice correlation across
+    * consecutive outputs made measured band recall fall ~25% short of
+    * the (1-(1-p^r)^b) prediction; with this mixer the S-curve holds to
+    * a few percent (LshRecallSpec's predicted-vs-measured test). */
+  private def planeVal(j: Int, i: Int): Double = {
+    val x0 = (j * 64 + i + 1).toLong
+    val h1 = (x0 * 2654435761L) % 2147483648L
+    val h2 = ((h1 ^ (h1 / 65536L)) * 2246822519L) % 2147483648L
+    val h3 = h2 ^ (h2 / 8192L)
+    h3.toDouble / 2147483648.0 - 0.5
+  }
   private[graft] def planes(n: Int): Seq[Seq[Double]] =
     (0 until n).map(j => (0 until 64).map(i => planeVal(j, i)))
 
@@ -1068,11 +1115,15 @@ object VectorSearch {
     * expose ($idCol, v DOUBLE[]). */
   private[graft] def lshBandsSql(src: String, idCol: String,
       planesPerBand: Int = LshPlanesPerBand, bands: Int = LshBands): String = s"""
+    pidx AS (
+      SELECT jj.range AS j, ii.range AS i,
+        ((jj.range*64 + ii.range + 1) * 2654435761) % 2147483648 AS h1
+      FROM range(0, ${planesPerBand * bands}) jj, range(0, 64) ii),
+    p2 AS (SELECT j, i,
+        (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2 FROM pidx),
     planes AS (
-      SELECT range AS j,
-        list_transform(range(0, 64),
-          i -> ((1103515245*(j*64 + i) + 12345) % 2147483648) / 2147483648.0 - 0.5) AS p
-      FROM range(0, ${planesPerBand * bands})),
+      SELECT j, list(xor(h2, h2 // 8192) / 2147483648.0 - 0.5 ORDER BY i) AS p
+      FROM p2 GROUP BY j),
     bits AS (
       SELECT $idCol, j,
         CASE WHEN ${dotSql("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
@@ -1112,6 +1163,37 @@ object VectorSearch {
   val vsLshSearchSql = s"""
     WITH e AS ($eSql),
     ${lshBandsSql("e", "vec_id")},
+    ${lshCandSql("vec_id", "a_id", "b_id")}
+    SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
+    FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+    WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+    ORDER BY a_id, b_id"""
+
+  /** [[vsLshSearch]] at the ENGINEERED near-dup geometry: 8-plane bands ×
+    * [[LshTunedBands]] (=14) bands, derived from the (1−(1−p^r)^b) curve
+    * for 90% recall at sim 0.8 rather than hand-picked. Same bucketed
+    * shape (hash join on band keys behind the degenerate-bucket cap, exact
+    * cosine verify) — only the geometry changes, trading more candidates
+    * for the recall guarantee a real near-dup pass needs. On this corpus
+    * (pair sims ≤ ~0.55) predicted recall of the ≥0.4 set is ~0.3-0.5;
+    * LshRecallSpec pins prediction-vs-measurement at both geometries. */
+  def vsLshTuned: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val bandsDf = lshBands(e, "vec_id", "embedding",
+      planesPerBand = LshTunedPlanesPerBand, bands = LshTunedBands)
+    val cand = graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
+      Seq("band_idx", "band_val"), LshBucketCap)
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+  val vsLshTunedSql = s"""
+    WITH e AS ($eSql),
+    ${lshBandsSql("e", "vec_id", planesPerBand = LshTunedPlanesPerBand, bands = LshTunedBands)},
     ${lshCandSql("vec_id", "a_id", "b_id")}
     SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
     FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
@@ -1193,10 +1275,12 @@ object VectorSearch {
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
     "vs_ivfpq_search" -> vsIvfPqSearch,
-    "vs_lsh_search" -> vsLshSearch)
+    "vs_lsh_search" -> vsLshSearch,
+    "vs_lsh_tuned" -> vsLshTuned)
 
   val oracles: Map[String, String] = Map(
     "vs_ivf_trained" -> vsIvfTrainedSql,
+    "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,
     "vs_hybrid_search" -> vsHybridSearchSql,
     "vec_functions" -> vecFunctionsSql,

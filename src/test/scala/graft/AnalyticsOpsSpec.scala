@@ -130,6 +130,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_image_decode payloads are real PNGs and decode to the formula pixels") {
+    // The payload must be a genuine PNG container (magic header), not the
+    // raw pixel buffer, and the decoded stats must equal an independent
+    // pixel-formula recompute — proving ImageIO round-trips every pixel.
+    val imgs = Multimodal.mmImages(spark, sf).collect()
+    assert(imgs.nonEmpty)
+    val magic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    imgs.foreach { r =>
+      val png = r.getAs[Array[Byte]]("png")
+      assert(png.take(4).sameElements(magic), "payload is not a PNG container")
+      assert(png.length != Multimodal.ImgW * Multimodal.ImgH,
+        "payload suspiciously equals the raw pixel buffer size")
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length.toLong).toMap
+    val stats = Multimodal.mmImageDecode(spark, sf).collect()
+    assert(stats.length == docs.size)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val vs = for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+        yield Multimodal.pixelValue(id, docs(id), x, y).toLong
+      assert(r.getAs[Long]("width") == Multimodal.ImgW)
+      assert(r.getAs[Long]("height") == Multimodal.ImgH)
+      assert(r.getAs[Long]("px_sum") == vs.sum, s"doc $id sum")
+      assert(r.getAs[Long]("px_min") == vs.min && r.getAs[Long]("px_max") == vs.max)
+      assert(r.getAs[Long]("px_wsum") ==
+        vs.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum, s"doc $id wsum")
+    }
+  }
+
   test("text_bigram_lm top-1 equals brute-force bigram count per source") {
     val top = TextAnalysis.textBigramLm(spark, sf).collect()
     assert(top.nonEmpty)
