@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale factor by tiling a source SF `copies`
+  * times with shifted keys — for PERFORMANCE scaling probes only (no
+  * correctness oracle runs against it).
+  *
+  *   sbt "runMain graft.tools.SynthScale /root/testdata/sf0.1 testdata_sf1 10"
+  *
+  * Key shifts preserve referential integrity per copy (copy i's orders
+  * reference copy i's customers, etc.). Content columns are perturbed so
+  * near-dup/similarity DENSITY stays constant instead of every copy
+  * being a duplicate of copy 0 (which would grow pair outputs ~copies²
+  * and measure input blowup, not plan scaling):
+  *   - documents.text: every token gets a copy-specific suffix — within-
+  *     copy near-dup structure is preserved, cross-copy shingle overlap
+  *     is zero;
+  *   - embeddings.embedding: coordinates rolled by i positions — norms
+  *     and coordinate distributions unchanged, cross-copy cosine sims
+  *     fall to background level.
+  * events keep their time range (10× copies = 10× event density, the
+  * realistic way an event stream grows); ts stays raw nanos (BIGINT),
+  * matching what the nanosAsLong loader yields from the driver files.
+  */
+object SynthScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("testdata_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1
+    def wr(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[synth] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    def tiled(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => shift(df, i)).reduce(_ unionAll _)
+
+    // Fixed dims copy through unchanged.
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    val cust = rd("customer"); val cMax = maxOf(cust, "c_custkey")
+    val supp = rd("supplier"); val sMax = maxOf(supp, "s_suppkey")
+    val part = rd("part"); val pMax = maxOf(part, "p_partkey")
+    val ord = rd("orders"); val oMax = maxOf(ord, "o_orderkey")
+
+    wr(tiled(cust)((d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i * cMax))),
+      "customer")
+    wr(tiled(supp)((d, i) => d.withColumn("s_suppkey", col("s_suppkey") + lit(i * sMax))),
+      "supplier")
+    wr(tiled(part)((d, i) => d.withColumn("p_partkey", col("p_partkey") + lit(i * pMax))),
+      "part")
+    wr(tiled(ord)((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * oMax))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * cMax))), "orders")
+    wr(tiled(rd("lineitem"))((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * oMax))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * pMax))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * sMax))), "lineitem")
+
+    val ev = rd("events")
+    val eMax = maxOf(ev, "event_id"); val uMax = maxOf(ev, "user_id")
+    wr(tiled(ev)((d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * eMax))
+      .withColumn("user_id", col("user_id") + lit(i * uMax))), "events")
+
+    val docs = rd("documents"); val dMax = maxOf(docs, "doc_id")
+    wr(tiled(docs)((d, i) => {
+      val txt = if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_" + i))), " ")
+      d.withColumn("doc_id", col("doc_id") + lit(i * dMax))
+        .withColumn("text", txt)
+        .withColumn("n_chars", length(txt).cast("long"))
+    }), "documents")
+
+    val emb = rd("embeddings"); val vMax = maxOf(emb, "vec_id")
+    wr(tiled(emb)((d, i) => {
+      val roll = i % 64
+      val rolled = if (roll == 0) col("embedding")
+        else concat(slice(col("embedding"), roll + 1, 64 - roll),
+          slice(col("embedding"), 1, roll))
+      d.withColumn("vec_id", col("vec_id") + lit(i * vMax))
+        .withColumn("embedding", rolled)
+    }), "embeddings")
+
+    spark.stop()
+  }
+}
