@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * near-dup/similarity DENSITY stays constant instead of every copy
   * being a duplicate of copy 0 (which would grow pair outputs ~copies²
   * and measure input blowup, not plan scaling):
-  *   - documents.text: every token gets a copy-specific suffix — within-
-  *     copy near-dup structure is preserved, cross-copy shingle overlap
-  *     is zero;
+  *   - documents.text: letters get a copy-specific Caesar shift — within-
+  *     copy near-dup structure is preserved exactly (a bijective char map
+  *     preserves every gram/shingle equality), lengths and token shapes
+  *     are unchanged, and cross-copy overlap drops to punctuation/digit
+  *     background for BOTH word-shingle and char-gram blocking (a token
+  *     suffix is not enough: suffixed tokens still share most char-3-grams,
+  *     which made cross-copy twins collide in the ngram minhash bands and
+  *     grew candidate pairs ~45× instead of 10×);
   *   - embeddings.embedding: coordinates rolled by i positions — norms
   *     and coordinate distributions unchanged, cross-copy cosine sims
   *     fall to background level.
@@ -79,10 +84,14 @@ object SynthScale {
       .withColumn("user_id", col("user_id") + lit(i * uMax))), "events")
 
     val docs = rd("documents"); val dMax = maxOf(docs, "doc_id")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
     wr(tiled(docs)((d, i) => {
-      val txt = if (i == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          t => concat(t, lit("_" + i))), " ")
+      val k = i % 26
+      val txt = if (k == 0) col("text")
+        else translate(col("text"),
+          lower + upper,
+          lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
       d.withColumn("doc_id", col("doc_id") + lit(i * dMax))
         .withColumn("text", txt)
         .withColumn("n_chars", length(txt).cast("long"))

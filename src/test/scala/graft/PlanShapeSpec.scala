@@ -33,6 +33,27 @@ class PlanShapeSpec extends SparkSpec {
       s"lang filter not pushed to a scan: $pushed")
   }
 
+  test("vs_lsh_tuned: band join is keyed — no cartesian/BNL anywhere in the pair plan") {
+    val nodes = executedNodes(VectorSearch.vsLshTuned(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "tuned LSH pair generation fell back to a cartesian product")
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "tuned LSH pair generation planned a broadcast nested loop join")
+  }
+
+  test("mm_image_decode is map-only: no shuffle between scan and decode") {
+    val nodes = executedNodes(graft.ops.Multimodal.mmImageDecode(spark, sf)
+      .limit(1))
+    // The only allowed exchanges are the loader fan-out repartition and
+    // the final orderBy's range exchange — never a key shuffle between
+    // the two mapPartitions stages.
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(s =>
+        s.outputPartitioning.getClass.getSimpleName.contains("RoundRobin") ||
+        s.outputPartitioning.getClass.getSimpleName.contains("Range")),
+      s"unexpected key shuffle in decode path: ${shuffles.map(_.outputPartitioning)}")
+  }
+
   test("ev_gap_fill scans the events table exactly once") {
     val nodes = executedNodes(Events.evGapFill(spark, sf))
     // the staged hourly aggregate is the ONLY consumer of the raw scan;
