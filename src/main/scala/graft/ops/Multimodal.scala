@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * per-partition workers. The IMAGE leg ([[mmImageDecode]]) is a REAL
   * decode: `javax.imageio` (the JDK's PNG codec — no external media lib)
   * parses genuine PNG payloads from the binary column and the emitted
-  * stats come from the decoded raster. The audio/video legs have no JDK
-  * codec and this container has no media libs (SURVEY §6), so THEIR
-  * decode step is stubbed with a deterministic fake (byte-statistics
-  * "features"); everything Spark-side — schema, binary column, batch
-  * shape, partition-parallel execution, output schema — is real on every
+  * stats come from the decoded raster. The AUDIO leg ([[mmAudioDecode]])
+  * is likewise REAL: `javax.sound.sampled` (the JDK's RIFF/WAVE codec)
+  * round-trips genuine WAV containers and the stats come from the
+  * decoded PCM frames. Only the VIDEO leg has no JDK codec and this
+  * container has no media libs (SURVEY §6), so its decode step is
+  * stubbed with a deterministic fake (frame splitting + fingerprints);
+  * everything Spark-side — schema, binary column, batch shape,
+  * partition-parallel execution, output schema — is real on every
   * leg.
   *
   * Scale posture: mapPartitions processes fixed-size batches (no
@@ -281,12 +284,139 @@ object Multimodal {
       CAST(MAX(v) AS BIGINT) AS px_max, CAST(SUM(v * (i + 1)) AS BIGINT) AS px_wsum
     FROM px GROUP BY doc_id ORDER BY doc_id"""
 
+  // ── mm_audio_decode — REAL audio decode over a binary WAV column ────
+  final val AudioRateHz = 8000f
+  final val AudioMaxSamples = 512
+
+  /** Samples per clip: 256..511, varying with the document. */
+  private[graft] def audioSampleCount(docId: Long, len: Long): Int =
+    (256 + (docId * 7 + len) % 256).toInt
+
+  /** Deterministic signed 16-bit PCM sample for (doc, i): integer formula
+    * a SQL engine replays without an audio codec. */
+  private[graft] def audioSample(docId: Long, i: Int): Int =
+    (((docId * 131L + i * 1009L) % 65536L) - 32768L).toInt
+
+  /** Encode the deterministic clip as a REAL WAV container via
+    * `javax.sound.sampled.AudioSystem` (JDK RIFF/WAVE writer — no
+    * external media lib): 8 kHz mono 16-bit signed little-endian PCM. */
+  private[graft] def encodeWav(docId: Long, len: Long): Array[Byte] = {
+    val n = audioSampleCount(docId, len)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = audioSample(docId, i)
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioRateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("wav", BinaryType, nullable = false)))
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("s_sum", LongType, nullable = false),
+    StructField("s_min", LongType, nullable = false),
+    StructField("s_max", LongType, nullable = false),
+    StructField("s_wsum", LongType, nullable = false),
+    StructField("s_energy", LongType, nullable = false),
+    StructField("n_zcross", LongType, nullable = false)))
+
+  /** (doc_id, wav) binary-column frame: each document carries a real
+    * RIFF/WAVE payload (deterministic PCM content). Map-only. */
+  private[graft] def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("len"))
+    val encoder = org.apache.spark.sql.Encoders.row(audioSchema)
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeWav(id, r.getLong(1)))
+      })
+    }(encoder)
+  }
+
+  /** The audio leg of the multimodal pipeline with a REAL decode — no
+    * stub: `AudioSystem.getAudioInputStream` parses the WAV container
+    * from the binary column (format + frame count from the RIFF header)
+    * and the emitted statistics come from the DECODED samples: count,
+    * sum, min, max, position-weighted sum, energy (Σv²) and
+    * zero-crossings — all exact BIGINT. The clip content is a
+    * deterministic integer formula, so the DuckDB oracle recomputes every
+    * sample codec-free: a wrong sample, wrong byte order, or dropped
+    * frame breaks the hash. Batched mapPartitions, map-only — the same
+    * scale shape as the image leg. */
+  def mmAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(audioStatsSchema)
+    mmAudio(spark, dir).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var wsum = 0L; var energy = 0L; var zc = 0L
+        var prevNonNeg = false
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(i * 2 + 1).toInt << 8) | (pcm(i * 2) & 0xFF)).toLong
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          wsum += v * (i + 1); energy += v * v
+          val nonNeg = v >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        Row(r.getLong(0), n.toLong, sum, mn, mx, wsum, energy, zc)
+      })
+    }(encoder).orderBy("doc_id")
+  }
+
+  /** Oracle: replay the PCM formula directly — equality proves the WAV
+    * round-trip decoded every frame at its exact position with the right
+    * byte order and sign. Window SUMs are HUGEINT in DuckDB → every
+    * output column CAST AS BIGINT (round-2 rule). */
+  val mmAudioDecodeSql: String = s"""
+    WITH d AS (SELECT doc_id, 256 + (doc_id * 7 + CAST(strlen(text) AS BIGINT)) % 256 AS ns
+      FROM documents),
+    s AS (SELECT doc_id, p.range AS i,
+        (doc_id * 131 + p.range * 1009) % 65536 - 32768 AS v
+      FROM d, range(0, $AudioMaxSamples) p WHERE p.range < ns),
+    z AS (SELECT doc_id, i, v,
+        CASE WHEN i > 0 AND (v >= 0) <>
+          (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+        THEN 1 ELSE 0 END AS zc
+      FROM s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      CAST(SUM(v) AS BIGINT) AS s_sum, CAST(MIN(v) AS BIGINT) AS s_min,
+      CAST(MAX(v) AS BIGINT) AS s_max,
+      CAST(SUM(v * (i + 1)) AS BIGINT) AS s_wsum,
+      CAST(SUM(v * v) AS BIGINT) AS s_energy,
+      CAST(SUM(zc) AS BIGINT) AS n_zcross
+    FROM z GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_image_decode" -> (mmImageDecode _))
+    "mm_image_decode" -> (mmImageDecode _),
+    "mm_audio_decode" -> (mmAudioDecode _))
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_image_decode" -> mmImageDecodeSql)
+    "mm_image_decode" -> mmImageDecodeSql,
+    "mm_audio_decode" -> mmAudioDecodeSql)
 }

@@ -160,6 +160,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_decode payloads are real WAVs and decode to the formula PCM") {
+    // The payload must be a genuine RIFF/WAVE container (magic header +
+    // header overhead), and the decoded stats must equal an independent
+    // sample-formula recompute — proving AudioSystem round-trips every
+    // 16-bit little-endian frame.
+    val wavs = Multimodal.mmAudio(spark, sf).collect()
+    assert(wavs.nonEmpty)
+    wavs.foreach { r =>
+      val wav = r.getAs[Array[Byte]]("wav")
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", "payload is not RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "payload is not WAVE")
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length.toLong).toMap
+    val stats = Multimodal.mmAudioDecode(spark, sf).collect()
+    assert(stats.length == docs.size)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = Multimodal.audioSampleCount(id, docs(id))
+      val vs = (0 until n).map(i => Multimodal.audioSample(id, i).toLong)
+      assert(r.getAs[Long]("n_samples") == n.toLong, s"doc $id n")
+      assert(r.getAs[Long]("s_sum") == vs.sum, s"doc $id sum")
+      assert(r.getAs[Long]("s_min") == vs.min && r.getAs[Long]("s_max") == vs.max)
+      assert(r.getAs[Long]("s_wsum") ==
+        vs.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum, s"doc $id wsum")
+      assert(r.getAs[Long]("s_energy") == vs.map(v => v * v).sum, s"doc $id energy")
+      assert(r.getAs[Long]("n_zcross") == vs.sliding(2).count {
+        case Seq(a, b) => (a >= 0) != (b >= 0); case _ => false
+      }, s"doc $id zcross")
+    }
+  }
+
   test("text_bigram_lm top-1 equals brute-force bigram count per source") {
     val top = TextAnalysis.textBigramLm(spark, sf).collect()
     assert(top.nonEmpty)
