@@ -55,8 +55,9 @@ object Dedup {
       .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= 3)
     val sh = docs.select(col("doc_id"),
-      array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+      array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat(col("toks")(i), lit(" "), col("toks")(i + 1), lit(" "),
+          col("toks")(i + 2))))
         .as("shingles"))
     val hx = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), poly_hash(col("s")).as("h"))
@@ -362,8 +363,9 @@ object Dedup {
               (length(col("text")).cast("long") / 16).cast("long").as("lb"), col("text")),
           "t", lower(col("text")))
           .select(col("doc_id"), col("lb"), col("t")),
-        "grams", expr("array_sort(array_distinct(transform(sequence(1, length(t)-2), " +
-          "i -> poly_hash_cp(substr(t, i, 3)))))"))
+        "grams", array_sort(array_distinct(transform(
+          sequence(lit(1), length(col("t")) - 2),
+          i => poly_hash_cp(col("t").substr(i, lit(3)))))))
       .select(col("doc_id"), col("lb"), col("grams"))
     // The 16 minhashes are pure map-side array folds over the gram set —
     // no explode/shuffle; same permutation arithmetic as MinhashSig. The

@@ -26,13 +26,13 @@ object Events {
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"), idiv(col("ts"), 1000L).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
 
   // ── ev_window_agg — tumbling 1-hour windows per event type ───────────
   def evWindowAgg: Q = (spark, dir) => {
     ev(spark, dir)
-      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .groupBy(col("event_type"), idiv(col("ts_us"), HourUs).as("hour_idx"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
       .orderBy("event_type", "hour_idx")
   }
@@ -156,11 +156,11 @@ object Events {
     val e = ev(spark, dir)
     val errs = e.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
-        col("ts_us").as("err_us"), expr(s"ts_us div $HourUs").as("bk"))
+        col("ts_us").as("err_us"), idiv(col("ts_us"), HourUs).as("bk"))
     val purch = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts_us").as("p_us"),
-        explode(array(expr(s"ts_us div $HourUs - 1"), expr(s"ts_us div $HourUs"))).as("bk"))
+        explode(array(idiv(col("ts_us"), HourUs) - 1, idiv(col("ts_us"), HourUs))).as("bk"))
     errs.join(purch, Seq("user_id", "bk"))
       .filter(col("err_us") >= col("p_us") - HourUs && col("err_us") <= col("p_us"))
       .select(col("user_id"), col("p_id"), col("err_id"), col("p_us"), col("err_us"))
@@ -207,7 +207,7 @@ object Events {
     * oracle scale and shuffles on user_id at 100 TB. */
   private final val DayUs = 86400L * 1000000L
   def evRetention: Q = (spark, dir) => {
-    val e = ev(spark, dir).select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+    val e = ev(spark, dir).select(col("user_id"), idiv(col("ts_us"), DayUs).as("day"))
     val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
     e.join(first, "user_id")
       .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
@@ -317,7 +317,7 @@ object Events {
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
     val aggs = typeCounts ++ Seq(
       count(lit(1)).as("n_events"),
-      countDistinct(expr(s"ts_us div $DayUs")).as("n_days"),
+      countDistinct(idiv(col("ts_us"), DayUs)).as("n_days"),
       sum(cents(col("value"))).as("value_c"),
       max("ts_us").as("last_ts_us"))
     ev(spark, dir).groupBy("user_id")
@@ -397,7 +397,7 @@ object Events {
   def evAnomaly: Q = (spark, dir) => {
     val hourly = graft.util.Persist.stage(
       ev(spark, dir)
-        .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+        .groupBy(col("event_type"), idiv(col("ts_us"), HourUs).as("hour_idx"))
         .agg(count(lit(1)).as("c")),
       eager = false)
     val stats = hourly.groupBy("event_type")
@@ -434,13 +434,13 @@ object Events {
   def evGapFill: Q = (spark, dir) => {
     val hourly = graft.util.Persist.stage(
       ev(spark, dir)
-        .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+        .groupBy(col("event_type"), idiv(col("ts_us"), HourUs).as("hour_idx"))
         .agg(count(lit(1)).as("n")),
       eager = false)
     val bounds = hourly.agg(min("hour_idx").as("h0"), max("hour_idx").as("h1"))
     val spine = hourly.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
-      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour_idx"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour_idx"))
     spine.join(hourly, Seq("event_type", "hour_idx"), "left")
       .select(col("event_type"), col("hour_idx"),
         coalesce(col("n"), lit(0L)).as("n"))
@@ -469,7 +469,7 @@ object Events {
     val w = Window.partitionBy("event_type").orderBy("hour_idx")
       .rangeBetween(-2, Window.currentRow)
     ev(spark, dir)
-      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .groupBy(col("event_type"), idiv(col("ts_us"), HourUs).as("hour_idx"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
       .withColumn("mov_n", sum("n").over(w))
       .withColumn("mov_sum_c", sum("sum_value_c").over(w))
@@ -499,7 +499,7 @@ object Events {
     val e = ev(spark, dir).select(col("event_type"), cents(col("value")).as("v_c"))
     val bounds = e.agg(min("v_c").as("mn"), max("v_c").as("mx"))
     e.crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr("((v_c - mn) * 16) div (mx - mn + 1)"))
+      .withColumn("bucket", idiv((col("v_c") - col("mn")) * 16, col("mx") - col("mn") + 1))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"), min("v_c").as("lo_c"), max("v_c").as("hi_c"))
       .orderBy("event_type", "bucket")

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Det.idiv
 
 /** Graph analytics over derived graphs (companion to the connected-
   * components operator in [[Dedup]]).
@@ -53,7 +54,7 @@ object Graph {
       val contrib = e.join(outs, "prev_type")
         .join(broadcast(rank), col("prev_type") === col("node"))
         .select(col("next_type"),
-          expr("(85 * r * w) div (100 * out_w)").as("c"))
+          idiv(lit(85) * col("r") * col("w"), lit(100) * col("out_w")).as("c"))
         .groupBy("next_type").agg(sum("c").as("cs"))
       rank = nodes.join(contrib, col("node") === col("next_type"), "left")
         .select(col("node"),

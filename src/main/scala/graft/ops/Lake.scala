@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.sources.Sinks
 import graft.util.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lake-layout operators: queries that exercise the bucketed storage
@@ -51,26 +51,28 @@ object Lake {
     * sort gives perfect pruning on one dimension and none on the
     * other). Pure integer arithmetic (scale = histogram bucket math,
     * interleave = div/mod bit extraction in BIGINT) so the oracle
-    * replays the key bit-for-bit. */
-  private def zExpr(u16: String, h16: String): String =
-    s"""aggregate(sequence(0, ${ZBits - 1}), 0L, (acc, i) ->
-        acc + shiftleft(($u16 div shiftleft(CAST(1 AS BIGINT), i)) % 2, 2*i)
-            + shiftleft(($h16 div shiftleft(CAST(1 AS BIGINT), i)) % 2, 2*i + 1))"""
+    * replays the key bit-for-bit. Typed fold; the shift amount is the
+    * lambda variable, so `shiftleft` resolves via `call_function` (the
+    * typed overload only takes a literal Int). */
+  private def zCol(u16: Column, h16: Column): Column =
+    aggregate(sequence(lit(0), lit(ZBits - 1)), lit(0L),
+      (acc, i) => acc + shl(idiv(u16, shl(lit(1L), i)) % 2, i * 2)
+                      + shl(idiv(h16, shl(lit(1L), i)) % 2, i * 2 + 1))
 
   /** Events with the deterministic z-bucket of (user_id, hour). */
   private[graft] def zBucketed(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-        expr("(ts div 1000) div 3600000000").as("hour_idx"))
+        idiv(idiv(col("ts"), 1000L), 3600000000L).as("hour_idx"))
     val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
       min("hour_idx").as("hmin"), max("hour_idx").as("hmax"))
     ev.crossJoin(broadcast(bounds))
       .withColumn("u16",
-        expr(s"((user_id - umin) * ${1 << ZBits}) div (umax - umin + 1)"))
+        idiv((col("user_id") - col("umin")) * (1 << ZBits), col("umax") - col("umin") + 1))
       .withColumn("h16",
-        expr(s"((hour_idx - hmin) * ${1 << ZBits}) div (hmax - hmin + 1)"))
+        idiv((col("hour_idx") - col("hmin")) * (1 << ZBits), col("hmax") - col("hmin") + 1))
       .withColumn("zbucket",
-        expr(s"(${zExpr("u16", "h16")}) div ${(1L << (2 * ZBits)) / ZBuckets}"))
+        idiv(zCol(col("u16"), col("h16")), (1L << (2 * ZBits)) / ZBuckets))
       .select(col("event_id"), col("user_id"), col("hour_idx"), col("zbucket"))
   }
 
@@ -105,7 +107,7 @@ object Lake {
         // tasks × days small files).
         val ev = Tables.events(spark, dir)
           .select(col("event_id"), col("event_type"), col("value"),
-            expr(s"(ts div 1000) div $UsPerDay").as("day"))
+            idiv(idiv(col("ts"), 1000L), UsPerDay).as("day"))
           .repartition(col("day"))
         Sinks.writePartitioned(ev, partitionedEventsPath, Seq("day"))
         // Small-file pathology + its fix, for lake_compact: a fragmented
@@ -191,7 +193,7 @@ object Lake {
   def lakePartitionedScan: Q = (spark, dir) => {
     ensureLake(spark, dir)
     val minDay = Tables.events(spark, dir)
-      .agg(min(expr(s"(ts div 1000) div $UsPerDay"))).head().getLong(0)
+      .agg(min(idiv(idiv(col("ts"), 1000L), UsPerDay))).head().getLong(0)
     partitionedEvents(spark)
       .filter(col("day") === minDay.toInt)
       .groupBy("event_type")
@@ -339,7 +341,7 @@ object Lake {
   def lakeIncrementalAgg: Q = (spark, dir) => {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), cents(col("value")).as("v_c"),
-        expr(s"(ts div 1000) div $UsPerDay").as("day"))
+        idiv(idiv(col("ts"), 1000L), UsPerDay).as("day"))
     val bounds = ev.agg(min("day").as("d0"))
     val partials = ev.crossJoin(broadcast(bounds))
       .withColumn("is_delta", (col("day") >= col("d0") + 25).cast("long"))

@@ -5,6 +5,7 @@ import graft.util.TextUtil
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.util.Det.idiv
 
 /** End-to-end corpus curation — the composed form of the LLM-pipeline
   * operators, in the order a production clean-up runs them. Each
@@ -272,7 +273,7 @@ object Pipeline {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(graft.util.TextUtil.toksCol).cast("long").as("t"),
-        expr(s"doc_id div $PackBucket").as("bkt"))
+        idiv(col("doc_id"), PackBucket).as("bkt"))
     val bktPrefix = d.groupBy("bkt").agg(sum("t").as("bt"))
       .withColumn("boff", coalesce(
         sum("bt").over(Window.orderBy("bkt")
@@ -282,13 +283,13 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     d.join(broadcast(bktPrefix), "bkt")
       .withColumn("off", col("boff") + coalesce(sum("t").over(wIn), lit(0L)))
-      .withColumn("pack_id", expr(s"off div $PackCap"))
+      .withColumn("pack_id", idiv(col("off"), PackCap))
       // t > 0 guard: a zero-token doc whose offset sits exactly on a pack
       // boundary has off+t-1 in the PREVIOUS pack but occupies nothing —
       // it can never straddle.
       .withColumn("crosses",
         (col("t") > 0 &&
-          expr(s"(off + t - 1) div $PackCap") =!= col("pack_id")).cast("long"))
+          idiv(col("off") + col("t") - 1, PackCap) =!= col("pack_id")).cast("long"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
         sum("crosses").as("n_crossing"))

@@ -350,9 +350,9 @@ object Relational {
     val ranked = li
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      .withColumn("lo", expr("(n + 1) div 2"))
-      .withColumn("hi", expr("n div 2 + 1"))
-      .withColumn("p90", expr("(9 * n + 9) div 10"))
+      .withColumn("lo", idiv(col("n") + 1, 2L))
+      .withColumn("hi", idiv(col("n"), 2L) + 1)
+      .withColumn("p90", idiv(col("n") * 9 + 9, 10L))
       .filter(col("rn") === col("lo") or col("rn") === col("hi") or col("rn") === col("p90"))
     ranked.groupBy("l_returnflag")
       .agg(max("n").as("n"),

@@ -128,7 +128,8 @@ object TextAnalysis {
   // ── text_tokens — whitespace + BPE-ish regex token counts per source ─
   def textTokens: Q = (spark, dir) => {
     val ws = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-    val bpe = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
     Tables.documents(spark, dir)
       .select(col("source"), ws.as("ws"), bpe.as("bpe"))
       .groupBy("source")
@@ -157,8 +158,8 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr("sequence(1, length(t) - 7)")).as("i"), col("t"))
-      .select(col("doc_id"), poly_hash_cp(expr("substr(t, i, 8)")).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("t")) - 7)).as("i"), col("t"))
+      .select(col("doc_id"), poly_hash_cp(col("t").substr(col("i"), lit(8))).as("h"))
       .groupBy("doc_id")
       .agg(min("h").as("min_hash"),
         count(lit(1)).as("n_windows"),
@@ -249,7 +250,7 @@ object TextAnalysis {
       .select(col("source"),
         ((poly_hash(col("tok")) * HllSpread) % m).as("hs"))
       .select(col("source"), col("hs"), (col("hs") % HllM).as("bucket"),
-        expr(s"hs div $HllM").as("w"))
+        idiv(col("hs"), HllM.toLong).as("w"))
       .select(col("source"), col("hs"), col("bucket"),
         when(col("w") === 0L, lit(HllW))
           .otherwise(lit(HllW) - length(bin(col("w")))).cast("long").as("rho"))
@@ -257,11 +258,11 @@ object TextAnalysis {
       .agg(countDistinct("hs").as("nd"), max("rho").as("r"))
       .groupBy("source")
       .agg(sum("nd").as("n_exact"), count(lit(1)).as("n_present"),
-        sum(expr(s"shiftleft(1, ${HllW} - r)")).as("nz"))
+        sum(shl(lit(1), lit(HllW) - col("r"))).as("nz"))
       .select(col("source"), col("n_exact"), col("n_present"),
         (col("nz") + (lit(HllM.toLong) - col("n_present")) * (1L << HllW))
           .as("reg_sum"))
-      .withColumn("hll_est", expr(s"$HllAlphaNum div (1000 * reg_sum)"))
+      .withColumn("hll_est", idiv(lit(HllAlphaNum), lit(1000) * col("reg_sum")))
       .orderBy("source")
   }
   val textHllSketchSql = s"""
@@ -342,17 +343,19 @@ object TextAnalysis {
     val uni = docs.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val n = uni.agg(sum("cw").as("n"))
-    val bg = docs.select(explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+    val bg = docs.select(explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(col("toks")(i).as("w1"), col("toks")(i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= CollocMinCount)
     bg.join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
       .crossJoin(broadcast(n))
-      .withColumn("lift_raw", expr(
-        s"(cast(cab as double) * cast(n as double) * ${CollocScale}.0D)" +
-          " / (cast(c1 as double) * cast(c2 as double))"))
+      .withColumn("lift_raw",
+        (col("cab").cast("double") * col("n").cast("double") *
+          lit(CollocScale.toDouble)) /
+        (col("c1").cast("double") * col("c2").cast("double")))
       .orderBy(col("lift_raw").desc, col("w1"), col("w2"))
       .limit(20)
       .select(col("w1"), col("w2"), col("cab"), col("c1"), col("c2"),
@@ -388,8 +391,9 @@ object TextAnalysis {
   def textBigramLm: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = bigramDocs(spark, dir, "source")
-    val bg = docs.select(col("source"), explode(expr(
-      "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+    val bg = docs.select(col("source"), explode(transform(
+      sequence(lit(0), size(col("toks")) - 2),
+      i => concat(col("toks")(i), lit(" "), col("toks")(i + 1)))).as("bigram"))
     val counts = bg.groupBy("source", "bigram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("source").orderBy(col("n").desc, col("bigram"))
     counts.withColumn("rn", row_number().over(w))
@@ -450,12 +454,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"),
-        expr(s"explode(sequence(CAST(0 AS BIGINT), (length(text)-1) div $ChunkStride))")
+        explode(sequence(lit(0L), idiv(length(col("text")) - 1, ChunkStride.toLong)))
           .as("chunk_idx"),
         col("text"))
       .select(col("doc_id"), col("chunk_idx"),
-        expr(s"substring(text, CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkSize)")
-          .as("ck"))
+        col("text").substr((col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)).as("ck"))
       .select(col("doc_id"), col("chunk_idx"),
         length(col("ck")).cast("long").as("chunk_len"),
         poly_hash_cp(col("ck")).as("chunk_hash"))
@@ -484,9 +488,9 @@ object TextAnalysis {
   final val DecontShingle = 8
   /** 8-token shingle strings of a column named `toks` (the ONE shingle
     * definition, shared with [[Pipeline.pipelineCurate]]). */
-  private[ops] def decontShingles: Column = expr(
-    s"transform(sequence(0, size(toks)-$DecontShingle), " +
-    s"i -> array_join(slice(toks, i+1, $DecontShingle), ' '))")
+  private[ops] def decontShingles: Column = transform(
+    sequence(lit(0), size(col("toks")) - DecontShingle),
+    i => array_join(slice(col("toks"), i + 1, lit(DecontShingle)), " "))
 
   def textDecontaminate: Q = (spark, dir) => {
     graft.functions.register(spark)
@@ -630,9 +634,9 @@ object TextAnalysis {
     graft.util.Det.materializedColumn(docs, "toks", graft.util.TextUtil.toksCol)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        expr("size(filter(toks, t -> poly_hash(t) % 97 = 0))").cast("long").as("n_redacted"),
-        poly_hash_cp(expr(
-          "array_join(transform(toks, t -> IF(poly_hash(t) % 97 = 0, '<r>', t)), ' ')"))
+        size(filter(col("toks"), t => poly_hash(t) % 97 === 0)).cast("long").as("n_redacted"),
+        poly_hash_cp(array_join(transform(col("toks"),
+            t => when(poly_hash(t) % 97 === 0, lit("<r>")).otherwise(t)), " "))
           .as("redacted_hash"))
       .orderBy("doc_id")
   }

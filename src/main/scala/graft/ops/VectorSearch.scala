@@ -156,17 +156,18 @@ object VectorSearch {
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
       .select(col("label"), col("n"),
-        expr("aggregate(vs, array_repeat(0.0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
+        aggregate(col("vs"), array_repeat(lit(0.0), 64),
+          (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b))
           .as("sumv"))
 
   def vsCentroids: Q = (spark, dir) => {
     labelVectorSums(labeled(spark, dir))
       .select(col("label"), col("n"),
-        r6(expr("sumv[0]") / col("n")).as("c0"),
-        r6(expr("sumv[1]") / col("n")).as("c1"),
-        r6(expr("sumv[2]") / col("n")).as("c2"),
-        r6(expr("sumv[3]") / col("n")).as("c3"),
-        r6(expr("aggregate(sumv, 0.0D, (a, x) -> a + x / n)")).as("csum"))
+        r6(col("sumv")(0) / col("n")).as("c0"),
+        r6(col("sumv")(1) / col("n")).as("c1"),
+        r6(col("sumv")(2) / col("n")).as("c2"),
+        r6(col("sumv")(3) / col("n")).as("c3"),
+        r6(aggregate(col("sumv"), lit(0.0), (a, x) => a + x / col("n"))).as("csum"))
       .orderBy("label")
   }
   val vsCentroidsSql = s"""
@@ -198,7 +199,7 @@ object VectorSearch {
   def vsOutliers: Q = (spark, dir) => {
     val e = labeled(spark, dir)
     val cents = labelVectorSums(e)
-      .select(col("label"), expr("transform(sumv, x -> x / n)").as("c"))
+      .select(col("label"), transform(col("sumv"), x => x / col("n")).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
     e.join(broadcast(cents), "label")
@@ -321,14 +322,17 @@ object VectorSearch {
   def vsBinarySearch: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    def sig(off: Int): Column = expr(
-      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + IF(element_at(v, i + $off + 1) > 0D, shiftleft(1L, i), 0L))")
+    def sig(off: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) => acc +
+        when(element_at(col("v"), i + off + 1) > lit(0.0), shl(lit(1L), i))
+          .otherwise(lit(0L)))
     val s = e.withColumn("lo", sig(0)).withColumn("hi", sig(32))
     val q = s.filter(col("vec_id") === 0)
       .select(col("lo").as("qlo"), col("hi").as("qhi"), col("v").as("qv"))
     val cand = s.crossJoin(broadcast(q))
       .withColumn("ham",
-        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("long"))
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
       .orderBy(col("ham"), col("vec_id"))
       .limit(64)
     cand.select(col("vec_id"), col("ham"), dist(col("v"), col("qv")).as("dist"))
@@ -1214,7 +1218,7 @@ object VectorSearch {
         Tables.documents(spark, dir).select("doc_id", "text"),
         "toks", graft.util.TextUtil.toksCol)
       .select(col("doc_id"),
-        expr("array_sort(array_distinct(transform(toks, t -> poly_hash(t))))").as("hs"))
+        array_sort(array_distinct(transform(col("toks"), t => poly_hash(t)))).as("hs"))
     val docs = docVectors(spark, dir).join(toksets, "doc_id")
     val q = docs.filter(col("doc_id") === 0)
       .select(col("vector").as("qv"), col("hs").as("qhs"))

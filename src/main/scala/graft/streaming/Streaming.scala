@@ -40,7 +40,7 @@ object Streaming {
   def windowAggStream(spark: SparkSession, dir: String): DataFrame = {
     readEvents(spark, dir)
       .select(col("event_type"), col("value"),
-        timestamp_micros(expr("ts div 1000")).as("event_time"))
+        timestamp_micros(idiv(col("ts"), 1000L)).as("event_time"))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
@@ -51,8 +51,8 @@ object Streaming {
   /** Batch equivalent of [[windowAggStream]] (same windows, same output). */
   def windowAggBatch(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.events(spark, dir)
-      .select(col("event_type"), col("value"), expr("ts div 1000").as("ts_us"))
-      .groupBy(expr(s"(ts_us div $WinUs) * $WinUs").as("win_us"), col("event_type"))
+      .select(col("event_type"), col("value"), idiv(col("ts"), 1000L).as("ts_us"))
+      .groupBy((idiv(col("ts_us"), WinUs) * WinUs).as("win_us"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
       .select(col("win_us"), col("event_type"), col("n"), col("sum_value_c"))
       .orderBy("win_us", "event_type")
@@ -82,7 +82,7 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val events = readEvents(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"), col("value"))
       .as[SessEvent]
     def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
     events.groupByKey(_.user_id)
@@ -208,7 +208,7 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val events = readEvents(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"),
         col("event_id"), col("event_type"))
       .as[TransEvent]
     events.groupByKey(_.user_id)
@@ -270,16 +270,16 @@ object Streaming {
     val ev = readEvents(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        timestamp_micros(expr("ts div 1000")).as("c_time"))
+        timestamp_micros(idiv(col("ts"), 1000L)).as("c_time"))
       .withWatermark("c_time", "1 hour")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
-        timestamp_micros(expr("ts div 1000")).as("p_time"))
+        timestamp_micros(idiv(col("ts"), 1000L)).as("p_time"))
       .withWatermark("p_time", "1 hour")
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
       col("p_time") >= col("c_time") &&
-      col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+      col("p_time") <= col("c_time") + lit(java.time.Duration.ofHours(1)))
       .select(col("c_user").as("user_id"), col("click_id"), col("p_id"),
         unix_micros(col("c_time")).as("c_us"), unix_micros(col("p_time")).as("p_us"))
   }
@@ -288,7 +288,7 @@ object Streaming {
   def clickPurchaseJoinBatch(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        idiv(col("ts"), 1000L).as("ts_us"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts_us").as("c_us"))
     val purchases = ev.filter(col("event_type") === "purchase")

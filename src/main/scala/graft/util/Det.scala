@@ -24,6 +24,16 @@ object Det {
   /** Round a double column to 6 dp (distance outputs). */
   def r6(c: Column): Column = round(c, 6)
 
+  /** Typed integral division (SQL `a div b` — Catalyst `IntegralDivide`,
+    * always LONG). `call_function` resolves the registered "div" function
+    * without string parsing, so call sites stay typed columns. */
+  def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+  def idiv(a: Column, b: Long): Column = idiv(a, lit(b))
+
+  /** Typed shiftleft where the shift amount is itself a Column (the
+    * `functions.shiftleft` overload only takes a literal Int). */
+  def shl(a: Column, b: Column): Column = call_function("shiftleft", a, b)
+
   /** Optimizer barrier for an expensive computed column that downstream
     * code references many times (esp. inside higher-order-function
     * lambdas). CollapseProject inlines plain `Project` aliases into every
