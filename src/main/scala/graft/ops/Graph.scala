@@ -151,10 +151,69 @@ object Graph {
       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
     ORDER BY ta, tb, tc"""
 
+  // ── graph_label_prop — min-label propagation, fixed rounds ───────────
+  final val LpIters = 3
+  /** Min-label propagation over the undirected transition graph: every
+    * node starts labelled with itself, and each round takes the MIN over
+    * its own and its neighbours' labels — [[LpIters]] fixed rounds
+    * (unrolled in the oracle like [[graphPagerank]]'s), so after round k
+    * a node carries the smallest label within distance k. String MIN is
+    * exact on both engines — no float, no tie ambiguity. Each round is
+    * the Pregel-as-DataFrame shape: symmetric edge list ⋈ labels on the
+    * neighbour key (broadcast here — labels is |nodes| rows; at
+    * billions of nodes the same plan runs as a keyed shuffle join), MIN
+    * aggregate on the node key, left join back for isolated nodes. The
+    * symmetric edge frame is staged once and reused by all rounds. */
+  def graphLabelProp: Q = (spark, dir) => {
+    val e = graft.util.Persist.stage(
+      edges(spark, dir).filter(col("prev_type") =!= col("next_type")),
+      eager = false)
+    val sym = e.select(col("prev_type").as("n"), col("next_type").as("nb"))
+      .union(e.select(col("next_type"), col("prev_type")))
+      .distinct()
+    val nodes = e.select(col("prev_type").as("node"))
+      .union(e.select(col("next_type")))
+      .distinct()
+    var lab: DataFrame = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to LpIters) {
+      val nbMin = sym.join(broadcast(lab), col("nb") === col("node"))
+        .groupBy("n").agg(min("label").as("m"))
+      lab = lab.join(nbMin, col("node") === col("n"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("m"), col("label"))).as("label"))
+    }
+    lab.orderBy("node")
+  }
+  val graphLabelPropSql: String = {
+    def iter(prev: String, cur: String): String = s"""
+    m$cur AS (SELECT s.n AS node, MIN(l.label) AS m
+      FROM sym s JOIN l$prev l ON l.node = s.nb GROUP BY 1),
+    l$cur AS (SELECT l.node, least(l.label, COALESCE(m.m, l.label)) AS label
+      FROM l$prev l LEFT JOIN m$cur m ON m.node = l.node)"""
+    s"""
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    lagged AS (SELECT event_type AS next_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM ev),
+    edges AS (SELECT prev_type, next_type FROM lagged
+      WHERE prev_type IS NOT NULL AND prev_type <> next_type GROUP BY 1, 2),
+    sym AS (SELECT prev_type AS n, next_type AS nb FROM edges
+            UNION SELECT next_type, prev_type FROM edges),
+    nodes AS (SELECT DISTINCT prev_type AS node FROM edges
+              UNION SELECT DISTINCT next_type FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    ${iter("0", "1")},
+    ${iter("1", "2")},
+    ${iter("2", "3")}
+    SELECT node, label FROM l3 ORDER BY node"""
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
-    "graph_triangles" -> graphTriangles)
+    "graph_triangles" -> graphTriangles,
+    "graph_label_prop" -> graphLabelProp)
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_label_prop" -> graphLabelPropSql)
 }

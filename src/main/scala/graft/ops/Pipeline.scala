@@ -308,13 +308,63 @@ object Pipeline {
         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
     FROM o GROUP BY 1 ORDER BY pack_id"""
 
+  // ── pipeline_token_budget — quality-ranked greedy budget selection ───
+  /** Token-budget curation (the "take the best N tokens" selection every
+    * pretraining mix ends with): documents are ranked by the composite
+    * quality score (ties broken by doc_id), and the corpus prefix whose
+    * exclusive running token total stays under [[TokenBudget]] is
+    * selected. The running total is the same DISTRIBUTED TWO-PASS PREFIX
+    * SUM as [[pipelinePack]], with the bucket key extended to the sort
+    * key: buckets are (score, doc_id div [[PackBucket]]) — contiguous
+    * runs of the (score DESC, doc_id) global order — so the exclusive
+    * prefix is a window over the tiny per-bucket subtotal frame and the
+    * within-bucket cumsum is partitioned, never a corpus-wide
+    * single-partition window. The oracle computes the same offsets with
+    * the naive global cumsum, proving two-pass ≡ sequential greedy. */
+  final val TokenBudget = 12000L
+  def pipelineTokenBudget: Q = (spark, dir) => {
+    val d = graft.util.Det.materializedColumn(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "toks", TextUtil.toksCol)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("t"),
+        TextAnalysis.qualityScore(TextAnalysis.uniqRatio(col("toks")),
+          TextAnalysis.alphaRatio(col("text")), size(col("toks"))).as("score"),
+        idiv(col("doc_id"), PackBucket).as("bkt"))
+    val bktPrefix = d.groupBy("score", "bkt").agg(sum("t").as("bt"))
+      .withColumn("boff", coalesce(
+        sum("bt").over(Window.orderBy(col("score").desc, col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("score", "bkt", "boff")
+    val wIn = Window.partitionBy("score", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(bktPrefix), Seq("score", "bkt"))
+      .withColumn("off", col("boff") + coalesce(sum("t").over(wIn), lit(0L)))
+      .filter(col("off") < TokenBudget)
+      .select(col("doc_id"), col("score"), col("t").as("n_tok"), col("off"))
+      .orderBy("off")
+  }
+  val pipelineTokenBudgetSql: String = s"""
+    WITH q0 AS (${TextAnalysis.qualityScoresSql}),
+    tok AS (SELECT doc_id, CAST(len(${TextUtil.toksSql}) AS BIGINT) AS n_tok
+      FROM documents),
+    o AS (SELECT q0.doc_id, q0.score, tok.n_tok,
+        CAST(COALESCE(SUM(tok.n_tok) OVER (ORDER BY q0.score DESC, q0.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM q0 JOIN tok ON tok.doc_id = q0.doc_id)
+    SELECT doc_id, score, n_tok, off FROM o
+    WHERE off < $TokenBudget ORDER BY off"""
+
   val queries: Map[String, Q] = Map(
     "pipeline_pack" -> pipelinePack,
+    "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
     "pipeline_pack" -> pipelinePackSql,
+    "pipeline_token_budget" -> pipelineTokenBudgetSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_sample_mix" -> pipelineSampleMixSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql)

@@ -486,11 +486,16 @@ object TextAnalysis {
     * shingle pass + one distinct + one aggregate — no corpus self-join.
     */
   final val DecontShingle = 8
-  /** 8-token shingle strings of a column named `toks` (the ONE shingle
-    * definition, shared with [[Pipeline.pipelineCurate]]). */
-  private[ops] def decontShingles: Column = transform(
-    sequence(lit(0), size(col("toks")) - DecontShingle),
-    i => array_join(slice(col("toks"), i + 1, lit(DecontShingle)), " "))
+  /** n-token shingle strings of a column named `toks` (the ONE shingle
+    * definition, shared with [[Pipeline.pipelineCurate]] and
+    * [[textBoilerplate]]). */
+  private[ops] def shinglesOf(n: Int): Column = transform(
+    sequence(lit(0), size(col("toks")) - n),
+    i => array_join(slice(col("toks"), i + 1, lit(n)), " "))
+  private[ops] def decontShingles: Column = shinglesOf(DecontShingle)
+  /** DuckDB fragment mirroring [[shinglesOf]] over a `toks` column. */
+  private[ops] def shinglesSql(n: Int): String =
+    s"list_transform(range(1, len(toks)-${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))"
 
   def textDecontaminate: Q = (spark, dir) => {
     graft.functions.register(spark)
@@ -522,8 +527,7 @@ object TextAnalysis {
   val textDecontaminateSql: String = s"""
     WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $DecontShingle),
-    sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-${DecontShingle - 2}),
-             i -> array_to_string(toks[i:i+${DecontShingle - 1}], ' '))) AS s FROM tt),
+    sh AS (SELECT doc_id, unnest(${shinglesSql(DecontShingle)}) AS s FROM tt),
     hx AS (SELECT DISTINCT doc_id, ${graft.util.TextUtil.polySql("s")} AS h FROM sh),
     probes AS (SELECT DISTINCT h FROM hx WHERE doc_id % 20 = 0),
     j AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
@@ -532,6 +536,55 @@ object TextAnalysis {
           WHERE c.doc_id % 20 <> 0 GROUP BY 1)
     SELECT doc_id, n_hits, n_shingles, round(n_hits / n_shingles, 6) AS hit_ratio
     FROM j WHERE n_hits > 0 ORDER BY doc_id"""
+
+  // ── text_boilerplate — corpus-frequent shingle detection ─────────────
+  /** Boilerplate detection (the RefinedWeb/CCNet-style cleanup step that
+    * strips headers, footers, and templated spans): a 4-token shingle
+    * appearing in ≥ [[BoilerDf]] DISTINCT documents is "boilerplate",
+    * and each document reports how much of it is made of such shingles.
+    * Scale: the document-frequency table is a wordcount-shaped hash
+    * aggregate (map-side combined — the skew-proof shape; a windowed
+    * `COUNT() OVER (PARTITION BY h)` would ship every occurrence of a
+    * mega-frequent shingle to one task), and the df frame joins back on
+    * the SAME shingle-hash key the aggregate just shuffled on, so the
+    * exchange is reused. No broadcast: unlike the decontamination probe
+    * set, the frequent-shingle set grows with the corpus and must stay
+    * distributed. */
+  final val BoilerShingle = 4
+  final val BoilerDf = 3L
+  def textBoilerplate: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val docs = materializedColumn(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "toks", toksCol)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) >= BoilerShingle)
+    val hx = graft.util.Persist.stage(
+      docs.select(col("doc_id"), explode(shinglesOf(BoilerShingle)).as("s"))
+        .select(col("doc_id"), poly_hash(col("s")).as("h"))
+        .distinct(),
+      eager = false)
+    val df = hx.groupBy("h").agg(count(lit(1)).as("df"))
+    hx.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") >= BoilerDf).cast("long")).as("n_boiler"))
+      .filter(col("n_boiler") > 0)
+      .select(col("doc_id"), col("n_boiler"), col("n_shingles"),
+        r6(col("n_boiler") / col("n_shingles")).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+  val textBoilerplateSql: String = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $BoilerShingle),
+    sh AS (SELECT doc_id, unnest(${shinglesSql(BoilerShingle)}) AS s FROM tt),
+    hx AS (SELECT DISTINCT doc_id, ${graft.util.TextUtil.polySql("s")} AS h FROM sh),
+    df AS (SELECT h, COUNT(*) AS df FROM hx GROUP BY 1),
+    j AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
+            CAST(SUM(CASE WHEN d.df >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          FROM hx c JOIN df d ON c.h = d.h GROUP BY 1)
+    SELECT doc_id, n_boiler, n_shingles, round(n_boiler / n_shingles, 6) AS boiler_ratio
+    FROM j WHERE n_boiler > 0 ORDER BY doc_id"""
 
   // ── text_bm25 — lexical relevance ranking (rational-idf BM25) ────────
   /** BM25 ranking of the corpus against doc 0's token set, with the
@@ -659,6 +712,7 @@ object TextAnalysis {
     "text_clean" -> textClean,
     "text_chunk" -> textChunk,
     "text_bm25" -> textBm25,
+    "text_boilerplate" -> textBoilerplate,
     "text_decontaminate" -> textDecontaminate,
     "text_lang_id" -> textLangId,
     "text_train_split" -> textTrainSplit,
@@ -676,6 +730,7 @@ object TextAnalysis {
     "text_clean" -> textCleanSql,
     "text_chunk" -> textChunkSql,
     "text_bm25" -> textBm25Sql,
+    "text_boilerplate" -> textBoilerplateSql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_lang_id" -> textLangIdSql,
     "text_train_split" -> textTrainSplitSql,
