@@ -538,6 +538,43 @@ object Events {
       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
     FROM e GROUP BY 1 ORDER BY event_type"""
 
+  // ── ev_attribution — last-touch conversion attribution ───────────────
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * user's most recent STRICTLY-preceding click/view (the
+    * carry-forward `last(..., ignoreNulls)` over an exclusive
+    * rows-frame); purchases with no preceding touch are 'organic'.
+    * Per-channel report: purchase count, distinct converting users,
+    * credited revenue in exact cents. One shuffle on user_id serves the
+    * carry-forward window; the channel aggregate is |channels| rows.
+    * Deterministic: the frame is ordered by (ts_us, event_id) — no tie
+    * ambiguity — and revenue sums in integer cents. */
+  def evAttribution: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("organic")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("channel")
+  }
+  val evAttributionSql = s"""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events),
+    t AS (SELECT user_id, event_type, value,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+    SELECT COALESCE(touch, 'organic') AS channel, COUNT(*) AS n_purchases,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
     "ev_skew_agg" -> evSkewAgg,
@@ -554,7 +591,8 @@ object Events {
     "ev_props_parse" -> evPropsParse,
     "ev_gap_fill" -> evGapFill,
     "ev_histogram" -> evHistogram,
-    "ev_moving_window" -> evMovingWindow)
+    "ev_moving_window" -> evMovingWindow,
+    "ev_attribution" -> evAttribution)
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
@@ -572,5 +610,6 @@ object Events {
     "ev_props_parse" -> evPropsParseSql,
     "ev_gap_fill" -> evGapFillSql,
     "ev_histogram" -> evHistogramSql,
-    "ev_moving_window" -> evMovingWindowSql)
+    "ev_moving_window" -> evMovingWindowSql,
+    "ev_attribution" -> evAttributionSql)
 }

@@ -356,15 +356,65 @@ object Pipeline {
     SELECT doc_id, score, n_tok, off FROM o
     WHERE off < $TokenBudget ORDER BY off"""
 
+  // ── pipeline_epoch_shuffle — deterministic per-epoch global order ────
+  /** Epoch shuffling (the "reshuffle the corpus before every training
+    * epoch" step): each document's position in epoch e is its exact
+    * global rank under the per-(epoch, doc) hash coin — a deterministic,
+    * RNG-free permutation that changes completely between epochs and is
+    * reproducible across retries and partitionings. The rank is computed
+    * WITHOUT a global sort or single-partition window: the coin is
+    * uniform on [0, HashMod), so fixed-width coin ranges are contiguous
+    * runs of the sorted order — per-(epoch, bucket) counts, an exclusive
+    * prefix over the tiny per-epoch bucket frame, then an intra-bucket
+    * row_number partitioned by (epoch, bucket). Third instance of the
+    * [[pipelinePack]] two-pass prefix pattern (sum → sum-by-sort-key →
+    * rank), proving it generalizes to permutation assignment. Ties are
+    * impossible across buckets (same coin → same bucket) and broken by
+    * doc_id within one. */
+  final val Epochs = 2L
+  final val CoinBucketW = 16000000L // ~63 buckets over [0, HashMod)
+  def pipelineEpochShuffle: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val d = Tables.documents(spark, dir).select("doc_id")
+      .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
+      .withColumn("coin", (graft.functions.poly_hash(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string")))
+        * MixSpread) % TextUtil.HashMod)
+      .withColumn("bkt", idiv(col("coin"), CoinBucketW))
+    val bktPrefix = d.groupBy("epoch", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(
+        sum("bn").over(Window.partitionBy("epoch").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "bkt", "boff")
+    val wIn = Window.partitionBy("epoch", "bkt").orderBy("coin", "doc_id")
+    d.join(broadcast(bktPrefix), Seq("epoch", "bkt"))
+      .withColumn("pos", col("boff") + row_number().over(wIn).cast("long"))
+      .select(col("epoch"), col("pos"), col("doc_id"), col("coin"))
+      .orderBy("epoch", "pos")
+  }
+  val pipelineEpochShuffleSql: String = s"""
+    WITH d AS (SELECT doc_id, epoch FROM documents
+      CROSS JOIN (SELECT unnest(range(0, $Epochs)) AS epoch)),
+    c AS (SELECT doc_id, epoch,
+        (${TextUtil.polySql("(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")}
+          * $MixSpread) % ${TextUtil.HashMod} AS coin
+      FROM d)
+    SELECT epoch,
+      CAST(row_number() OVER (PARTITION BY epoch ORDER BY coin, doc_id) AS BIGINT) AS pos,
+      doc_id, coin
+    FROM c ORDER BY epoch, pos"""
+
   val queries: Map[String, Q] = Map(
     "pipeline_pack" -> pipelinePack,
     "pipeline_token_budget" -> pipelineTokenBudget,
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffle,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_sample_mix" -> pipelineSampleMixSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql)

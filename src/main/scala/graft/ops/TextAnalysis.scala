@@ -416,6 +416,50 @@ object TextAnalysis {
     * on every run, any cluster size, and any data order — the property
     * that makes training-data splits reproducible. Map-only + one tiny
     * aggregate. */
+  // ── text_lm_score — corpus-LM familiarity (fluency-proxy quality) ────
+  /** Per-document fluency proxy under the corpus's own bigram counts —
+    * the RETRIEVED-quality signal pipelines use when no external LM is
+    * available: a document whose bigrams are corpus-frequent reads like
+    * the corpus; one full of rare bigrams is an outlier (gibberish,
+    * wrong language, OCR noise). Integer-exact: per-doc sum and min of
+    * corpus bigram counts, plus the fixed-point mean `sum·1000 div n`.
+    * Scale: corpus bigram counts are the wordcount shape (map-side
+    * combined); the count-back join is keyed on the SAME bigram the
+    * aggregate shuffled on (exchange reuse, same pattern as
+    * [[textBoilerplate]]'s df join — never a broadcast, the bigram
+    * vocabulary grows with the corpus); the per-doc aggregate is one
+    * doc_id shuffle. Every bigram occurs at least once (in its own
+    * doc), so the join never drops a row. */
+  def textLmScore: Q = (spark, dir) => {
+    val docs = bigramDocs(spark, dir, "doc_id")
+    val bg = graft.util.Persist.stage(
+      docs.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat(col("toks")(i), lit(" "), col("toks")(i + 1)))).as("bigram")),
+      eager = false)
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cab"))
+    bg.join(cb, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cab").as("sum_freq"),
+        min("cab").as("min_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"), col("min_freq"),
+        idiv(col("sum_freq") * lit(1000L), col("n_bigrams")).as("lm_milli"))
+      .orderBy("doc_id")
+  }
+  val textLmScoreSql: String = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    b2 AS (SELECT doc_id, w1 || ' ' || w2 AS bigram FROM (
+      SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2 FROM tt)),
+    cb AS (SELECT bigram, COUNT(*) AS cab FROM b2 GROUP BY 1)
+    SELECT b2.doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(cb.cab) AS BIGINT) AS sum_freq,
+      MIN(cb.cab) AS min_freq,
+      CAST(SUM(cb.cab) * 1000 // COUNT(*) AS BIGINT) AS lm_milli
+    FROM b2 JOIN cb USING (bigram)
+    GROUP BY 1 ORDER BY doc_id"""
+
   def textTrainSplit: Q = (spark, dir) => {
     // doc_id is reduced mod 1e9+7 BEFORE multiplying so the product
     // stays < 2^63 for any conceivable id (no overflow, no oracle error).
@@ -715,6 +759,7 @@ object TextAnalysis {
     "text_boilerplate" -> textBoilerplate,
     "text_decontaminate" -> textDecontaminate,
     "text_lang_id" -> textLangId,
+    "text_lm_score" -> textLmScore,
     "text_train_split" -> textTrainSplit,
     "text_top_terms" -> textTopTerms,
     "text_bigram_lm" -> textBigramLm,
@@ -733,6 +778,7 @@ object TextAnalysis {
     "text_boilerplate" -> textBoilerplateSql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_lang_id" -> textLangIdSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_train_split" -> textTrainSplitSql,
     "text_top_terms" -> textTopTermsSql,
     "text_bigram_lm" -> textBigramLmSql,

@@ -514,7 +514,10 @@ object VectorSearch {
     * nprobe=2 nearest cells against cell-assigned corpus. At 100 TB the
     * only corpus-sized op is the map-side assignment + one hash join on
     * cell id; no window over the corpus. */
-  def vsIvfSearch: Q = (spark, dir) => {
+  /** IVF candidate stage shared by [[vsIvfSearch]] and [[vsRecallEval]]:
+    * (q_id, c_id, dist) for every corpus vector in one of each query's
+    * nprobe=2 nearest cells. */
+  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cents: Array[(Long, Seq[Float])] = e.filter(col("vec_id") < 8)
       .collect()
@@ -530,15 +533,20 @@ object VectorSearch {
     val probes = q.select(col("q_id"), col("qv"),
         explode(slice(array_sort(array(cellStructs(col("qv")): _*)), 1, 2)).as("probe"))
       .select(col("q_id"), col("qv"), col("probe.cid").as("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
     assigned.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id").as("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+  }
+
+  def vsIvfSearch: Q = (spark, dir) => {
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    ivfCandidates(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .orderBy("q_id", "rn")
   }
-  val vsIvfSearchSql = s"""
-    WITH e AS ($eSql),
+  /** The IVF candidate CTE chain (mirrors [[ivfCandidates]]) shared by
+    * the vs_ivf_search and vs_recall_eval oracles. */
+  private val ivfCandSql = s"""e AS ($eSql),
     cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
     assign AS (
       SELECT vec_id, cell FROM (
@@ -555,10 +563,57 @@ object VectorSearch {
         FROM q, cent) WHERE rn <= 2),
     cand AS (
       SELECT p.q_id, e.vec_id AS c_id, ${distSql("e.v", "p.qv")} AS dist
-      FROM probes p JOIN assign a ON a.cell = p.cell JOIN e ON e.vec_id = a.vec_id)
+      FROM probes p JOIN assign a ON a.cell = p.cell JOIN e ON e.vec_id = a.vec_id)"""
+
+  val vsIvfSearchSql = s"""
+    WITH $ivfCandSql
     SELECT q_id, c_id, dist,
       row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
     FROM cand QUALIFY rn <= 5 ORDER BY q_id, rn"""
+
+  // ── vs_recall_eval — ANN index quality evaluation (recall@5) ─────────
+  /** Index-quality monitoring as a query (the check a production vector
+    * store runs after every index rebuild): recall@5 of the IVF nprobe=2
+    * path against the exact top-5, per query. Both rankings use the
+    * identical (dist, c_id) tie-break, so the hit count is deterministic
+    * and recall is exact integer ppm. Scale shape = the sum of its
+    * parts: IVF candidates (map-only assignment + cell hash join) and
+    * the exact baseline (broadcast bounded query set, one corpus pass);
+    * the recall join touches only k·|Q| rows. */
+  def vsRecallEval: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val ivf = ivfCandidates(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id")).withColumn("hit", lit(1L))
+    val exact = knnCandidates(e, q, 5, excludeSelf = false)
+      .select("q_id", "c_id")
+    exact.join(ivf, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        idiv(col("n_hits") * lit(1000000L), 5L).as("recall_ppm"))
+      .orderBy("q_id")
+  }
+  val vsRecallEvalSql = s"""
+    WITH $ivfCandSql,
+    ivf AS (SELECT q_id, c_id FROM (
+      SELECT q_id, c_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
+      FROM cand) WHERE rn <= 5),
+    exact AS (SELECT q_id, c_id FROM (
+      SELECT q.q_id, e.vec_id AS c_id,
+        row_number() OVER (PARTITION BY q.q_id
+          ORDER BY ${distSql("e.v", "q.qv")}, e.vec_id) AS rn
+      FROM e, q) WHERE rn <= 5),
+    hits AS (SELECT exact.q_id, CAST(COUNT(ivf.c_id) AS BIGINT) AS n_hits
+      FROM exact LEFT JOIN ivf ON ivf.q_id = exact.q_id AND ivf.c_id = exact.c_id
+      GROUP BY 1)
+    SELECT q_id, n_hits, CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_ppm
+    FROM hits ORDER BY q_id"""
 
   // ── vs_quant_search — int8 scalar quantization + integer dot top-k ──
   /** Scalar-quantized search, the memory/bandwidth scale lever real
@@ -1275,6 +1330,7 @@ object VectorSearch {
     "vs_range_search" -> vsRangeSearch,
     "vs_ingest" -> vsIngest,
     "vs_ivf_search" -> vsIvfSearch,
+    "vs_recall_eval" -> vsRecallEval,
     "vs_ivf_trained" -> vsIvfTrained,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
@@ -1300,6 +1356,7 @@ object VectorSearch {
     "vs_range_search" -> vsRangeSearchSql,
     "vs_ingest" -> vsIngestSql,
     "vs_ivf_search" -> vsIvfSearchSql,
+    "vs_recall_eval" -> vsRecallEvalSql,
     "vs_quant_search" -> vsQuantSearchSql,
     "vs_pq_search" -> vsPqSearchSql,
     "vs_ivfpq_search" -> vsIvfPqSearchSql,

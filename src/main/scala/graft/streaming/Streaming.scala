@@ -259,6 +259,92 @@ object Streaming {
     FROM t WHERE prev_type IS NOT NULL
     GROUP BY 1, 2 ORDER BY prev_type, next_type"""
 
+  // ── Stateful last-touch attribution (cross-batch touch carry) ────────
+
+  case class AttrEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+  /** (last processed position, last click/view so far — "" for none):
+    * the position makes the late-arrival drop deterministic, the touch
+    * is the attribution state proper. One record per user. */
+  case class TouchSeen(ts_us: Long, event_id: Long, touch: String)
+  case class AttrOut(user_id: Long, channel: String, value_c: Long)
+
+  /** Streaming form of [[graft.ops.Events.evAttribution]]: per-user
+    * `GroupState[TouchSeen]` carries the latest click/view across
+    * micro-batches, so a purchase in batch N is credited to a touch
+    * from batch N−k — the cross-batch continuity the batch window's
+    * carry-forward `last(…, ignoreNulls)` gets for free. Same
+    * late-arrival drop rule as [[transitionStream]] (an event at or
+    * before the stored position is dropped deterministically); each
+    * purchase emits exactly one credited row with exact-cents value. */
+  def attributionStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[AttrEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchSeen, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[AttrEvent], state: GroupState[TouchSeen]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = IndexedSeq.newBuilder[AttrOut]
+          var st = state.getOption
+          sorted.foreach { e =>
+            st match {
+              case Some(p) if e.ts_us < p.ts_us ||
+                  (e.ts_us == p.ts_us && e.event_id <= p.event_id) => ()
+              case _ =>
+                if (e.event_type == "purchase")
+                  out += AttrOut(user,
+                    st.map(_.touch).filter(_.nonEmpty).getOrElse("organic"),
+                    math.floor(e.value * 100 + 0.5).toLong)
+                val touch =
+                  if (e.event_type == "click" || e.event_type == "view") e.event_type
+                  else st.map(_.touch).getOrElse("")
+                st = Some(TouchSeen(e.ts_us, e.event_id, touch))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** Driver-checkable twin of [[attributionStream]]: the per-channel
+    * purchase count + credited cents the emitted stream maintains —
+    * the incrementally-maintainable slice of `ev_attribution` (COUNT
+    * and SUM are algebraic over the credited-purchase stream; the batch
+    * form's per-channel DISTINCT user count is not, which is exactly
+    * why it is absent here). */
+  def attributionCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), idiv(col("ts"), 1000L).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("organic")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("channel")
+  }
+  val attributionCountsSql = s"""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events),
+    t AS (SELECT user_id, event_type, value,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+    SELECT COALESCE(touch, 'organic') AS channel, COUNT(*) AS n_purchases,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel"""
+
   // ── Stream-stream interval join ──────────────────────────────────────
 
   /** Watermarked stream-stream join: purchases joined to the clicks of
@@ -320,11 +406,13 @@ object Streaming {
     "stream_join" -> clickPurchaseJoinQuery,
     "stream_sessionize" -> (sessionizeClosedBatch _),
     "stream_transition" -> (transitionCountsBatch _),
+    "stream_attribution" -> (attributionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,
     "stream_sessionize" -> sessionizeClosedSql,
     "stream_transition" -> transitionCountsSql,
+    "stream_attribution" -> attributionCountsSql,
     "stream_dedup" -> dedupStreamSummarySql)
 }

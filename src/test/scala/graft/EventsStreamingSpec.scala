@@ -132,6 +132,30 @@ class EventsStreamingSpec extends SparkSpec {
       ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("stateful stream attribution aggregates to the batch channel report") {
+    val q = Streaming.attributionStream(spark, sf).writeStream
+      .format("memory").queryName("stream_attr")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_attr")
+      .groupBy("channel")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("value_c").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    val batch = Streaming.attributionCountsBatch(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("sum_value_c"))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // conservation: every purchase is credited exactly once
+    assert(streamed.values.map(_._1).sum ==
+      graft.Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count())
+  }
+
   test("streaming dedup emits one row per distinct content hash") {
     val q = Streaming.dedupStream(spark, sf).writeStream
       .format("memory").queryName("stream_dedup")

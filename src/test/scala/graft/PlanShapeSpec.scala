@@ -151,6 +151,38 @@ class PlanShapeSpec extends SparkSpec {
       s"per-bucket local cumsum must partition on bkt: ${nodes.map(_.nodeName).distinct}")
   }
 
+  test("round-6 prefix/rank ops: corpus windows are bucket-partitioned, never single-partition") {
+    for ((name, df) <- Seq(
+        "pipeline_token_budget" -> graft.ops.Pipeline.pipelineTokenBudget(spark, sf),
+        "pipeline_epoch_shuffle" -> graft.ops.Pipeline.pipelineEpochShuffle(spark, sf))) {
+      val nodes = executedNodes(df)
+      val bktExchanges = nodes.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+            e.outputPartitioning.toString.contains("bkt") => e
+      }
+      assert(bktExchanges.nonEmpty,
+        s"$name per-bucket cumsum/rank must partition on bkt: ${nodes.map(_.nodeName).distinct}")
+    }
+  }
+
+  test("text_boilerplate: df side is size-planned, not hint-forced; df is an aggregate, not a window") {
+    val df = graft.ops.TextAnalysis.textBoilerplate(spark, sf)
+    // no broadcast() hint anywhere: the frequent-shingle set grows with
+    // the corpus, so the join strategy must stay Catalyst's size-based
+    // choice (broadcast at test SF is fine; forced broadcast is not)
+    val logical = df.queryExecution.analyzed
+    assert(!logical.collect { case h if h.nodeName.contains("Hint") => h }.exists(_ => true),
+      "document-frequency join must not force a broadcast hint")
+    val nodes = executedNodes(df)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+    // the df count must be a (map-side combinable) hash aggregate, never
+    // a windowed COUNT OVER (PARTITION BY h) — the skew trap
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      s"df must be a hash aggregate, not a windowed count: ${nodes.map(_.nodeName).distinct}")
+  }
+
   test("text_collocations and ev_user_features keep their claimed cut/exchange shapes") {
     val colloc = executedNodes(graft.ops.TextAnalysis.textCollocations(spark, sf))
     assert(colloc.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Events, Graph, Pipeline, TextAnalysis}
+import graft.ops.{Events, Graph, Pipeline, TextAnalysis, VectorSearch}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the round-6 operator additions (boilerplate
@@ -56,6 +56,98 @@ class Round6OpsSpec extends SparkSpec {
     // scores agree with the quality operator
     val scoreOf = scored.map(t => t._1 -> t._2).toMap
     rows.foreach(r => assert(r.getAs[Long]("score") == scoreOf(r.getAs[Long]("doc_id"))))
+  }
+
+  test("ev_attribution equals a sequential per-user replay") {
+    val got = Events.evAttribution(spark, sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_users"), r.getAs[Long]("sum_value_c")))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val credited = ev.groupBy(_._3).toSeq.flatMap { case (user, es) =>
+      var touch: String = null
+      es.sortBy(e => (e._2, e._1)).flatMap { case (_, _, _, tpe, v) =>
+        val out = if (tpe == "purchase")
+          Seq((if (touch == null) "organic" else touch, user,
+            math.floor(v * 100 + 0.5).toLong))
+        else Seq.empty
+        if (tpe == "click" || tpe == "view") touch = tpe
+        out
+      }
+    }
+    val want = credited.groupBy(_._1).map { case (ch, vs) =>
+      ch -> (vs.length.toLong, vs.map(_._2).distinct.length.toLong, vs.map(_._3).sum)
+    }
+    assert(got == want)
+    assert(got.contains("organic") || got.size > 1)
+  }
+
+  test("pipeline_epoch_shuffle: positions are the exact coin-rank permutation per epoch") {
+    val M = graft.util.TextUtil.HashMod
+    def poly(s: String): Long =
+      s.map(_.toLong).reduceLeft((a, b) => (a * 31 + b) % M)
+    def coin(epoch: Long, id: Long): Long =
+      (poly(s"$epoch:$id") * Pipeline.MixSpread) % M
+    val rows = Pipeline.pipelineEpochShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("coin")))
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val perms = rows.groupBy(_._1)
+    assert(perms.keySet == (0L until Pipeline.Epochs).toSet)
+    perms.foreach { case (e, rs) =>
+      // independent coin computation and ranking
+      rs.foreach { case (_, _, id, c) => assert(c == coin(e, id)) }
+      val want = ids.map(id => (coin(e, id), id)).sorted.map(_._2).toSeq
+      assert(rs.sortBy(_._2).map(_._3).toSeq == want)
+      assert(rs.map(_._2).sorted.toSeq == (1L to ids.length.toLong))
+    }
+    // epochs permute differently
+    assert(perms(0L).sortBy(_._2).map(_._3).toSeq != perms(1L).sortBy(_._2).map(_._3).toSeq)
+  }
+
+  test("vs_recall_eval agrees with set-intersecting the registered searches") {
+    val got = VectorSearch.queries("vs_recall_eval")(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    val ivf = VectorSearch.queries("vs_ivf_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = VectorSearch.queries("vs_knn_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, (hits, ppm)) =>
+      val want = (exact(q) & ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == want, s"q=$q")
+      assert(ppm == hits * 1000000L / 5L)
+    }
+    // the IVF path is lossy by design somewhere, and useful everywhere
+    assert(got.values.forall(_._1 >= 1L))
+  }
+
+  test("text_lm_score equals brute-force bigram frequency accounting") {
+    val got = TextAnalysis.textLmScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_freq"), r.getAs[Long]("min_freq"), r.getAs[Long]("lm_milli")))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+      .filter(_._2.length >= 2)
+    val perDoc = docs.map { case (id, ts) =>
+      id -> ts.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val cb = perDoc.flatMap(_._2).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val want = perDoc.map { case (id, bs) =>
+      val s = bs.map(cb).sum
+      id -> (bs.length.toLong, s, bs.map(cb).min, s * 1000L / bs.length)
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // near-dup docs share bigrams, so some bigram frequencies exceed 1
+    assert(got.values.exists(_._2 > got.values.map(_._1).max))
   }
 
   test("graph_label_prop equals brute-force min-label iteration") {
