@@ -461,8 +461,119 @@ object Relational {
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY gid, o_orderstatus, o_orderpriority"""
 
+  /** Q18 (large-volume orders): HAVING over a fact aggregate BEFORE any
+    * join — the per-order quantity total is map-side combined and the
+    * >threshold survivors are a tiny frame, so the joins back to orders
+    * and customer see only qualifying keys (AQE broadcasts the survivor
+    * side). The anti-pattern this avoids at 100 TB is joining first and
+    * aggregating the multiplied rows. */
+  final val Q18MinQtyC = 25000L // 250.00 in cents
+  def q18Having: Q = (spark, dir) => {
+    val big = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(cents(col("l_quantity"))).as("total_qty_c"))
+      .filter(col("total_qty_c") > Q18MinQtyC)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        cents(col("o_totalprice")).as("o_totalprice_c"), col("total_qty_c"))
+      .orderBy(col("total_qty_c").desc, col("o_orderkey"))
+      .limit(20)
+  }
+  val q18HavingSql: String = s"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS total_qty_c
+      FROM lineitem GROUP BY 1 HAVING SUM(${centsSql("l_quantity")}) > $Q18MinQtyC)
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      ${centsSql("o_totalprice")} AS o_totalprice_c, total_qty_c
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty_c DESC, o_orderkey LIMIT 20"""
+
+  /** Q19 (disjunctive predicate revenue): the OR-of-ANDs shape that
+    * exercises CNF extraction — Catalyst pulls the common `p_partkey =
+    * l_partkey` out and pushes the brand/size IN-bounds into the part
+    * scan, so the join never sees a cartesian and the fact side filters
+    * on quantity before joining. One scalar output row, exact cents. */
+  def q19Disjunctive: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val pred =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#33" && col("p_size").between(1, 45) &&
+        col("l_quantity").between(20, 50))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .filter(pred)
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"),
+        count(lit(1)).as("n"))
+  }
+  val q19DisjunctiveSql: String = s"""
+    SELECT CAST(SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c,
+      COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 30
+            AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 45
+            AND l_quantity BETWEEN 20 AND 50)"""
+
+  /** Q20 (nested-aggregate semijoin): suppliers whose shipped STANDARD-
+    * part quantity exceeds the all-supplier average of that same
+    * quantity — an aggregate filtered by an aggregate over itself. The
+    * per-supplier frame is computed ONCE and staged; the average is a
+    * 1-row broadcast onto it (never a self-join of the fact); the
+    * surviving keys semijoin the supplier dim. Integer threshold: the
+    * exact-cents mean as `floor(sum/n)`. */
+  def q20NestedSemijoin: Q = (spark, dir) => {
+    val std = Tables.part(spark, dir)
+      .select("p_partkey", "p_type").filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val perSupp = graft.util.Persist.stage(
+      Tables.lineitem(spark, dir)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(std, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_quantity"))).as("qty_c")),
+      eager = false)
+    val avg = perSupp.agg(
+      floor(sum("qty_c") / count(lit(1))).cast("long").as("avg_c"))
+    val winners = perSupp.crossJoin(broadcast(avg))
+      .filter(col("qty_c") > col("avg_c"))
+      .select("l_suppkey", "qty_c")
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(winners, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("qty_c"))
+      .orderBy("s_suppkey")
+  }
+  val q20NestedSemijoinSql: String = s"""
+    WITH ps AS (
+      SELECT l_suppkey, CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM part
+                    WHERE p_partkey = l_partkey AND p_type = 'STANDARD')
+      GROUP BY 1),
+    a AS (SELECT CAST(floor(SUM(qty_c) / COUNT(*)) AS BIGINT) AS avg_c FROM ps)
+    SELECT s_suppkey, s_name, qty_c
+    FROM supplier JOIN ps ON l_suppkey = s_suppkey, a
+    WHERE qty_c > avg_c
+    ORDER BY s_suppkey"""
+
   val queries: Map[String, Q] = Map(
     "q17_cube" -> q17Cube,
+    "q18_having" -> q18Having,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q20_nested_semijoin" -> q20NestedSemijoin,
     "q16_unpivot" -> q16Unpivot,
     "q14_median" -> q14Median,
     "q15_setops" -> q15Setops,
@@ -480,6 +591,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q17_cube" -> q17CubeSql,
+    "q18_having" -> q18HavingSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q20_nested_semijoin" -> q20NestedSemijoinSql,
     "q16_unpivot" -> q16UnpivotSql,
     "q14_median" -> q14MedianSql,
     "q15_setops" -> q15SetopsSql,

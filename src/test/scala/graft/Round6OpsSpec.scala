@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Events, Graph, Pipeline, TextAnalysis, VectorSearch}
+import graft.ops.{Events, Graph, Pipeline, Relational, TextAnalysis, VectorSearch}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the round-6 operator additions (boilerplate
@@ -148,6 +148,52 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     // near-dup docs share bigrams, so some bigram frequencies exceed 1
     assert(got.values.exists(_._2 > got.values.map(_._1).max))
+  }
+
+  private def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
+  test("q18/q19/q20 equal brute-force replays over collected tables") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+
+    // q18: per-order quantity totals over threshold, top-20
+    val got18 = Relational.q18Having(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("total_qty_c")))
+    val totals = li.groupBy(_._1).map { case (k, v) => k -> v.map(l => centsOf(l._4)).sum }
+    val want18 = totals.toSeq.filter(_._2 > Relational.Q18MinQtyC)
+      .sortBy { case (k, q) => (-q, k) }.take(20)
+    assert(got18.toSeq == want18.map(t => (t._1, t._2)))
+    assert(got18.nonEmpty)
+
+    // q19: disjunctive predicate revenue
+    val parts = Tables.part(spark, sf).select("p_partkey", "p_brand", "p_size")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val hits19 = li.filter { case (_, pk, _, q, _, _) =>
+      val (b, s) = parts(pk)
+      (b == "Brand#11" && s >= 1 && s <= 15 && q >= 1 && q <= 20) ||
+      (b == "Brand#22" && s >= 1 && s <= 30 && q >= 10 && q <= 35) ||
+      (b == "Brand#33" && s >= 1 && s <= 45 && q >= 20 && q <= 50)
+    }
+    val got19 = Relational.q19Disjunctive(spark, sf).collect().head
+    assert(got19.getAs[Long]("n") == hits19.length.toLong)
+    assert(got19.getAs[Long]("revenue_c") ==
+      hits19.map(l => centsOf(l._5 * (1 - l._6))).sum)
+    assert(hits19.nonEmpty)
+
+    // q20: above-average suppliers of STANDARD parts
+    val std = Tables.part(spark, sf).filter(col("p_type") === "STANDARD")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val perSupp = li.filter(l => std(l._2)).groupBy(_._3)
+      .map { case (s, v) => s -> v.map(l => centsOf(l._4)).sum }
+    val avg = math.floorDiv(perSupp.values.sum, perSupp.size.toLong)
+    val want20 = perSupp.filter(_._2 > avg).toSeq.sortBy(_._1)
+    val got20 = Relational.q20NestedSemijoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("qty_c")))
+    assert(got20.toSeq == want20)
+    assert(got20.nonEmpty && got20.length < perSupp.size)
   }
 
   test("graph_label_prop equals brute-force min-label iteration") {
