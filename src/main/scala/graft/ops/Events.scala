@@ -538,6 +538,76 @@ object Events {
       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
     FROM e GROUP BY 1 ORDER BY event_type"""
 
+  // ── ev_count_min — Count-Min sketch frequency estimation ─────────────
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) of per-type user
+    * frequencies — completes the repo's mergeable-sketch family
+    * (Misra-Gries heavy hitters, KMV distinct, HLL distinct): d=3
+    * pairwise-independent hash rows × w=256 counters per event type,
+    * point estimates for a probe key set as `min` over the d registers.
+    * Registers are plain integer COUNTs — duplicate-insensitive to
+    * partitioning, mergeable by +, map-side combined; the corpus pass is
+    * map-only (explode of d tiny structs), the only shuffle carries
+    * |types|·d·w bounded partial registers, and the probe grid is
+    * broadcast. The estimate ≥ truth (one-sided CM error) is
+    * spec-asserted. All arithmetic BIGINT-exact on both engines. */
+  final val CmW = 256L
+  final val CmP = 1000000007L
+  final val CmHashes: Seq[(Long, Long)] =
+    Seq((2654435761L, 1L), (2246822519L, 7L), (3266489917L, 13L))
+  final val CmProbeKeys = 10L
+  def evCountMin: Q = (spark, dir) => {
+    def hashRows(u: Column): Column = array(CmHashes.zipWithIndex.map {
+      case ((a, b), i) =>
+        struct(lit(i.toLong).as("hi"),
+          pmod(pmod(u * a + b, lit(CmP)), lit(CmW)).as("bkt"))
+    }: _*)
+    val ev = Tables.events(spark, dir).select("event_type", "user_id")
+    val regs = ev
+      .select(col("event_type"), explode(hashRows(col("user_id"))).as("h"))
+      .select(col("event_type"), col("h.hi").as("hi"), col("h.bkt").as("bkt"))
+      .groupBy("event_type", "hi", "bkt").agg(count(lit(1)).as("c"))
+    val probes = spark.range(CmProbeKeys).select(col("id").as("user_id"))
+      .select(col("user_id"), explode(hashRows(col("user_id"))).as("h"))
+      .select(col("user_id"), col("h.hi").as("hi"), col("h.bkt").as("bkt"))
+    val grid = ev.select("event_type").distinct().crossJoin(probes)
+    val est = grid.join(regs, Seq("event_type", "hi", "bkt"), "left")
+      .groupBy("event_type", "user_id")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+    val tru = ev.filter(col("user_id") < CmProbeKeys)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("tn"))
+    est.join(tru, Seq("event_type", "user_id"), "left")
+      .select(col("event_type"), col("user_id"), col("est_n"),
+        coalesce(col("tn"), lit(0L)).as("true_n"))
+      .orderBy("event_type", "user_id")
+  }
+  val evCountMinSql: String = {
+    val hashes = CmHashes.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""
+    WITH ev AS (SELECT event_type, user_id FROM events),
+    hp AS (SELECT * FROM (VALUES $hashes) AS t(hi, a, b)),
+    regs AS (SELECT event_type, hi, ((user_id * a + b) % $CmP) % $CmW AS bkt,
+        COUNT(*) AS c
+      FROM ev CROSS JOIN hp GROUP BY 1, 2, 3),
+    probes AS (SELECT r.user_id, hp.hi,
+        ((r.user_id * hp.a + hp.b) % $CmP) % $CmW AS bkt
+      FROM range(0, $CmProbeKeys) r(user_id) CROSS JOIN hp),
+    grid AS (SELECT e.event_type, p.user_id, p.hi, p.bkt
+      FROM (SELECT DISTINCT event_type FROM ev) e CROSS JOIN probes p),
+    est AS (SELECT g.event_type, g.user_id,
+        CAST(MIN(COALESCE(r.c, 0)) AS BIGINT) AS est_n
+      FROM grid g LEFT JOIN regs r
+        ON r.event_type = g.event_type AND r.hi = g.hi AND r.bkt = g.bkt
+      GROUP BY 1, 2),
+    tru AS (SELECT event_type, user_id, COUNT(*) AS tn
+      FROM ev WHERE user_id < $CmProbeKeys GROUP BY 1, 2)
+    SELECT e.event_type, e.user_id, e.est_n,
+      CAST(COALESCE(t.tn, 0) AS BIGINT) AS true_n
+    FROM est e LEFT JOIN tru t
+      ON t.event_type = e.event_type AND t.user_id = e.user_id
+    ORDER BY e.event_type, e.user_id"""
+  }
+
   // ── ev_attribution — last-touch conversion attribution ───────────────
   /** Last-touch marketing attribution: every purchase is credited to the
     * user's most recent STRICTLY-preceding click/view (the
@@ -592,7 +662,8 @@ object Events {
     "ev_gap_fill" -> evGapFill,
     "ev_histogram" -> evHistogram,
     "ev_moving_window" -> evMovingWindow,
-    "ev_attribution" -> evAttribution)
+    "ev_attribution" -> evAttribution,
+    "ev_count_min" -> evCountMin)
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
@@ -611,5 +682,6 @@ object Events {
     "ev_gap_fill" -> evGapFillSql,
     "ev_histogram" -> evHistogramSql,
     "ev_moving_window" -> evMovingWindowSql,
-    "ev_attribution" -> evAttributionSql)
+    "ev_attribution" -> evAttributionSql,
+    "ev_count_min" -> evCountMinSql)
 }

@@ -40,6 +40,7 @@ object Lake {
   private[graft] def supplierOrcPath: String = s"$lakeDir/supplier_orc"
   private[graft] def schemaEvoPath: String = s"$lakeDir/nation_evo"
   private[graft] def zorderEventsPath: String = s"$lakeDir/events_zorder"
+  private[graft] def timeTravelPath: String = s"$lakeDir/events_versions"
 
   // ── Z-order clustering key (integer-exact, oracle-replayable) ────────
   final val ZBits = 16          // per-dimension resolution
@@ -138,6 +139,18 @@ object Lake {
           .write.mode("overwrite").parquet(schemaEvoPath)
         nat.filter(col("n_nationkey") >= 13)
           .write.mode("append").parquet(schemaEvoPath)
+        // Versioned snapshot chain for lake_time_travel: three commit
+        // slices (event_id mod 3 — deterministic, disjoint, complete)
+        // written as v0/v1/v2 directories; "as of version k" = read
+        // dirs 0..k. The commit assignment is relational so the oracle
+        // can replay any version with a filter.
+        val tt = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            pmod(col("event_id"), lit(3L)).as("commit"))
+        (0L to 2L).foreach { v =>
+          tt.filter(col("commit") === v).drop("commit")
+            .write.mode("overwrite").parquet(s"$timeTravelPath/v$v")
+        }
         // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
@@ -326,6 +339,32 @@ object Lake {
       CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
     FROM events GROUP BY 1 ORDER BY event_type"""
 
+  // ── lake_time_travel — versioned snapshot (as-of) reads ──────────────
+  /** Snapshot-versioned reads (the Delta/Iceberg "time travel" semantic,
+    * on plain parquet + a directory-per-commit layout): [[ensureLake]]
+    * writes three disjoint commit slices v0/v1/v2, and reading "as of
+    * version k" is the union of commit dirs 0..k — here the registered
+    * query audits version 1, so v2's rows must be invisible. [[readAsOf]]
+    * is the reader a production table format wraps in a manifest; the
+    * scan stays a plain multi-path parquet scan (partition pruning and
+    * pushdown intact, no row-level filtering). Round6OpsSpec asserts the
+    * version chain (v0 ⊆ v0..1 ⊆ v0..2 = full table). */
+  private[graft] def readAsOf(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    ensureLake(spark, dir)
+    spark.read.parquet((0 to version).map(v => s"$timeTravelPath/v$v"): _*)
+  }
+  def lakeTimeTravel: Q = (spark, dir) => {
+    readAsOf(spark, dir, 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("event_type")
+  }
+  val lakeTimeTravelSql: String = s"""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events WHERE event_id % 3 <= 1 GROUP BY 1 ORDER BY event_type"""
+
   // ── lake_incremental_agg — algebraic materialized-view maintenance ───
   /** Incremental aggregate maintenance: the per-type (COUNT, SUM) view
     * is refreshed by merging the BASE partial (days < d0+25, the stored
@@ -433,6 +472,7 @@ object Lake {
     "lake_zorder" -> lakeZorder,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_compact" -> lakeCompact,
+    "lake_time_travel" -> lakeTimeTravel,
     "lake_incremental_agg" -> lakeIncrementalAgg,
     "lake_bucketed_join" -> lakeBucketedJoin,
     "lake_partitioned_scan" -> lakePartitionedScan,
@@ -442,6 +482,7 @@ object Lake {
     "lake_zorder" -> lakeZorderSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_compact" -> lakeCompactSql,
+    "lake_time_travel" -> lakeTimeTravelSql,
     "lake_incremental_agg" -> lakeIncrementalAggSql,
     "lake_bucketed_join" -> lakeBucketedJoinSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,

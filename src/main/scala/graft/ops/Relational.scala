@@ -569,9 +569,42 @@ object Relational {
     WHERE qty_c > avg_c
     ORDER BY s_suppkey"""
 
+  /** Q22 (above-average-balance customers with no pending orders): a scalar aggregate
+    * subquery (the global positive-balance mean, exact-cents floor) used
+    * as a filter, then an anti-join against orders — the combined
+    * shape TPC-H saves for last. The mean is a 1-row broadcast onto the
+    * customer scan (never a self-join); the anti-join shuffles only the
+    * above-mean survivors. Per-nation report in exact cents. */
+  def q22AntijoinSubquery: Q = (spark, dir) => {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    val avg = cust.filter(col("bal_c") > 0)
+      .agg(floor(sum("bal_c") / count(lit(1))).cast("long").as("avg_c"))
+    val rich = cust.crossJoin(broadcast(avg)).filter(col("bal_c") > col("avg_c"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "P").select("o_custkey")
+    rich.join(ord, rich("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("sum_bal_c"))
+      .orderBy("c_nationkey")
+  }
+  val q22AntijoinSubquerySql: String = s"""
+    WITH c AS (SELECT c_custkey, c_nationkey,
+        ${centsSql("c_acctbal")} AS bal_c FROM customer),
+    a AS (SELECT CAST(floor(SUM(bal_c) / COUNT(*)) AS BIGINT) AS avg_c
+      FROM c WHERE bal_c > 0)
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+      CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
+    FROM c, a
+    WHERE bal_c > avg_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY 1 ORDER BY c_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "q17_cube" -> q17Cube,
     "q18_having" -> q18Having,
+    "q22_antijoin_subquery" -> q22AntijoinSubquery,
     "q19_disjunctive" -> q19Disjunctive,
     "q20_nested_semijoin" -> q20NestedSemijoin,
     "q16_unpivot" -> q16Unpivot,
@@ -592,6 +625,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q17_cube" -> q17CubeSql,
     "q18_having" -> q18HavingSql,
+    "q22_antijoin_subquery" -> q22AntijoinSubquerySql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q20_nested_semijoin" -> q20NestedSemijoinSql,
     "q16_unpivot" -> q16UnpivotSql,

@@ -196,6 +196,65 @@ class Round6OpsSpec extends SparkSpec {
     assert(got20.nonEmpty && got20.length < perSupp.size)
   }
 
+  test("ev_count_min: estimates are one-sided (>= truth) and equal a brute-force sketch") {
+    val rows = Events.evCountMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("user_id")) ->
+        (r.getAs[Long]("est_n"), r.getAs[Long]("true_n"))).toMap
+    val ev = Tables.events(spark, sf).select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val types = ev.map(_._1).distinct
+    assert(rows.size == types.length * Events.CmProbeKeys.toInt)
+    // CM guarantee: estimate never undercounts
+    rows.values.foreach { case (est, tru) => assert(est >= tru) }
+    // brute-force sketch replay
+    def bkt(u: Long, a: Long, b: Long): Long = ((u * a + b) % Events.CmP) % Events.CmW
+    val regs = ev.flatMap { case (t, u) =>
+      Events.CmHashes.zipWithIndex.map { case ((a, b), i) => ((t, i, bkt(u, a, b)), 1L) }
+    }.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val tru = ev.filter(_._2 < Events.CmProbeKeys).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    for (t <- types; u <- 0L until Events.CmProbeKeys) {
+      val est = Events.CmHashes.zipWithIndex.map { case ((a, b), i) =>
+        regs.getOrElse((t, i, bkt(u, a, b)), 0L)
+      }.min
+      assert(rows((t, u)) == ((est, tru.getOrElse((t, u), 0L))), s"($t,$u)")
+    }
+    // truth is non-trivial on the test corpus
+    assert(rows.values.exists(_._2 > 0))
+  }
+
+  test("q22_antijoin_subquery equals a brute-force replay") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), centsOf(r.getDouble(2))))
+    val pending = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "P").select("o_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val avg = math.floorDiv(pos.sum, pos.length.toLong)
+    val survivors = cust.filter(c => c._3 > avg && !pending(c._1))
+    val want = survivors.groupBy(_._2).map { case (n, v) =>
+      n -> (v.length.toLong, v.map(_._3).sum) }
+    val got = Relational.q22AntijoinSubquery(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n_cust"), r.getAs[Long]("sum_bal_c")))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("lake_time_travel: version chain is monotone and as-of-latest equals the full table") {
+    val full = Tables.events(spark, sf).count()
+    val counts = (0 to 2).map(v => graft.ops.Lake.readAsOf(spark, sf, v).count())
+    assert(counts(0) < counts(1) && counts(1) < counts(2))
+    assert(counts(2) == full)
+    // as-of-1 content equals the relational commit filter
+    val got = graft.ops.Lake.readAsOf(spark, sf, 1)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = Tables.events(spark, sf).filter(pmod(col("event_id"), lit(3L)) <= 1)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("graph_label_prop equals brute-force min-label iteration") {
     val got = Graph.graphLabelProp(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
