@@ -601,9 +601,141 @@ object Relational {
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     GROUP BY 1 ORDER BY c_nationkey"""
 
+  /** Q2 (min-cost supplier, adapted — no partsupp table in this corpus):
+    * for every size-15 part, the cheapest unit price any supplier has
+    * shipped it at (integer milli-cents: floor(price_c·100/qty_c)), and
+    * the smallest suppkey achieving that minimum, with the supplier's
+    * nation. The correlated-min subquery becomes ONE aggregate to
+    * per-(part,supplier) grain + a window MIN over the already-reduced
+    * frame — the fact is never self-joined; part and supplier dims
+    * broadcast onto the survivors. */
+  def q2MinCost: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val p15 = Tables.part(spark, dir)
+      .filter(col("p_size") === 15).select("p_partkey", "p_brand")
+    val perPS = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("ep_c"), cents(col("l_quantity")).as("q_c"))
+      .join(broadcast(p15), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("ep_c") * lit(100) / col("q_c")).cast("long").as("unit_mc"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit_mc").as("unit_mc"))
+    val w = Window.partitionBy("l_partkey")
+    val best = perPS
+      .withColumn("min_mc", min("unit_mc").over(w))
+      .filter(col("unit_mc") === col("min_mc"))
+      .groupBy("l_partkey")
+      .agg(min("l_suppkey").as("s_suppkey"), min("min_mc").as("min_unit_mc"))
+    best
+      .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")),
+        Seq("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_brand"),
+        col("min_unit_mc"), col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("p_partkey")
+  }
+  val q2MinCostSql: String = s"""
+    WITH p15 AS (SELECT p_partkey, p_brand FROM part WHERE p_size = 15),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+        MIN(CAST(floor(${centsSql("l_extendedprice")} * 100.0
+                       / ${centsSql("l_quantity")}) AS BIGINT)) AS unit_mc
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM p15 WHERE p_partkey = l_partkey)
+      GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, MIN(l_suppkey) AS s_suppkey, MIN(min_mc) AS min_unit_mc
+      FROM (SELECT l_partkey, l_suppkey, unit_mc,
+              MIN(unit_mc) OVER (PARTITION BY l_partkey) AS min_mc
+            FROM ps)
+      WHERE unit_mc = min_mc GROUP BY 1)
+    SELECT b.l_partkey AS p_partkey, p.p_brand, b.min_unit_mc,
+      b.s_suppkey, s.s_name, n.n_name
+    FROM best b
+    JOIN p15 p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY p_partkey"""
+
+  /** Q6 (forecasting revenue delta): the canonical single-scan
+    * filter-aggregate — every predicate (ship year, discount band,
+    * quantity cap) pushes to the parquet scan, the projection prunes to
+    * 4 columns, and the aggregate is one map-side-combined LONG sum.
+    * The simplest query in the family, kept as the pushdown showcase
+    * (PlanShapeSpec asserts the PushedFilters). */
+  def q6FilterAgg: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+        cents(col("l_discount")).between(5, 7) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+        count(lit(1)).as("n"))
+  }
+  val q6FilterAggSql: String = s"""
+    SELECT CAST(SUM(${centsSql("l_extendedprice*l_discount")}) AS BIGINT) AS revenue_c,
+      COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND ${centsSql("l_discount")} BETWEEN 5 AND 7
+      AND l_quantity < 24"""
+
+  /** Q21 (suppliers who kept waiting orders, adapted lateness = shipped
+    * >60 days after the order date): count, per supplier, the
+    * multi-supplier orders where THIS supplier shipped late and no other
+    * supplier did — TPC-H's EXISTS + NOT-EXISTS double correlation.
+    * Shape: ONE pass reduces the fact to per-(order,supplier) grain with
+    * a late flag, per-order supplier/late-supplier counts come from a
+    * second aggregate of that same reduced frame, and the two re-join
+    * co-partitioned on orderkey — the raw fact is never self-joined.
+    * Top-20 by wait count (suppkey tie-break) via TakeOrderedAndProject. */
+  def q21LateSuppliers: Q = (spark, dir) => {
+    val lateSec = 60L * 86400L
+    val perOS = graft.util.Persist.stage(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max((col("l_shipdate").cast("long") >
+          col("o_orderdate").cast("long") + lateSec).cast("int")).as("late")),
+      eager = false)
+    val perOrder = perOS.groupBy(col("l_orderkey").as("okey"))
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    perOS.filter(col("late") === 1)
+      .join(perOrder, col("l_orderkey") === col("okey"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
+  }
+  val q21LateSuppliersSql: String = s"""
+    WITH os AS (
+      SELECT l_orderkey, l_suppkey,
+        MAX(CASE WHEN epoch(l_shipdate) > epoch(o_orderdate) + 60*86400
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    po AS (SELECT l_orderkey AS okey, COUNT(*) AS n_supp,
+        SUM(late) AS n_late FROM os GROUP BY 1)
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM os JOIN po ON okey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
     "q17_cube" -> q17Cube,
     "q18_having" -> q18Having,
+    "q2_min_cost" -> q2MinCost,
+    "q6_filter_agg" -> q6FilterAgg,
+    "q21_late_suppliers" -> q21LateSuppliers,
     "q22_antijoin_subquery" -> q22AntijoinSubquery,
     "q19_disjunctive" -> q19Disjunctive,
     "q20_nested_semijoin" -> q20NestedSemijoin,
@@ -625,6 +757,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q17_cube" -> q17CubeSql,
     "q18_having" -> q18HavingSql,
+    "q2_min_cost" -> q2MinCostSql,
+    "q6_filter_agg" -> q6FilterAggSql,
+    "q21_late_suppliers" -> q21LateSuppliersSql,
     "q22_antijoin_subquery" -> q22AntijoinSubquerySql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q20_nested_semijoin" -> q20NestedSemijoinSql,

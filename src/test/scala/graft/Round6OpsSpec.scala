@@ -255,6 +255,62 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q2_min_cost equals a brute-force replay") {
+    val p15 = Tables.part(spark, sf).filter(col("p_size") === 15)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), centsOf(r.getDouble(2)), centsOf(r.getDouble(3))))
+      .filter(l => p15(l._1))
+    val unit = li.map { case (p, s, ep, q) =>
+      ((p, s), math.floor(ep.toDouble * 100 / q).toLong) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val want = unit.groupBy(_._1._1).map { case (p, m) =>
+      val mn = m.values.min
+      p -> (m.filter(_._2 == mn).keys.map(_._2).min, mn)
+    }
+    val got = Relational.q2MinCost(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("s_suppkey"), r.getAs[Long]("min_unit_mc")))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q6_filter_agg equals a brute-force replay") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").collect()
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val sel = li.filter { r =>
+      val sd = r.getTimestamp(0); val dc = centsOf(r.getDouble(1))
+      !sd.before(lo) && sd.before(hi) && dc >= 5 && dc <= 7 && r.getDouble(2) < 24
+    }
+    val want = (sel.map(r => centsOf(r.getDouble(3) * r.getDouble(1))).sum, sel.length.toLong)
+    val row = Relational.q6FilterAgg(spark, sf).collect().head
+    assert((row.getAs[Long]("revenue_c"), row.getAs[Long]("n")) == want)
+    assert(want._2 > 0)
+  }
+
+  test("q21_late_suppliers equals a brute-force replay") {
+    val od = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime / 1000).toMap
+    val os = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.getTimestamp(2).getTime / 1000 > od(r.getLong(0)) + 60L * 86400L) 1 else 0))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    val perOrder = os.groupBy(_._1._1).map { case (o, m) =>
+      o -> (m.size, m.values.sum) }
+    val numwait = os.toSeq.collect {
+      case ((o, s), 1) if perOrder(o)._1 > 1 && perOrder(o)._2 == 1 => s
+    }.groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    val want = numwait.toSeq.sortBy { case (s, n) => (-n, s) }.take(20).toMap
+    val got = Relational.q21LateSuppliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("numwait")).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("graph_label_prop equals brute-force min-label iteration") {
     val got = Graph.graphLabelProp(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
