@@ -23,6 +23,7 @@ object Events {
 
   private final val HourUs = 3600L * 1000000L
   private final val GapUs = 30L * 60L * 1000000L // 30-min session gap
+  private final val UsPerDay = 86400L * 1000000L
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -645,8 +646,125 @@ object Events {
       CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
     FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel"""
 
+  // ── ev_quantile_sketch — mergeable fixed-bin quantile estimation ─────
+  /** Equi-width-bin quantile sketch: per-type value quantiles estimated
+    * from a bounded histogram instead of a global sort — the mergeable
+    * two-pass shape (global bounds broadcast, then one map-side-combined
+    * (type, bin) COUNT whose shuffle carries ≤ |types|·[[QsBins]] rows)
+    * that replaces the full-shuffle exact percentile (q14_median) when
+    * rank error of one bin width is acceptable. The estimate for
+    * per-mille rank q is the upper value edge of the first bin whose
+    * cumulative count reaches ceil(q·n/1000); the containing-bin
+    * guarantee 0 ≤ est − exact < bin width is spec-asserted against the
+    * exact quantile. All integer arithmetic on cents. */
+  final val QsBins = 512L
+  final val QsQuantiles: Seq[Long] = Seq(250L, 500L, 750L, 900L, 990L)
+  def evQuantileSketch: Q = (spark, dir) => {
+    val e = ev(spark, dir).select(col("event_type"), cents(col("value")).as("v_c"))
+    val bounds = e.agg(min("v_c").as("mn"), max("v_c").as("mx"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .withColumn("bin", idiv((col("v_c") - col("mn")) * QsBins, col("mx") - col("mn") + 1))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("c"), first("mn").as("mn"), first("mx").as("mx"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    val qs = QsQuantiles.map(q => s"($q)").mkString(", ")
+    val probe = spark.sql(s"SELECT * FROM (VALUES $qs) AS t(q_pm)")
+      .select(col("q_pm").cast("long").as("q_pm"))
+    cum.join(broadcast(probe),
+        col("cum") >= idiv(col("q_pm") * col("n") + 999L, 1000L))
+      .groupBy("event_type", "q_pm")
+      .agg(min("bin").as("bin"), first("mn").as("mn"), first("mx").as("mx"),
+        first("n").as("n"))
+      .select(col("event_type"), col("q_pm"),
+        (col("mn") + idiv((col("bin") + 1) * (col("mx") - col("mn") + 1), QsBins)
+          - 1).as("est_c"),
+        col("n"))
+      .orderBy("event_type", "q_pm")
+  }
+  val evQuantileSketchSql: String = {
+    val qs = QsQuantiles.mkString(", ")
+    s"""
+    WITH e AS (SELECT event_type, ${centsSql("value")} AS v_c FROM events),
+    b AS (SELECT MIN(v_c) AS mn, MAX(v_c) AS mx FROM e),
+    binned AS (SELECT event_type, ((v_c - mn) * $QsBins) // (mx - mn + 1) AS bin,
+        COUNT(*) AS c, MAX(mn) AS mn, MAX(mx) AS mx
+      FROM e, b GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin, mn, mx,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM binned),
+    probe AS (SELECT unnest(ARRAY[$qs]) AS q_pm)
+    SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm,
+      CAST(MIN(mn + ((bin + 1) * (mx - mn + 1)) // $QsBins - 1) AS BIGINT) AS est_c,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM (SELECT c.*, p.q_pm,
+            MIN(bin) OVER (PARTITION BY c.event_type, p.q_pm) AS minbin
+          FROM cum c JOIN probe p ON cum >= (q_pm * n + 999) // 1000)
+    WHERE bin = minbin
+    GROUP BY 1, 2 ORDER BY event_type, q_pm"""
+  }
+
+  // ── ev_rfm — recency/frequency/monetary user segmentation ────────────
+  /** RFM segmentation over purchase events: per-user recency (days since
+    * last purchase, vs the corpus max day), frequency (purchase count)
+    * and monetary (exact-cents spend) are each scored 1-4 by FIXED
+    * integer break rules (not global quantiles — a global ntile would
+    * funnel every user through one window partition; fixed breaks keep
+    * the whole op two map-side-combined aggregates plus a 1-row bounds
+    * broadcast). Output is the segment report: (r,f,m) → users, spend. */
+  def evRfm: Q = (spark, dir) => {
+    val p = ev(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), idiv(col("ts_us"), UsPerDay).as("day"),
+        cents(col("value")).as("v_c"))
+    val maxDay = p.agg(max("day").as("max_day"))
+    val perUser = p.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"), sum("v_c").as("mon_c"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("days_since", col("max_day") - col("last_day"))
+      .withColumn("r_score",
+        when(col("days_since") <= 6, 4L).when(col("days_since") <= 13, 3L)
+          .when(col("days_since") <= 20, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(col("freq") >= 8, 4L).when(col("freq") >= 4, 3L)
+          .when(col("freq") >= 2, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(col("mon_c") >= 50000L, 4L).when(col("mon_c") >= 20000L, 3L)
+          .when(col("mon_c") >= 5000L, 2L).otherwise(1L))
+    perUser.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("mon_c").as("sum_mon_c"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+  val evRfmSql: String = s"""
+    WITH p AS (SELECT user_id, epoch_us(ts) // $UsPerDay AS day,
+        ${centsSql("value")} AS v_c
+      FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT MAX(day) AS max_day FROM p),
+    u AS (SELECT user_id, MAX(day) AS last_day, COUNT(*) AS freq,
+        SUM(v_c) AS mon_c FROM p GROUP BY 1),
+    scored AS (SELECT
+        CASE WHEN max_day - last_day <= 6 THEN 4
+             WHEN max_day - last_day <= 13 THEN 3
+             WHEN max_day - last_day <= 20 THEN 2 ELSE 1 END AS r_score,
+        CASE WHEN freq >= 8 THEN 4 WHEN freq >= 4 THEN 3
+             WHEN freq >= 2 THEN 2 ELSE 1 END AS f_score,
+        CASE WHEN mon_c >= 50000 THEN 4 WHEN mon_c >= 20000 THEN 3
+             WHEN mon_c >= 5000 THEN 2 ELSE 1 END AS m_score,
+        mon_c
+      FROM u, b)
+    SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      CAST(m_score AS BIGINT) AS m_score,
+      COUNT(*) AS n_users, CAST(SUM(mon_c) AS BIGINT) AS sum_mon_c
+    FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
+    "ev_quantile_sketch" -> evQuantileSketch,
+    "ev_rfm" -> evRfm,
     "ev_skew_agg" -> evSkewAgg,
     "ev_retention" -> evRetention,
     "ev_sessionize" -> evSessionize,
@@ -667,6 +785,8 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
+    "ev_quantile_sketch" -> evQuantileSketchSql,
+    "ev_rfm" -> evRfmSql,
     "ev_skew_agg" -> evSkewAggSql,
     "ev_retention" -> evRetentionSql,
     "ev_sessionize" -> evSessionizeSql,

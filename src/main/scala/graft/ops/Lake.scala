@@ -41,6 +41,8 @@ object Lake {
   private[graft] def schemaEvoPath: String = s"$lakeDir/nation_evo"
   private[graft] def zorderEventsPath: String = s"$lakeDir/events_zorder"
   private[graft] def timeTravelPath: String = s"$lakeDir/events_versions"
+  private[graft] def rangeLayoutPath: String = s"$lakeDir/events_rangelayout"
+  private[graft] def rangeManifestPath: String = s"$lakeDir/events_rangelayout_manifest"
 
   // ── Z-order clustering key (integer-exact, oracle-replayable) ────────
   final val ZBits = 16          // per-dimension resolution
@@ -151,6 +153,20 @@ object Lake {
           tt.filter(col("commit") === v).drop("commit")
             .write.mode("overwrite").parquet(s"$timeTravelPath/v$v")
         }
+        // Range-clustered copy + file-level min/max manifest for
+        // lake_zone_map: repartitionByRange gives each file a disjoint
+        // event_id range, and the manifest (per-file lo/hi, written once
+        // at commit time like a Delta/Iceberg stats file) is what the
+        // zone-map reader prunes on without touching data files.
+        Tables.events(spark, dir)
+          .select("event_id", "event_type", "value")
+          .repartitionByRange(8, col("event_id"))
+          .write.mode("overwrite").parquet(rangeLayoutPath)
+        spark.read.parquet(rangeLayoutPath)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+          .coalesce(1)
+          .write.mode("overwrite").json(rangeManifestPath)
         // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
@@ -365,6 +381,52 @@ object Lake {
       CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
     FROM events WHERE event_id % 3 <= 1 GROUP BY 1 ORDER BY event_type"""
 
+  // ── lake_zone_map — file-level min/max data skipping ─────────────────
+  /** Zone-map (min/max stats) data skipping — the mechanism behind
+    * Delta/Iceberg "data skipping" and parquet row-group pruning, made
+    * explicit: [[ensureLake]] writes a range-clustered events copy
+    * (disjoint per-file event_id ranges) plus a per-file lo/hi manifest,
+    * and the reader resolves a range predicate against the MANIFEST
+    * first, planning a scan over only the files whose [lo,hi] intersects
+    * the query range (plus the residual row filter). The manifest is
+    * bounded metadata (one row per file — at 100 TB this lives in the
+    * table format's stats, not a data scan), so the collect is
+    * legitimate planner state. The registered query audits a central
+    * 10%-of-keyspace band; WideOpsSpec asserts real skipping (files
+    * planned < files on disk) and filter-equivalence. */
+  private[graft] def zoneMapQueryRange(spark: SparkSession, dir: String): (Long, Long) = {
+    val b = Tables.events(spark, dir)
+      .agg(min("event_id").as("mn"), max("event_id").as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn + 1
+    (mn + 3 * span / 10, mn + 4 * span / 10 - 1)
+  }
+  private[graft] def zoneMapPickedFiles(
+      spark: SparkSession, dir: String, qlo: Long, qhi: Long): (Array[String], Long) = {
+    ensureLake(spark, dir)
+    val man = spark.read.json(rangeManifestPath).select("f", "lo", "hi").collect()
+    val picked = man.filter(r =>
+      r.getAs[Long]("lo") <= qhi && r.getAs[Long]("hi") >= qlo).map(_.getAs[String]("f"))
+    (picked, man.length.toLong)
+  }
+  def lakeZoneMap: Q = (spark, dir) => {
+    val (qlo, qhi) = zoneMapQueryRange(spark, dir)
+    val (picked, _) = zoneMapPickedFiles(spark, dir, qlo, qhi)
+    spark.read.parquet(picked.toIndexedSeq: _*)
+      .filter(col("event_id").between(qlo, qhi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("event_type")
+  }
+  val lakeZoneMapSql: String = s"""
+    WITH b AS (SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events),
+    q AS (SELECT mn + 3 * (mx - mn + 1) // 10 AS qlo,
+                 mn + 4 * (mx - mn + 1) // 10 - 1 AS qhi FROM b)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events, q WHERE event_id BETWEEN qlo AND qhi
+    GROUP BY 1 ORDER BY event_type"""
+
   // ── lake_incremental_agg — algebraic materialized-view maintenance ───
   /** Incremental aggregate maintenance: the per-type (COUNT, SUM) view
     * is refreshed by merging the BASE partial (days < d0+25, the stored
@@ -473,6 +535,7 @@ object Lake {
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_compact" -> lakeCompact,
     "lake_time_travel" -> lakeTimeTravel,
+    "lake_zone_map" -> lakeZoneMap,
     "lake_incremental_agg" -> lakeIncrementalAgg,
     "lake_bucketed_join" -> lakeBucketedJoin,
     "lake_partitioned_scan" -> lakePartitionedScan,
@@ -483,6 +546,7 @@ object Lake {
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_compact" -> lakeCompactSql,
     "lake_time_travel" -> lakeTimeTravelSql,
+    "lake_zone_map" -> lakeZoneMapSql,
     "lake_incremental_agg" -> lakeIncrementalAggSql,
     "lake_bucketed_join" -> lakeBucketedJoinSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,

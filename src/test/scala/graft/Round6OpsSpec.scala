@@ -311,6 +311,62 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("lake_zone_map: manifest pruning skips files and preserves the filter result") {
+    val (qlo, qhi) = graft.ops.Lake.zoneMapQueryRange(spark, sf)
+    val (picked, total) = graft.ops.Lake.zoneMapPickedFiles(spark, sf, qlo, qhi)
+    assert(total == 8L, s"expected 8 range files, got $total")
+    assert(picked.length < total, "zone map must actually skip files")
+    val got = graft.ops.Lake.lakeZoneMap(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("sum_value_c"))).toMap
+    val want = Tables.events(spark, sf)
+      .filter(col("event_id").between(qlo, qhi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100 + 0.5).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("ev_quantile_sketch: containing-bin guarantee vs exact quantiles") {
+    val got = Events.evQuantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("q_pm")) ->
+        (r.getAs[Long]("est_c"), r.getAs[Long]("n"))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
+    val all = vals.values.flatten
+    val width = (all.max - all.min + 1 + Events.QsBins - 1) / Events.QsBins
+    for (((t, q), (est, n)) <- got) {
+      assert(n == vals(t).length.toLong)
+      val rank = ((q * n + 999) / 1000).toInt // 1-indexed ceil
+      val exact = vals(t)(rank - 1)
+      assert(est >= exact && est - exact < width + 1,
+        s"($t,$q): est=$est exact=$exact width=$width")
+    }
+    assert(got.size == vals.size * Events.QsQuantiles.size)
+  }
+
+  test("ev_rfm equals a brute-force replay") {
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L / 86400000000L, centsOf(r.getDouble(2))))
+    val maxDay = p.map(_._2).max
+    val want = p.groupBy(_._1).toSeq.map { case (_, v) =>
+      val ds = maxDay - v.map(_._2).max
+      val freq = v.length; val mon = v.map(_._3).sum
+      val r = if (ds <= 6) 4L else if (ds <= 13) 3L else if (ds <= 20) 2L else 1L
+      val f = if (freq >= 8) 4L else if (freq >= 4) 3L else if (freq >= 2) 2L else 1L
+      val m = if (mon >= 50000L) 4L else if (mon >= 20000L) 3L else if (mon >= 5000L) 2L else 1L
+      ((r, f, m), mon)
+    }.groupBy(_._1).map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    val got = Events.evRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("sum_mon_c"))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("graph_label_prop equals brute-force min-label iteration") {
     val got = Graph.graphLabelProp(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
