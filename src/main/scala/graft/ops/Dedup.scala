@@ -482,7 +482,75 @@ object Dedup {
     QUALIFY row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) = 1
     ORDER BY dup_id"""
 
+  // ── dedup_containment — exact prefix-filtered containment join ───────
+  /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9 over
+    * 3-gram sets): catches quote/subset duplication that symmetric
+    * Jaccard misses when sizes differ. Candidate generation is the
+    * AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07), EXACT by
+    * pigeonhole: order every doc's grams by global rarity (df, then
+    * hash); if a pair has containment ≥ t on its smaller side A, the
+    * shared grams number ≥ ⌈t·|A|⌉, so at least one of A's
+    * ⌊(1−t)·|A|⌋+1 rarest grams (its "prefix") must occur in B.
+    * Join = A-prefixes (tiny, rare grams) against the full inverted
+    * index, then exact set-intersection verify — never an O(n²)
+    * all-pairs, and because the filter is lossless the oracle is simply
+    * the naive exact containment join. Integer per-mille output. */
+  final val ContThreshPm = 900L
+  final val ContMinGrams = 10
+  def dedupContainment: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val g = materializedColumn(
+        materializedColumn(
+          Tables.documents(spark, dir).filter(length(col("text")) >= 3)
+            .select(col("doc_id"), col("text")),
+          "t", lower(col("text"))).select(col("doc_id"), col("t")),
+        "grams", array_sort(array_distinct(transform(
+          sequence(lit(1), length(col("t")) - 2),
+          i => poly_hash_cp(col("t").substr(i, lit(3)))))))
+      .select(col("doc_id"), col("grams"))
+      .filter(size(col("grams")) >= ContMinGrams)
+    val gp = persistRound(g)
+    val inv = gp.select(col("doc_id"), explode(col("grams")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("df", "h")
+    val probe = inv.join(dfreq, "h")
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= idiv(col("n") * (1000L - ContThreshPm), 1000L) + 1L)
+      .select(col("h"), col("doc_id").as("pid"))
+    val cand = probe.join(inv.select(col("h"), col("doc_id").as("iid")), "h")
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("lo_id"),
+        greatest(col("pid"), col("iid")).as("hi_id"))
+      .distinct()
+    cand
+      .join(gp.select(col("doc_id").as("lo_id"), col("grams").as("ga")), "lo_id")
+      .join(gp.select(col("doc_id").as("hi_id"), col("grams").as("gb")), "hi_id")
+      .select(col("lo_id"), col("hi_id"),
+        idiv(sorted_intersect_count(col("ga"), col("gb")).cast("long") * 1000L,
+          least(size(col("ga")), size(col("gb"))).cast("long")).as("cont_pm"))
+      .filter(col("cont_pm") >= ContThreshPm)
+      .orderBy("lo_id", "hi_id")
+  }
+  /** Oracle is the NAIVE exact containment join — legitimate because the
+    * prefix filter is lossless, so the two computations must agree. */
+  val dedupContainmentSql: String = s"""
+    WITH g0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(lower(text))-1),
+          i -> ((((CAST(unicode(lower(text)[i]) AS BIGINT) * 31
+                 + unicode(lower(text)[i+1])) % $M) * 31
+                 + unicode(lower(text)[i+2])) % $M))) AS grams
+      FROM documents WHERE len(text) >= 3),
+    g AS (SELECT * FROM g0 WHERE len(grams) >= $ContMinGrams),
+    p AS (SELECT a.doc_id AS lo_id, b.doc_id AS hi_id,
+        CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        CAST(least(len(a.grams), len(b.grams)) AS BIGINT) AS mn
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    SELECT lo_id, hi_id, CAST((inter * 1000) // mn AS BIGINT) AS cont_pm
+    FROM p WHERE (inter * 1000) // mn >= $ContThreshPm
+    ORDER BY lo_id, hi_id"""
+
   val queries: Map[String, Q] = Map(
+    "dedup_containment" -> dedupContainment,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
@@ -492,6 +560,7 @@ object Dedup {
     "dedup_survivor" -> dedupSurvivor)
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -679,7 +679,12 @@ object VectorSearch {
     * map-only over one scan, and the top-k is a TakeOrdered reduction —
     * no corpus shuffle anywhere. All arithmetic is integer, so the SQL
     * oracle matches bit-for-bit including the emitted code strings. */
-  def vsPqSearch: Q = (spark, dir) => {
+  /** Shared PQ encode pipeline — returns (quantized corpus frame,
+    * per-vector (vec_id, code, adist) ADC frame, query grid vector).
+    * [[vsPqSearch]] takes ADC top-10; [[vsPqRerank]] widens to an ADC
+    * candidate set and re-ranks it with exact grid distances. */
+  private def pqAdcFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, Array[Long]) = {
     def sq(c: Column): Column = c * c
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -718,15 +723,45 @@ object VectorSearch {
     })
     val coded = graft.util.Det.materializedColumn(quant, "codes", codesExpr)
       .select(col("vec_id"), col("codes"))
-    coded.select(col("vec_id"),
-        concat_ws(":", transform(col("codes"), _.cast("string"))).as("code"),
-        aggregate(sequence(lit(1), lit(PqM)), lit(0L), (acc, m) =>
-          acc + element_at(element_at(dtabL, m), element_at(col("codes"), m).cast("int") + lit(1)))
-          .as("adist"))
-      .orderBy(col("adist"), col("vec_id"))
+    val adc = coded.select(col("vec_id"),
+      concat_ws(":", transform(col("codes"), _.cast("string"))).as("code"),
+      aggregate(sequence(lit(1), lit(PqM)), lit(0L), (acc, m) =>
+        acc + element_at(element_at(dtabL, m), element_at(col("codes"), m).cast("int") + lit(1)))
+        .as("adist"))
+    (quant, adc, qv)
+  }
+
+  def vsPqSearch: Q = (spark, dir) => {
+    val (_, adc, _) = pqAdcFrames(spark, dir)
+    adc.orderBy(col("adist"), col("vec_id")).limit(10)
+  }
+
+  // ── vs_pq_rerank — two-stage retrieve-then-refine over the PQ index ──
+  final val PqRerankCand = 50
+
+  /** The production ANN serving shape (FAISS refine / "re-rank" stage):
+    * the compressed index retrieves a WIDE candidate set cheaply (ADC
+    * top-[[PqRerankCand]]), then only those candidates are re-scored
+    * with the exact (here: int8-grid, fully integer) distance and the
+    * true top-10 of the candidate set is returned. Corpus pass is the
+    * same map-only encode as [[vsPqSearch]]; the refine touches 50 rows.
+    * At 100 TB the full-precision vectors live in the row store and the
+    * refine is a 50-key point-lookup join — exactly this plan. */
+  def vsPqRerank: Q = (spark, dir) => {
+    def sq(c: Column): Column = c * c
+    val (quant, adc, qv) = pqAdcFrames(spark, dir)
+    val qvL = typedlit(qv.toSeq)
+    adc.orderBy(col("adist"), col("vec_id")).limit(PqRerankCand)
+      .select("vec_id", "adist")
+      .join(quant, "vec_id")
+      .select(col("vec_id"), col("adist"),
+        aggregate(zip_with(col("qd"), qvL, (a, b) => sq(a - b)),
+          lit(0L), (acc, x) => acc + x).as("exact_d2"))
+      .orderBy(col("exact_d2"), col("vec_id"))
       .limit(10)
   }
-  val vsPqSearchSql: String = s"""
+
+  private val pqCtes: String = s"""
     WITH e AS ($eSql),
     mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
     quant AS (SELECT vec_id,
@@ -749,11 +784,22 @@ object VectorSearch {
         CAST(list_sum(list_transform(range(1, ${PqDsub + 1}), d ->
           (q.q[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d])
           * (q.q[s.m * $PqDsub + d] - sd.sd[s.m * $PqDsub + d]))) AS BIGINT) AS d2
-      FROM qv q, sub s, seeds sd)
-    SELECT c.vec_id, string_agg(c.code::VARCHAR, ':' ORDER BY c.m) AS code,
-      CAST(SUM(dt.d2) AS BIGINT) AS adist
-    FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.cid = c.code
-    GROUP BY c.vec_id ORDER BY adist, c.vec_id LIMIT 10"""
+      FROM qv q, sub s, seeds sd),
+    adc AS (SELECT c.vec_id, string_agg(c.code::VARCHAR, ':' ORDER BY c.m) AS code,
+        CAST(SUM(dt.d2) AS BIGINT) AS adist
+      FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.cid = c.code
+      GROUP BY c.vec_id)"""
+
+  val vsPqSearchSql: String = pqCtes + """
+    SELECT vec_id, code, adist FROM adc ORDER BY adist, vec_id LIMIT 10"""
+
+  val vsPqRerankSql: String = pqCtes + s""",
+    cand AS (SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT $PqRerankCand)
+    SELECT cand.vec_id, cand.adist,
+      CAST(list_sum(list_transform(range(1, ${PqM * PqDsub + 1}), d ->
+        (t.qd[d] - q.q[d]) * (t.qd[d] - q.q[d]))) AS BIGINT) AS exact_d2
+    FROM cand JOIN quant t ON t.vec_id = cand.vec_id, qv q
+    ORDER BY exact_d2, cand.vec_id LIMIT 10"""
 
   // ── vs_ivfpq_search — IVF coarse cells + PQ-encoded residuals (ADC) ──
   final val IvfPqNprobe = 2
@@ -1334,6 +1380,7 @@ object VectorSearch {
     "vs_ivf_trained" -> vsIvfTrained,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
+    "vs_pq_rerank" -> vsPqRerank,
     "vs_ivfpq_search" -> vsIvfPqSearch,
     "vs_lsh_search" -> vsLshSearch,
     "vs_lsh_tuned" -> vsLshTuned)
@@ -1359,6 +1406,7 @@ object VectorSearch {
     "vs_recall_eval" -> vsRecallEvalSql,
     "vs_quant_search" -> vsQuantSearchSql,
     "vs_pq_search" -> vsPqSearchSql,
+    "vs_pq_rerank" -> vsPqRerankSql,
     "vs_ivfpq_search" -> vsIvfPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql)
 }

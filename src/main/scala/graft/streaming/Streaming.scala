@@ -401,7 +401,79 @@ object Streaming {
       AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
     ORDER BY click_id, p_id"""
 
+  // ── Stateful streaming upsert (CDC latest-wins materialization) ──────
+
+  case class UpEvent(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long, value: Double)
+  case class UpState(ts_us: Long, event_id: Long, value_c: Long)
+  case class UpOut(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long, value_c: Long)
+
+  /** Streaming form of the lake's MERGE/upsert
+    * ([[graft.ops.Lake.mergeUpsert]]): the event stream is treated as a
+    * CDC feed over the (user, event_type) "profile" table, and per-key
+    * `GroupState[UpState]` carries the current latest version across
+    * micro-batches. Each batch emits a row per key ONLY when the key's
+    * latest (ts, event_id) advanced — the change-log of the materialized
+    * view, so the sink can be idempotently replayed and the LAST emitted
+    * row per key IS the merged table (spec-asserted against the batch
+    * latest-wins window). State is one record per key regardless of
+    * history. */
+  def upsertStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), idiv(col("ts"), 1000L).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[UpEvent]
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[UpState, UpOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), evs: Iterator[UpEvent], state: GroupState[UpState]) =>
+          val best = evs.map(e => UpState(e.ts_us, e.event_id,
+              math.floor(e.value * 100 + 0.5).toLong))
+            .reduceOption { (a, b) =>
+              if (a.ts_us > b.ts_us ||
+                  (a.ts_us == b.ts_us && a.event_id >= b.event_id)) a else b
+            }
+          val prev = state.getOption
+          best match {
+            case Some(b) if prev.forall(p =>
+                b.ts_us > p.ts_us ||
+                  (b.ts_us == p.ts_us && b.event_id > p.event_id)) =>
+              state.update(b)
+              Iterator.single(UpOut(key._1, key._2, b.ts_us, b.event_id, b.value_c))
+            case _ => Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** Driver-checkable twin: the merged table the upsert stream
+    * materializes — latest (ts, event_id) version per (user, type) via
+    * one window on the merge key, exactly [[graft.ops.Lake.mergeUpsert]]'s
+    * shape applied to the event feed. */
+  def upsertLatestBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), idiv(col("ts"), 1000L).as("ts_us"),
+        col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "event_type")
+  }
+  val upsertLatestSql = s"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        ${centsSql("value")} AS value_c,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, ts_us, event_id, value_c
+    FROM e WHERE rn = 1 ORDER BY user_id, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
     "stream_join" -> clickPurchaseJoinQuery,
     "stream_sessionize" -> (sessionizeClosedBatch _),
@@ -409,6 +481,7 @@ object Streaming {
     "stream_attribution" -> (attributionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
+    "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,
     "stream_sessionize" -> sessionizeClosedSql,

@@ -169,6 +169,26 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed.map(_.getAs[String]("h")).distinct.length == streamed.length)
   }
 
+  test("stateful stream upsert: last emitted row per key equals the batch merge") {
+    val q = Streaming.upsertStream(spark, sf).writeStream
+      .format("memory").queryName("stream_upsert")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("stream_upsert").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"), r.getAs[Long]("value_c")))
+    // per key, versions only ever advance (the change-log is monotone);
+    // take the last (max-version) emission per key
+    val lastPerKey = emitted.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).maxBy(x => (x._1, x._2)) }
+    val batch = Streaming.upsertLatestBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"), r.getAs[Long]("value_c"))).toMap
+    assert(lastPerKey.nonEmpty && lastPerKey == batch)
+  }
+
   test("mm_features: batched stub featurize keeps schema, rows, determinism") {
     val a = Multimodal.mmFeatures(spark, sf).collect()
     val b = Multimodal.mmFeatures(spark, sf).collect()

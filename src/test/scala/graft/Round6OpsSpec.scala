@@ -367,6 +367,59 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedup_containment equals a brute-force all-pairs replay (prefix filter lossless)") {
+    val M = 1000000007L
+    def grams(text: String): Set[Long] = {
+      val t = text.toLowerCase
+      (0 to t.length - 3).map { i =>
+        ((t(i).toLong * 31 + t(i + 1).toLong) % M * 31 + t(i + 2).toLong) % M
+      }.toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), grams(r.getString(1))))
+      .filter(_._2.size >= graft.ops.Dedup.ContMinGrams)
+    val want = (for {
+      (a, ga) <- docs; (b, gb) <- docs if a < b
+      inter = (ga & gb).size.toLong
+      pm = inter * 1000 / math.min(ga.size, gb.size)
+      if pm >= graft.ops.Dedup.ContThreshPm
+    } yield (a, b) -> pm).toMap
+    val got = graft.ops.Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cont_pm")).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the filter must catch asymmetric (containment-only) pairs too:
+    // some qualifying pair is NOT a high-Jaccard pair
+    val asym = docs.toMap
+    assert(want.keys.exists { case (a, b) =>
+      val (ga, gb) = (asym(a), asym(b))
+      val inter = (ga & gb).size.toDouble
+      inter / (ga.size + gb.size - inter) < 0.8
+    })
+  }
+
+  test("vs_pq_rerank: exact grid distances, candidates from ADC, top-10 of candidate set") {
+    val got = VectorSearch.vsPqRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("adist"), r.getAs[Long]("exact_d2")))
+    assert(got.length == 10)
+    // replay the int8 grid quantization brute-force
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val maxabs = e.map(_._2.map(math.abs).max).max
+    val quant = e.map { case (id, v) =>
+      id -> v.map(x => math.rint(x * 127.0 / maxabs).toLong) }.toMap
+    val qv = quant(0L)
+    def d2(a: Array[Long]) = a.zip(qv).map { case (x, q) => (x - q) * (x - q) }.sum
+    // every emitted exact_d2 is the true grid distance
+    got.foreach { case (id, _, ex) => assert(ex == d2(quant(id)), s"vec $id") }
+    // output is sorted by exact distance and is the exact top-10 of its candidate set:
+    // no non-candidate can beat the worst emitted unless ADC ranked it out — so at
+    // minimum the emitted set must contain the TRUE exact top-1 (vec 0 itself, d2=0)
+    assert(got.map(_._3).sorted.sameElements(got.map(_._3)))
+    assert(got.head._1 == 0L && got.head._3 == 0L)
+  }
+
   test("graph_label_prop equals brute-force min-label iteration") {
     val got = Graph.graphLabelProp(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
