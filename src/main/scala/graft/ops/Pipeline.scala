@@ -404,7 +404,42 @@ object Pipeline {
       doc_id, coin
     FROM c ORDER BY epoch, pos"""
 
+  // ── pipeline_corpus_stats — dataset-card profile per source ──────────
+  /** The "dataset card" aggregate every corpus release ships: per-source
+    * document/char/token totals, char-length spread, language spread and
+    * empty-document count, in ONE scan (tokenize behind a Generate
+    * barrier, then a single map-side-combined aggregate — profiling
+    * 100 TB costs exactly one pass). Integer outputs only (floored
+    * mean); the oracle replays relationally. */
+  def pipelineCorpusStats: Q = (spark, dir) => {
+    val base = graft.util.Det.materializedColumn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+      "toks", TextUtil.toksCol)
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(col("toks")).cast("long")).as("sum_toks"),
+        sum(when(size(col("toks")) === 0, 1L).otherwise(0L)).as("n_empty"))
+      .withColumn("avg_chars", floor(col("sum_chars") / col("n_docs")).cast("long"))
+      .orderBy("source")
+  }
+  val pipelineCorpusStatsSql: String = s"""
+    WITH d AS (SELECT source, lang, n_chars,
+        CAST(len(${TextUtil.toksSql}) AS BIGINT) AS n_toks FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+      CAST(SUM(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      CAST(floor(CAST(SUM(n_chars) AS BIGINT) / COUNT(*)) AS BIGINT) AS avg_chars
+    FROM d GROUP BY source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_corpus_stats" -> pipelineCorpusStats,
     "pipeline_pack" -> pipelinePack,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle,
@@ -412,6 +447,7 @@ object Pipeline {
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus_stats" -> pipelineCorpusStatsSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions._
 import graft.util.Det._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -751,7 +752,53 @@ object TextAnalysis {
     FROM r ORDER BY doc_id"""
   }
 
+  // ── text_tfidf — per-document keyword extraction ─────────────────────
+  final val TfidfTopK = 3
+
+  /** TF-IDF keyword extraction: the top-[[TfidfTopK]] most
+    * characteristic terms per document, score = tf · N/df in integer
+    * micro-units (the raw inverse-frequency ratio, no ln — same
+    * engine-exact convention as [[textBm25]]'s odds-ratio idf). Shape:
+    * two wordcount aggregates (tf per (doc,term), df per term), ONE
+    * shuffle join on the term (vocab-sized side — NOT broadcast; this
+    * is the wordcount-join shape that scales), and a per-doc top-k
+    * window over the already-reduced tf frame. Deterministic tie-break
+    * by term. */
+  def textTfidf: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = tf.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("tok"))
+    tf.join(dfc, "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("score_micro",
+        floor(col("tf") * lit(1000000.0) * col("nd") / col("df") + lit(0.5))
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score_micro"))
+      .orderBy("doc_id", "rank")
+  }
+  val textTfidfSql: String = s"""
+    WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+    scored AS (SELECT doc_id, tok,
+        CAST(floor(tf * 1000000.0 * nd / df + 0.5) AS BIGINT) AS score_micro
+      FROM tf JOIN dfc USING (tok), nd),
+    ranked AS (SELECT doc_id, tok, score_micro,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_micro DESC, tok) AS BIGINT) AS rank
+      FROM scored)
+    SELECT doc_id, rank, tok, score_micro FROM ranked
+    WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf" -> textTfidf,
     "text_redact" -> textRedact,
     "text_clean" -> textClean,
     "text_chunk" -> textChunk,
@@ -771,6 +818,7 @@ object TextAnalysis {
     "text_hll_sketch" -> textHllSketch)
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "text_redact" -> textRedactSql,
     "text_clean" -> textCleanSql,
     "text_chunk" -> textChunkSql,

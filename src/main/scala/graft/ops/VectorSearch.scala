@@ -790,6 +790,69 @@ object VectorSearch {
       FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.cid = c.code
       GROUP BY c.vec_id)"""
 
+  // ── vs_maxsim_search — late-interaction (ColBERT-style) MaxSim ───────
+  final val MsSlices = 4 // 64-dim vector read as 4 × 16-dim "token" vectors
+
+  /** Late-interaction retrieval (Khattab & Zaharia, "ColBERT", SIGIR'20):
+    * query and document are BAGS of token vectors and the score is
+    * MaxSim — Σ over query tokens of the max dot product against any
+    * document token. Here each 64-dim embedding is read as [[MsSlices]]
+    * 16-dim token vectors (the corpus has single-vector rows; the
+    * *operator* is the real thing) on the int8 grid of [[vsQuantSearch]],
+    * so every dot is integer and the oracle is bit-exact. Scale shape:
+    * query token vectors are literals, the corpus pass is map-only
+    * (slice + MaxSim fold per row), top-10 is a TakeOrdered reduction —
+    * no shuffle; at 100 TB the multi-vector frame is the stored index. */
+  def vsMaxsimSearch: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
+    val quant = graft.util.Det.materializedColumn(
+      e.crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          transform(col("v"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
+            .as("qd_raw")),
+      "qd", col("qd_raw")).select("vec_id", "qd")
+    val dsub = 64 / MsSlices
+    val qRow = quant.filter(col("vec_id") === 0L).collect()
+    require(qRow.length == 1, "query vector (vec 0) missing")
+    val q: Array[Long] = qRow.head.getSeq[Long](1).toArray
+    val qSlices: Seq[Seq[Long]] =
+      (0 until MsSlices).map(i => q.slice(i * dsub, (i + 1) * dsub).toSeq)
+    val qL = typedlit(qSlices)
+    // MaxSim fold: for each query slice, max over document slices of the
+    // integer dot; all slices come from ONE slice() pass per row.
+    val dSlices = transform(sequence(lit(0), lit(MsSlices - 1)), j =>
+      slice(col("qd"), j * lit(dsub) + 1, lit(dsub)))
+    val score = aggregate(sequence(lit(1), lit(MsSlices)), lit(0L), (acc, i) =>
+      acc + array_max(transform(col("dslices"), dv =>
+        aggregate(zip_with(element_at(qL, i), dv, (a, b) => a * b),
+          lit(0L), (s, x) => s + x))))
+    graft.util.Det.materializedColumn(quant, "dslices", dSlices)
+      .select(col("vec_id"), score.as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(10)
+  }
+  val vsMaxsimSearchSql: String = {
+    val dsub = 64 / MsSlices
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    quant AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qd
+      FROM e, mx),
+    q AS (SELECT qd AS qv FROM quant WHERE vec_id = 0),
+    sl AS (SELECT range AS i FROM range(0, $MsSlices)),
+    sims AS (SELECT t.vec_id, s.i AS qi,
+        list_sum(list_transform(range(1, ${dsub + 1}), d ->
+          q.qv[s.i * $dsub + d] * t.qd[s2.i * $dsub + d])) AS dot
+      FROM quant t, q, sl s, sl s2),
+    mx2 AS (SELECT vec_id, qi, MAX(dot) AS m FROM sims GROUP BY 1, 2),
+    scored AS (SELECT vec_id, CAST(SUM(m) AS BIGINT) AS maxsim FROM mx2 GROUP BY 1)
+    SELECT vec_id, maxsim FROM scored
+    ORDER BY maxsim DESC, vec_id LIMIT 10"""
+  }
+
   val vsPqSearchSql: String = pqCtes + """
     SELECT vec_id, code, adist FROM adc ORDER BY adist, vec_id LIMIT 10"""
 
@@ -1381,6 +1444,7 @@ object VectorSearch {
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
     "vs_pq_rerank" -> vsPqRerank,
+    "vs_maxsim_search" -> vsMaxsimSearch,
     "vs_ivfpq_search" -> vsIvfPqSearch,
     "vs_lsh_search" -> vsLshSearch,
     "vs_lsh_tuned" -> vsLshTuned)
@@ -1407,6 +1471,7 @@ object VectorSearch {
     "vs_quant_search" -> vsQuantSearchSql,
     "vs_pq_search" -> vsPqSearchSql,
     "vs_pq_rerank" -> vsPqRerankSql,
+    "vs_maxsim_search" -> vsMaxsimSearchSql,
     "vs_ivfpq_search" -> vsIvfPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql)
 }

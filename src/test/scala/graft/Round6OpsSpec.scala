@@ -420,6 +420,67 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.head._1 == 0L && got.head._3 == 0L)
   }
 
+  test("vs_maxsim_search equals brute-force MaxSim over int8 slices") {
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val maxabs = e.map(_._2.map(math.abs).max).max
+    val quant = e.map { case (id, v) =>
+      id -> v.map(x => math.rint(x * 127.0 / maxabs).toLong) }
+    val q = quant.find(_._1 == 0L).get._2
+    val dsub = 64 / VectorSearch.MsSlices
+    def slices(a: Array[Long]) =
+      (0 until VectorSearch.MsSlices).map(i => a.slice(i * dsub, (i + 1) * dsub))
+    val qs = slices(q)
+    val want = quant.map { case (id, d) =>
+      val ds = slices(d)
+      id -> qs.map(qi => ds.map(di => qi.zip(di).map { case (a, b) => a * b }.sum).max).sum
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = VectorSearch.vsMaxsimSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("maxsim")))
+    assert(got.toSeq == want.toSeq)
+    assert(got.head._1 == 0L) // the query is its own best match
+  }
+
+  test("text_tfidf equals brute-force tf-idf top-3") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val nd = docs.length.toLong
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, v) => (id, t, v.length.toLong) } }
+    val df = tf.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val want = tf.map { case (id, t, f) =>
+      (id, t, math.floor(f * 1000000.0 * nd / df(t) + 0.5).toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (id, v) =>
+        v.sortBy { case (_, t, s) => (-s, t) }.take(TextAnalysis.TfidfTopK)
+          .zipWithIndex.map { case ((_, t, s), i) => (id, i + 1L, t, s) }
+      }.toSet
+    val got = TextAnalysis.textTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getString(2),
+        r.getAs[Long]("score_micro"))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("pipeline_corpus_stats equals a brute-force profile") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getString(3), r.getString(2), r.getLong(4), toks(r.getString(1)).length))
+    val want = docs.groupBy(_._1).map { case (src, v) =>
+      src -> (v.length.toLong, v.map(_._3).sum, v.map(_._3).min, v.map(_._3).max,
+        v.map(_._2).distinct.length.toLong, v.map(_._4.toLong).sum,
+        v.count(_._4 == 0).toLong, v.map(_._3).sum / v.length)
+    }
+    val got = Pipeline.pipelineCorpusStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+        r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"), r.getAs[Long]("n_langs"),
+        r.getAs[Long]("sum_toks"), r.getAs[Long]("n_empty"), r.getAs[Long]("avg_chars")))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("graph_label_prop equals brute-force min-label iteration") {
     val got = Graph.graphLabelProp(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
