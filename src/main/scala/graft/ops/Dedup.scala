@@ -484,32 +484,44 @@ object Dedup {
 
   // ── dedup_containment — exact prefix-filtered containment join ───────
   /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9 over
-    * 3-gram sets): catches quote/subset duplication that symmetric
-    * Jaccard misses when sizes differ. Candidate generation is the
-    * AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07), EXACT by
-    * pigeonhole: order every doc's grams by global rarity (df, then
-    * hash); if a pair has containment ≥ t on its smaller side A, the
-    * shared grams number ≥ ⌈t·|A|⌉, so at least one of A's
-    * ⌊(1−t)·|A|⌋+1 rarest grams (its "prefix") must occur in B.
-    * Join = A-prefixes (tiny, rare grams) against the full inverted
-    * index, then exact set-intersection verify — never an O(n²)
+    * word 3-shingle sets): catches quote/subset duplication that
+    * symmetric Jaccard misses when sizes differ. Candidate generation is
+    * the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07), EXACT
+    * by pigeonhole: order every doc's shingles by global rarity (df,
+    * then hash); if a pair has containment ≥ t on its smaller side A,
+    * the shared shingles number ≥ ⌈t·|A|⌉, so at least one of A's
+    * ⌊(1−t)·|A|⌋+1 rarest shingles (its "prefix") must occur in B.
+    * Join = A-prefixes (rare shingles only) against the full inverted
+    * index, then exact sorted-set-intersection verify — never an O(n²)
     * all-pairs, and because the filter is lossless the oracle is simply
-    * the naive exact containment join. Integer per-mille output. */
+    * the naive exact containment join. WORD shingles, not char 3-grams:
+    * the shingle space grows with content, so document prefixes are
+    * genuinely rare (char 3-grams live in a ~40³ space where every
+    * "rare" gram still hits hundreds of docs — measured 500× more
+    * candidate emissions at sf0.1). Integer per-mille output. */
   final val ContThreshPm = 900L
   final val ContMinGrams = 10
   def dedupContainment: Q = (spark, dir) => {
     graft.functions.register(spark)
-    val g = materializedColumn(
-        materializedColumn(
-          Tables.documents(spark, dir).filter(length(col("text")) >= 3)
-            .select(col("doc_id"), col("text")),
-          "t", lower(col("text"))).select(col("doc_id"), col("t")),
-        "grams", array_sort(array_distinct(transform(
-          sequence(lit(1), length(col("t")) - 2),
-          i => poly_hash_cp(col("t").substr(i, lit(3)))))))
-      .select(col("doc_id"), col("grams"))
-      .filter(size(col("grams")) >= ContMinGrams)
-    val gp = persistRound(g)
+    containmentPairs(Tables.documents(spark, dir).select("doc_id", "text"))
+  }
+  /** The containment join over any (doc_id, text) frame — split out so
+    * the spec can drive it with a synthetic subset-document corpus (the
+    * test tables' near-dups are whole-doc perturbations, which exercise
+    * the symmetric regime only). */
+  private[graft] def containmentPairs(docsRaw: DataFrame): DataFrame = {
+    val docs = materializedColumn(docsRaw, "toks", toksCol)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) >= 3)
+    val hx = docs
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat(col("toks")(i), lit(" "), col("toks")(i + 1), lit(" "),
+            col("toks")(i + 2))))).as("s"))
+      .select(col("doc_id"), poly_hash(col("s")).as("h"))
+    val gp = persistRound(hx.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("h"))).as("grams"))
+      .filter(size(col("grams")) >= ContMinGrams))
     val inv = gp.select(col("doc_id"), explode(col("grams")).as("h"))
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy("df", "h")
@@ -535,12 +547,14 @@ object Dedup {
   /** Oracle is the NAIVE exact containment join — legitimate because the
     * prefix filter is lossless, so the two computations must agree. */
   val dedupContainmentSql: String = s"""
-    WITH g0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(lower(text))-1),
-          i -> ((((CAST(unicode(lower(text)[i]) AS BIGINT) * 31
-                 + unicode(lower(text)[i+1])) % $M) * 31
-                 + unicode(lower(text)[i+2])) % $M))) AS grams
-      FROM documents WHERE len(text) >= 3),
-    g AS (SELECT * FROM g0 WHERE len(grams) >= $ContMinGrams),
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tt),
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hx AS (SELECT DISTINCT doc_id, ${polySql("s")} AS h FROM shx),
+    g AS (SELECT doc_id, list(h) AS grams FROM hx GROUP BY 1
+          HAVING COUNT(*) >= $ContMinGrams),
     p AS (SELECT a.doc_id AS lo_id, b.doc_id AS hi_id,
         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
         CAST(least(len(a.grams), len(b.grams)) AS BIGINT) AS mn

