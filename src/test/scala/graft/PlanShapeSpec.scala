@@ -208,4 +208,51 @@ class PlanShapeSpec extends SparkSpec {
         s"global top-k cut should be TakeOrderedAndProject; got: ${nodes.map(_.nodeName).distinct}")
     }
   }
+
+  test("q6_filter_agg pushes every predicate into the parquet scan") {
+    val nodes = executedNodes(Relational.q6FilterAgg(spark, sf))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.flatMap(_.dataFilters).map(_.toString).mkString("; ")
+    for (c <- Seq("l_shipdate", "l_quantity", "l_discount"))
+      assert(pushed.contains(c), s"$c not pushed to the scan: $pushed")
+    // and the pruned read schema carries only the 4 referenced columns
+    assert(scans.head.requiredSchema.fieldNames.length == 4,
+      s"projection not pruned: ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("vs_maxsim_search and vs_pq_rerank: top-k via TakeOrderedAndProject, no corpus key shuffle") {
+    for ((name, df) <- Seq(
+        "vs_maxsim_search" -> VectorSearch.vsMaxsimSearch(spark, sf),
+        "vs_pq_rerank" -> VectorSearch.vsPqRerank(spark, sf))) {
+      val nodes = executedNodes(df)
+      assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+        s"$name should cut with TakeOrderedAndProject: ${nodes.map(_.nodeName).distinct}")
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name planned a cartesian product")
+    }
+  }
+
+  test("dedup_containment: candidate generation is keyed — no cartesian/BNL") {
+    val nodes = executedNodes(graft.ops.Dedup.dedupContainment(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "containment candidate join fell back to a cartesian product")
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "containment candidate join planned a broadcast nested loop join")
+  }
+
+  test("ev_count_min and ev_quantile_sketch: bounded sketch shuffle, no corpus global sort") {
+    for ((name, df) <- Seq(
+        "ev_count_min" -> Events.evCountMin(spark, sf),
+        "ev_quantile_sketch" -> Events.evQuantileSketch(spark, sf))) {
+      val nodes = executedNodes(df)
+      // no SortExec feeding an Exchange over the raw corpus: the only
+      // sorts allowed are inside the final (tiny) ordered output / window
+      val rangeShuffles = nodes.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.getClass.getSimpleName.contains("Range") => e
+      }
+      assert(rangeShuffles.size <= 1,
+        s"$name should have at most the final order's range exchange")
+    }
+  }
 }
