@@ -92,6 +92,7 @@ object Dedup {
   }
   /** Shared CTE chain: tokenize → shingle → minhash → bands → verified
     * near-dup pairs (used by both the pair query and the cluster query). */
+  private[ops] def minhashCtesShared: String = minhashCtes
   private val minhashCtes = s"""
     WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),

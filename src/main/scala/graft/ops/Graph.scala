@@ -208,11 +208,63 @@ object Graph {
     SELECT node, label FROM l3 ORDER BY node"""
   }
 
+  // ── graph_kcore — iterative k-core peeling over the near-dup graph ───
+  final val KcK = 2
+  final val KcIters = 3
+
+  /** K-core decomposition ([[KcK]]-core, [[KcIters]] fixed peel rounds,
+    * unrolled in the oracle like the other iterative graph ops) over the
+    * MinHash near-duplicate pair graph ([[Dedup.dedupMinhashLsh]] — the
+    * bucketed, 100 TB-safe pair generator): repeatedly drop nodes with
+    * degree < k among surviving nodes. Separates dense duplicate
+    * families (cliquish cores that survive) from incidental chains
+    * (peeled away) — the structure a curation run uses to pick "delete
+    * the whole family" vs "keep and link". Each round is one
+    * both-endpoints-alive semi-join + one degree aggregate on the node
+    * key; the symmetric edge frame is staged once. Output: surviving
+    * nodes with their final in-core degree. */
+  def graphKcore: Q = (spark, dir) => {
+    val pairs = graft.util.Persist.stage(
+      Dedup.dedupMinhashLsh(spark, dir).select("a_id", "b_id"), eager = false)
+    val sym = pairs.select(col("a_id").as("n"), col("b_id").as("nb"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .distinct()
+    var alive: DataFrame = sym.select(col("n")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to KcIters) {
+      deg = sym
+        .join(alive, "n")
+        .join(alive.select(col("n").as("nb")), "nb")
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcK)
+      alive = deg.select("n")
+    }
+    deg.select(col("n").as("doc_id"), col("deg")).orderBy("doc_id")
+  }
+  val graphKcoreSql: String = {
+    def iter(prev: String, cur: String): String = s"""
+    d$cur AS (SELECT s.n, COUNT(*) AS deg
+      FROM sym s JOIN a$prev x ON x.n = s.n JOIN a$prev y ON y.n = s.nb
+      GROUP BY 1 HAVING COUNT(*) >= $KcK),
+    a$cur AS (SELECT n FROM d$cur)"""
+    Dedup.minhashCtesShared + s""",
+    pairs AS (SELECT a_id, b_id FROM jj WHERE jaccard >= 0.7),
+    sym AS (SELECT a_id AS n, b_id AS nb FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    a0 AS (SELECT DISTINCT n FROM sym),
+    ${iter("0", "1")},
+    ${iter("1", "2")},
+    ${iter("2", "3")}
+    SELECT n AS doc_id, CAST(deg AS BIGINT) AS deg FROM d3 ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_kcore" -> graphKcore,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_label_prop" -> graphLabelProp)
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> graphKcoreSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_label_prop" -> graphLabelPropSql)

@@ -491,6 +491,26 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("graph_kcore equals brute-force iterative peeling") {
+    val pairs = graft.ops.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    var alive = sym.map(_._1).toSet
+    var deg = Map.empty[Long, Int]
+    for (_ <- 1 to Graph.KcIters) {
+      deg = sym.filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).map { case (n, v) => n -> v.length }
+        .filter(_._2 >= Graph.KcK)
+      alive = deg.keySet
+    }
+    val got = Graph.graphKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("deg")).toMap
+    assert(got == deg.map { case (k, v) => k -> v.toLong })
+    assert(got.nonEmpty, "corpus should contain a dense duplicate family (2-core)")
+    // peeling did something: some chain node was removed
+    assert(got.size < sym.map(_._1).distinct.length)
+  }
+
   test("graph_label_prop equals brute-force min-label iteration") {
     val got = Graph.graphLabelProp(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
