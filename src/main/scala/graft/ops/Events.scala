@@ -761,8 +761,73 @@ object Events {
       COUNT(*) AS n_users, CAST(SUM(mon_c) AS BIGINT) AS sum_mon_c
     FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""
 
+  // ── ev_changepoint — best-split mean-shift detection per type ────────
+  /** Offline changepoint detection (single best split by mean shift —
+    * the exhaustive form of binary segmentation's first step): the
+    * corpus is first reduced to the per-(type, hour) count series (the
+    * only full-data pass — map-side combined, bounded by |types|·hours),
+    * then every candidate split of each type's series is scored from
+    * PREFIX SUMS (one cumulative window over the tiny series, O(n) not
+    * O(n²)) as |floor-milli left mean − right mean|; argmax via a
+    * per-type window MAX, earliest-hour tie-break. All integer. */
+  def evChangepoint: Q = (spark, dir) => {
+    val hourly = ev(spark, dir)
+      .groupBy(col("event_type"), idiv(col("ts_us"), HourUs).as("hour_idx"))
+      .agg(count(lit(1)).as("c"))
+    val byHour = Window.partitionBy("event_type").orderBy("hour_idx")
+    val cum = hourly
+      .withColumn("i", row_number().over(byHour).cast("long"))
+      .withColumn("csum", sum("c").over(
+        byHour.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("tot", sum("c").over(Window.partitionBy("event_type")))
+    val scored = cum.filter(col("i") < col("n"))
+      .withColumn("mean_l_milli", idiv(col("csum") * 1000L, col("i")))
+      .withColumn("mean_r_milli",
+        idiv((col("tot") - col("csum")) * 1000L, col("n") - col("i")))
+      .withColumn("score_milli", abs(col("mean_l_milli") - col("mean_r_milli")))
+    val best = Window.partitionBy("event_type")
+    scored
+      .withColumn("best_score", max("score_milli").over(best))
+      .filter(col("score_milli") === col("best_score"))
+      .groupBy("event_type")
+      .agg(min("hour_idx").as("split_hour"), first("best_score").as("score_milli"),
+        first("n").as("n_hours"), first("tot").as("n_events"))
+      .join(scored.select(col("event_type"), col("hour_idx").as("split_hour"),
+        col("mean_l_milli"), col("mean_r_milli")), Seq("event_type", "split_hour"))
+      .orderBy("event_type")
+  }
+  val evChangepointSql: String = s"""
+    WITH hourly AS (SELECT event_type, epoch_us(ts) // $HourUs AS hour_idx,
+        COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    cum AS (SELECT event_type, hour_idx, c,
+        CAST(row_number() OVER w AS BIGINT) AS i,
+        CAST(SUM(c) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum,
+        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx)),
+    scored AS (SELECT *,
+        (csum * 1000) // i AS mean_l_milli,
+        ((tot - csum) * 1000) // (n - i) AS mean_r_milli,
+        abs((csum * 1000) // i - ((tot - csum) * 1000) // (n - i)) AS score_milli
+      FROM cum WHERE i < n),
+    best AS (SELECT event_type, MIN(hour_idx) AS split_hour
+      FROM scored s
+      WHERE score_milli = (SELECT MAX(score_milli) FROM scored x
+                           WHERE x.event_type = s.event_type)
+      GROUP BY 1)
+    SELECT s.event_type, b.split_hour,
+      CAST(s.score_milli AS BIGINT) AS score_milli, s.n AS n_hours,
+      s.tot AS n_events, CAST(s.mean_l_milli AS BIGINT) AS mean_l_milli,
+      CAST(s.mean_r_milli AS BIGINT) AS mean_r_milli
+    FROM best b JOIN scored s
+      ON s.event_type = b.event_type AND s.hour_idx = b.split_hour
+    ORDER BY s.event_type"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
+    "ev_changepoint" -> evChangepoint,
     "ev_quantile_sketch" -> evQuantileSketch,
     "ev_rfm" -> evRfm,
     "ev_skew_agg" -> evSkewAgg,
@@ -785,6 +850,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
+    "ev_changepoint" -> evChangepointSql,
     "ev_quantile_sketch" -> evQuantileSketchSql,
     "ev_rfm" -> evRfmSql,
     "ev_skew_agg" -> evSkewAggSql,

@@ -491,6 +491,36 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ev_changepoint equals brute-force exhaustive split search") {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000L / hourUs))
+    val want = ev.groupBy(_._1).map { case (t, v) =>
+      val series = v.groupBy(_._2).map { case (h, w) => (h, w.length.toLong) }
+        .toSeq.sortBy(_._1)
+      val n = series.length.toLong
+      val tot = series.map(_._2).sum
+      var csum = 0L
+      val cands = series.zipWithIndex.dropRight(1).map { case ((h, c), idx) =>
+        csum += c
+        val i = idx + 1L
+        val ml = csum * 1000 / i
+        val mr = (tot - csum) * 1000 / (n - i)
+        (h, math.abs(ml - mr), ml, mr)
+      }
+      val bestScore = cands.map(_._2).max
+      val best = cands.filter(_._2 == bestScore).minBy(_._1)
+      t -> (best._1, bestScore, n, tot, best._3, best._4)
+    }
+    val got = Events.evChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("split_hour"),
+        r.getAs[Long]("score_milli"), r.getAs[Long]("n_hours"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("mean_l_milli"),
+        r.getAs[Long]("mean_r_milli"))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("graph_kcore equals brute-force iterative peeling") {
     val pairs = graft.ops.Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
