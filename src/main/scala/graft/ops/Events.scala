@@ -825,9 +825,47 @@ object Events {
       ON s.event_type = b.event_type AND s.hour_idx = b.split_hour
     ORDER BY s.event_type"""
 
+  // ── ev_rolling_distinct — 7-day rolling distinct users per type ──────
+  final val RollDays = 7L
+
+  /** Rolling COUNT(DISTINCT) — the aggregate a RANGE window cannot
+    * express (distinct is not algebraic over sliding frames): solved
+    * with the bounded-replication spine pattern. The corpus is first
+    * reduced to distinct (type, day, user) rows (the only full-data
+    * pass), then each reduced row is replicated to the [[RollDays]]
+    * target days it contributes to (explode of a 7-element sequence —
+    * bounded fan-out, NOT a range self-join) and one distinct aggregate
+    * per (type, target day) finishes. Shuffle carries only the reduced
+    * frame ×7. Target days clipped to the observed day span via a 1-row
+    * bounds broadcast. */
+  def evRollingDistinct: Q = (spark, dir) => {
+    val d = ev(spark, dir)
+      .select(col("event_type"), idiv(col("ts_us"), UsPerDay).as("day"), col("user_id"))
+      .distinct()
+    val bounds = d.agg(max("day").as("max_day"))
+    d.select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), col("day") + (RollDays - 1L))).as("t_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("t_day") <= col("max_day"))
+      .groupBy("event_type", "t_day")
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy("event_type", "t_day")
+  }
+  val evRollingDistinctSql: String = s"""
+    WITH d AS (SELECT DISTINCT event_type, epoch_us(ts) // $UsPerDay AS day,
+        user_id FROM events),
+    b AS (SELECT MAX(day) AS max_day FROM d),
+    rep AS (SELECT event_type, user_id, day + r.range AS t_day
+      FROM d, range(0, $RollDays) r),
+    clipped AS (SELECT rep.* FROM rep, b WHERE t_day <= max_day)
+    SELECT event_type, t_day,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+    FROM clipped GROUP BY 1, 2 ORDER BY event_type, t_day"""
+
   val queries: Map[String, Q] = Map(
     "ev_window_agg" -> evWindowAgg,
     "ev_changepoint" -> evChangepoint,
+    "ev_rolling_distinct" -> evRollingDistinct,
     "ev_quantile_sketch" -> evQuantileSketch,
     "ev_rfm" -> evRfm,
     "ev_skew_agg" -> evSkewAgg,
@@ -851,6 +889,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "ev_window_agg" -> evWindowAggSql,
     "ev_changepoint" -> evChangepointSql,
+    "ev_rolling_distinct" -> evRollingDistinctSql,
     "ev_quantile_sketch" -> evQuantileSketchSql,
     "ev_rfm" -> evRfmSql,
     "ev_skew_agg" -> evSkewAggSql,

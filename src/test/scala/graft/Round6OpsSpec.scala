@@ -521,6 +521,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ev_rolling_distinct equals brute-force 7-day rolling distinct") {
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, sf).select("event_type", "ts", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000L / dayUs, r.getLong(2)))
+    val maxDay = ev.map(_._2).max
+    val byType = ev.groupBy(_._1)
+    val want = (for {
+      (t, v) <- byType.toSeq
+      d <- v.map(_._2).min to maxDay
+      users = v.filter(e => e._2 >= d - 6 && e._2 <= d).map(_._3).distinct
+      if users.nonEmpty
+    } yield (t, d) -> users.length.toLong).toMap
+    val got = Events.evRollingDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("t_day")) -> r.getAs[Long]("n_users_7d"))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // rolling > daily somewhere (the window actually accumulates)
+    val daily = ev.distinct.groupBy(e => (e._1, e._2)).map { case (k, v) =>
+      k -> v.map(_._3).distinct.length.toLong }
+    assert(got.exists { case (k, n) => daily.getOrElse(k, 0L) < n })
+  }
+
   test("graph_kcore equals brute-force iterative peeling") {
     val pairs = graft.ops.Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
