@@ -46,21 +46,26 @@ object Dedup {
     * path: corpus-sized data only shuffles on band keys, and banding keys
     * can be salted if a degenerate bucket appears). Candidates are then
     * verified with exact shingle-set Jaccard ≥ 0.7. */
-  def dedupMinhashLsh: Q = (spark, dir) => {
-    // materializedColumn: tokenize once per row — otherwise CollapseProject
-    // inlines the tokenize into every toks[i] reference inside the shingle
-    // lambda (O(len·refs) recompute blowup).
-    val docs = materializedColumn(Tables.documents(spark, dir).select("doc_id", "text"),
-        "toks", toksCol)
+  /** (doc_id, h) exploded per-doc-distinct word-3-shingle hashes — the
+    * ONE definition of the shingle pipeline, shared by
+    * [[dedupMinhashLsh]] and [[containmentPairs]] (and mirrored by the
+    * shared SQL prefix [[shinglePrefixCtes]]).
+    * materializedColumn: tokenize once per row — otherwise
+    * CollapseProject inlines the tokenize into every toks[i] reference
+    * inside the shingle lambda (O(len·refs) recompute blowup). */
+  private def wordShingleHashes(docsRaw: DataFrame): DataFrame = {
+    val docs = materializedColumn(docsRaw, "toks", toksCol)
       .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= 3)
-    val sh = docs.select(col("doc_id"),
-      array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-        i => concat(col("toks")(i), lit(" "), col("toks")(i + 1), lit(" "),
-          col("toks")(i + 2))))
-        .as("shingles"))
-    val hx = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat(col("toks")(i), lit(" "), col("toks")(i + 1), lit(" "),
+            col("toks")(i + 2))))).as("s"))
       .select(col("doc_id"), poly_hash(col("s")).as("h"))
+  }
+
+  def dedupMinhashLsh: Q = (spark, dir) => {
+    val hx = wordShingleHashes(Tables.documents(spark, dir).select("doc_id", "text"))
     // ONE aggregation computes both the 16-slot minhash signature
     // (graft.functions.MinhashSig — all minima in a single primitive
     // buffer) and the distinct hash set the verify stage needs; the
@@ -93,12 +98,15 @@ object Dedup {
   /** Shared CTE chain: tokenize → shingle → minhash → bands → verified
     * near-dup pairs (used by both the pair query and the cluster query). */
   private[ops] def minhashCtesShared: String = minhashCtes
-  private val minhashCtes = s"""
+  /** Shared tokenize→shingle SQL prefix (the oracle twin of
+    * [[wordShingleHashes]]). */
+  private val shinglePrefixCtes = s"""
     WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
     sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tt),
-    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"""
+  private val minhashCtes = shinglePrefixCtes + s""",
     hx AS (SELECT doc_id, ${polySql("s")} AS h FROM shx),
     ks AS (SELECT range AS k FROM range(0, 16)),
     mh AS (SELECT doc_id, k, MIN((h * (2*k+1) + 1000003*k) % $M) AS mh
@@ -511,15 +519,7 @@ object Dedup {
     * test tables' near-dups are whole-doc perturbations, which exercise
     * the symmetric regime only). */
   private[graft] def containmentPairs(docsRaw: DataFrame): DataFrame = {
-    val docs = materializedColumn(docsRaw, "toks", toksCol)
-      .select(col("doc_id"), col("toks"))
-      .filter(size(col("toks")) >= 3)
-    val hx = docs
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat(col("toks")(i), lit(" "), col("toks")(i + 1), lit(" "),
-            col("toks")(i + 2))))).as("s"))
-      .select(col("doc_id"), poly_hash(col("s")).as("h"))
+    val hx = wordShingleHashes(docsRaw)
     val gp = persistRound(hx.groupBy("doc_id")
       .agg(array_sort(collect_set(col("h"))).as("grams"))
       .filter(size(col("grams")) >= ContMinGrams))
@@ -547,12 +547,7 @@ object Dedup {
   }
   /** Oracle is the NAIVE exact containment join — legitimate because the
     * prefix filter is lossless, so the two computations must agree. */
-  val dedupContainmentSql: String = s"""
-    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
-    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tt),
-    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+  val dedupContainmentSql: String = shinglePrefixCtes + s""",
     hx AS (SELECT DISTINCT doc_id, ${polySql("s")} AS h FROM shx),
     g AS (SELECT doc_id, list(h) AS grams FROM hx GROUP BY 1
           HAVING COUNT(*) >= $ContMinGrams),

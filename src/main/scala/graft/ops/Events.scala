@@ -557,10 +557,13 @@ object Events {
     Seq((2654435761L, 1L), (2246822519L, 7L), (3266489917L, 13L))
   final val CmProbeKeys = 10L
   def evCountMin: Q = (spark, dir) => {
+    // u is reduced mod CmP BEFORE the multiply: u·a would overflow
+    // signed 64-bit for user_id ≳ 3.5e9 (Spark wraps silently, DuckDB
+    // errors); (u mod p)·a ≡ u·a (mod p) and stays < 2^63.
     def hashRows(u: Column): Column = array(CmHashes.zipWithIndex.map {
       case ((a, b), i) =>
         struct(lit(i.toLong).as("hi"),
-          pmod(pmod(u * a + b, lit(CmP)), lit(CmW)).as("bkt"))
+          pmod(pmod(pmod(u, lit(CmP)) * a + b, lit(CmP)), lit(CmW)).as("bkt"))
     }: _*)
     val ev = Tables.events(spark, dir).select("event_type", "user_id")
     val regs = ev
@@ -587,11 +590,11 @@ object Events {
     s"""
     WITH ev AS (SELECT event_type, user_id FROM events),
     hp AS (SELECT * FROM (VALUES $hashes) AS t(hi, a, b)),
-    regs AS (SELECT event_type, hi, ((user_id * a + b) % $CmP) % $CmW AS bkt,
+    regs AS (SELECT event_type, hi, (((user_id % $CmP) * a + b) % $CmP) % $CmW AS bkt,
         COUNT(*) AS c
       FROM ev CROSS JOIN hp GROUP BY 1, 2, 3),
     probes AS (SELECT r.user_id, hp.hi,
-        ((r.user_id * hp.a + hp.b) % $CmP) % $CmW AS bkt
+        (((r.user_id % $CmP) * hp.a + hp.b) % $CmP) % $CmW AS bkt
       FROM range(0, $CmProbeKeys) r(user_id) CROSS JOIN hp),
     grid AS (SELECT e.event_type, p.user_id, p.hi, p.bkt
       FROM (SELECT DISTINCT event_type FROM ev) e CROSS JOIN probes p),
@@ -653,7 +656,8 @@ object Events {
     * (type, bin) COUNT whose shuffle carries ≤ |types|·[[QsBins]] rows)
     * that replaces the full-shuffle exact percentile (q14_median) when
     * rank error of one bin width is acceptable. The estimate for
-    * per-mille rank q is the upper value edge of the first bin whose
+    * per-mille rank q is the TRUE upper value edge (ceil((b+1)·span/B)−1)
+    * of the first bin whose
     * cumulative count reaches ceil(q·n/1000); the containing-bin
     * guarantee 0 ≤ est − exact < bin width is spec-asserted against the
     * exact quantile. All integer arithmetic on cents. */
@@ -680,8 +684,8 @@ object Events {
       .agg(min("bin").as("bin"), first("mn").as("mn"), first("mx").as("mx"),
         first("n").as("n"))
       .select(col("event_type"), col("q_pm"),
-        (col("mn") + idiv((col("bin") + 1) * (col("mx") - col("mn") + 1), QsBins)
-          - 1).as("est_c"),
+        (col("mn") + idiv((col("bin") + 1) * (col("mx") - col("mn") + 1)
+          + QsBins - 1, QsBins) - 1).as("est_c"),
         col("n"))
       .orderBy("event_type", "q_pm")
   }
@@ -700,7 +704,7 @@ object Events {
       FROM binned),
     probe AS (SELECT unnest(ARRAY[$qs]) AS q_pm)
     SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm,
-      CAST(MIN(mn + ((bin + 1) * (mx - mn + 1)) // $QsBins - 1) AS BIGINT) AS est_c,
+      CAST(MIN(mn + ((bin + 1) * (mx - mn + 1) + $QsBins - 1) // $QsBins - 1) AS BIGINT) AS est_c,
       CAST(MAX(n) AS BIGINT) AS n
     FROM (SELECT c.*, p.q_pm,
             MIN(bin) OVER (PARTITION BY c.event_type, p.q_pm) AS minbin

@@ -224,19 +224,27 @@ object Graph {
     * key; the symmetric edge frame is staged once. Output: surviving
     * nodes with their final in-core degree. */
   def graphKcore: Q = (spark, dir) => {
-    val pairs = graft.util.Persist.stage(
-      Dedup.dedupMinhashLsh(spark, dir).select("a_id", "b_id"), eager = false)
-    val sym = pairs.select(col("a_id").as("n"), col("b_id").as("nb"))
-      .union(pairs.select(col("b_id"), col("a_id")))
-      .distinct()
+    // sym is staged ONCE and each round's survivor set is staged per
+    // round — without this every later round's plan re-embeds all
+    // earlier rounds twice (alive appears on both join sides), an
+    // O(2^rounds) lineage blow-up (the same policy as dedup_clusters'
+    // per-round checkpoint).
+    val sym = graft.util.Persist.stage({
+      val pairs = Dedup.dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+      pairs.select(col("a_id").as("n"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id"), col("a_id")))
+        .distinct()
+    }, eager = false)
     var alive: DataFrame = sym.select(col("n")).distinct()
     var deg: DataFrame = null
     for (_ <- 1 to KcIters) {
-      deg = sym
-        .join(alive, "n")
-        .join(alive.select(col("n").as("nb")), "nb")
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KcK)
+      deg = graft.util.Persist.stage(
+        sym
+          .join(alive, "n")
+          .join(alive.select(col("n").as("nb")), "nb")
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcK),
+        eager = false)
       alive = deg.select("n")
     }
     deg.select(col("n").as("doc_id"), col("deg")).orderBy("doc_id")

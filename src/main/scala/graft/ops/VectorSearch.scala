@@ -679,6 +679,29 @@ object VectorSearch {
     * map-only over one scan, and the top-k is a TakeOrdered reduction —
     * no corpus shuffle anywhere. All arithmetic is integer, so the SQL
     * oracle matches bit-for-bit including the emitted code strings. */
+  /** (vec_id, qd) int8 grid of the corpus — the ONE definition of the
+    * quantization shared by [[pqAdcFrames]] and [[vsMaxsimSearch]]
+    * (SQL twin: [[int8GridCtes]]). Generate barrier: encode stages
+    * reference qd many times — without it CollapseProject re-inlines the
+    * quantization transform into every reference. */
+  private def int8Grid(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
+    graft.util.Det.materializedColumn(
+      e.crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          transform(col("v"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
+            .as("qd_raw")),
+      "qd", col("qd_raw")).select("vec_id", "qd")
+  }
+  private val int8GridCtes: String = s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    quant AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qd
+      FROM e, mx)"""
+
   /** Shared PQ encode pipeline — returns (quantized corpus frame,
     * per-vector (vec_id, code, adist) ADC frame, query grid vector).
     * [[vsPqSearch]] takes ADC top-10; [[vsPqRerank]] widens to an ADC
@@ -686,18 +709,7 @@ object VectorSearch {
   private def pqAdcFrames(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, Array[Long]) = {
     def sq(c: Column): Column = c * c
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
-    // Generate barrier: the encode below references qd PqM×PqK×PqDsub
-    // times — without the barrier CollapseProject re-inlines the
-    // quantization transform into every reference.
-    val quant = graft.util.Det.materializedColumn(
-      e.crossJoin(broadcast(mx))
-        .select(col("vec_id"),
-          transform(col("v"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
-            .as("qd_raw")),
-      "qd", col("qd_raw")).select("vec_id", "qd")
+    val quant = int8Grid(spark, dir)
     // Codebook: quantized vectors of ids 0..PqK-1, collected in Spark's
     // own arithmetic (re-quantizing on the driver could round differently).
     val seedRows = quant.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
@@ -761,12 +773,7 @@ object VectorSearch {
       .limit(10)
   }
 
-  private val pqCtes: String = s"""
-    WITH e AS ($eSql),
-    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
-    quant AS (SELECT vec_id,
-        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qd
-      FROM e, mx),
+  private val pqCtes: String = int8GridCtes + s""",
     seeds AS (SELECT vec_id AS cid, qd AS sd FROM quant WHERE vec_id < $PqK),
     qv AS (SELECT qd AS q FROM quant WHERE vec_id = 0),
     sub AS (SELECT range AS m FROM range(0, $PqM)),
@@ -804,15 +811,7 @@ object VectorSearch {
     * (slice + MaxSim fold per row), top-10 is a TakeOrdered reduction —
     * no shuffle; at 100 TB the multi-vector frame is the stored index. */
   def vsMaxsimSearch: Q = (spark, dir) => {
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
-    val quant = graft.util.Det.materializedColumn(
-      e.crossJoin(broadcast(mx))
-        .select(col("vec_id"),
-          transform(col("v"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
-            .as("qd_raw")),
-      "qd", col("qd_raw")).select("vec_id", "qd")
+    val quant = int8Grid(spark, dir)
     val dsub = 64 / MsSlices
     val qRow = quant.filter(col("vec_id") === 0L).collect()
     require(qRow.length == 1, "query vector (vec 0) missing")
@@ -835,12 +834,7 @@ object VectorSearch {
   }
   val vsMaxsimSearchSql: String = {
     val dsub = 64 / MsSlices
-    s"""
-    WITH e AS ($eSql),
-    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
-    quant AS (SELECT vec_id,
-        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qd
-      FROM e, mx),
+    int8GridCtes + s""",
     q AS (SELECT qd AS qv FROM quant WHERE vec_id = 0),
     sl AS (SELECT range AS i FROM range(0, $MsSlices)),
     sims AS (SELECT t.vec_id, s.i AS qi,

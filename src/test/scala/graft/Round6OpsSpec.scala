@@ -12,6 +12,11 @@ class Round6OpsSpec extends SparkSpec {
   private def toks(text: String): Seq[String] =
     "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
 
+  /** Spark ROUND semantics (half away from zero) — NOT math.rint's
+    * half-to-even; see VectorSpec's replay convention. */
+  private def roundHalfAway(y: Double): Long =
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+
   test("text_boilerplate equals brute-force shingle document frequency") {
     val got = TextAnalysis.textBoilerplate(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -277,13 +282,16 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   test("q6_filter_agg equals a brute-force replay") {
+    // epoch-second comparison: Timestamp.valueOf parses in the JVM
+    // default TZ, while the op filters in session-TZ UTC
     val li = Tables.lineitem(spark, sf)
-      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").collect()
-    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
-    val hi = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      .select(col("l_shipdate").cast("long"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice")).collect()
+    val lo = java.time.Instant.parse("1995-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("1996-01-01T00:00:00Z").getEpochSecond
     val sel = li.filter { r =>
-      val sd = r.getTimestamp(0); val dc = centsOf(r.getDouble(1))
-      !sd.before(lo) && sd.before(hi) && dc >= 5 && dc <= 7 && r.getDouble(2) < 24
+      val sd = r.getLong(0); val dc = centsOf(r.getDouble(1))
+      sd >= lo && sd < hi && dc >= 5 && dc <= 7 && r.getDouble(2) < 24
     }
     val want = (sel.map(r => centsOf(r.getDouble(3) * r.getDouble(1))).sum, sel.length.toLong)
     val row = Relational.q6FilterAgg(spark, sf).collect().head
@@ -418,7 +426,7 @@ class Round6OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val maxabs = e.map(_._2.map(math.abs).max).max
     val quant = e.map { case (id, v) =>
-      id -> v.map(x => math.rint(x * 127.0 / maxabs).toLong) }.toMap
+      id -> v.map(x => roundHalfAway(x * 127.0 / maxabs)) }.toMap
     val qv = quant(0L)
     def d2(a: Array[Long]) = a.zip(qv).map { case (x, q) => (x - q) * (x - q) }.sum
     // every emitted exact_d2 is the true grid distance
@@ -436,7 +444,7 @@ class Round6OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val maxabs = e.map(_._2.map(math.abs).max).max
     val quant = e.map { case (id, v) =>
-      id -> v.map(x => math.rint(x * 127.0 / maxabs).toLong) }
+      id -> v.map(x => roundHalfAway(x * 127.0 / maxabs)) }
     val q = quant.find(_._1 == 0L).get._2
     val dsub = 64 / VectorSearch.MsSlices
     def slices(a: Array[Long]) =
