@@ -409,12 +409,101 @@ object Multimodal {
       CAST(SUM(zc) AS BIGINT) AS n_zcross
     FROM z GROUP BY doc_id ORDER BY doc_id"""
 
+  // ── mm_modality_router — magic-byte dispatch over mixed binaries ─────
+  val routerStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("modality", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("n_units", LongType, nullable = false),
+    StructField("payload_sum", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Schema-on-read modality dispatch — the ingest step a mixed media
+    * lake needs when blobs arrive UNTAGGED: one batched mapPartitions
+    * pass sniffs each blob's magic bytes (\\x89PNG vs RIFF) and routes it
+    * to the matching REAL decoder (raster pixels / PCM samples), emitting
+    * a uniform (modality, units, payload sum, position checksum) row.
+    * The mixed input is images for even doc_ids, WAV clips for odd ones
+    * (deterministic split, so the oracle replays both formula legs and
+    * unions them). Map-only; blobs never leave their partition. An
+    * unknown magic errors loudly rather than silently skipping. */
+  def mmModalityRouter(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = mmImages(spark, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("png").as("blob"))
+      .unionByName(mmAudio(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("wav").as("blob")))
+    val encoder = org.apache.spark.sql.Encoders.row(routerStatsSchema)
+    mixed.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        if (blob.length >= 4 && (blob(0) & 0xFF) == 0x89 && blob(1) == 'P' &&
+            blob(2) == 'N' && blob(3) == 'G') {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L; var wsum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0).toLong
+              sum += v; wsum += v * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, "image", w.toLong * h, sum, wsum)
+        } else if (blob.length >= 4 && blob(0) == 'R' && blob(1) == 'I' &&
+            blob(2) == 'F' && blob(3) == 'F') {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(i * 2 + 1).toInt << 8) | (pcm(i * 2) & 0xFF)).toLong
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          Row(id, "audio", n.toLong, sum, wsum)
+        } else {
+          throw new IllegalArgumentException(
+            s"doc $id: unknown magic ${blob.take(4).mkString(",")}")
+        }
+      })
+    }(encoder).orderBy("doc_id")
+  }
+  /** Oracle: the two deterministic payload formulas, routed by the same
+    * parity split and unioned. */
+  val mmModalityRouterSql: String = s"""
+    WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+    px AS (SELECT doc_id, p.range AS i,
+        (doc_id * 31 + len * 17 + (p.range % $ImgW) * 7 + (p.range // $ImgW) * 13) % 256 AS v
+      FROM d, range(0, ${ImgW * ImgH}) p WHERE doc_id % 2 = 0),
+    img AS (SELECT doc_id, 'image' AS modality,
+        CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(v) AS BIGINT) AS payload_sum,
+        CAST(SUM(v * (i + 1)) AS BIGINT) AS checksum
+      FROM px GROUP BY doc_id),
+    ad AS (SELECT doc_id, 256 + (doc_id * 7 + len) % 256 AS ns
+      FROM d WHERE doc_id % 2 = 1),
+    sm AS (SELECT doc_id, p.range AS i,
+        (doc_id * 131 + p.range * 1009) % 65536 - 32768 AS v
+      FROM ad, range(0, $AudioMaxSamples) p WHERE p.range < ns),
+    au AS (SELECT doc_id, 'audio' AS modality,
+        CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(v) AS BIGINT) AS payload_sum,
+        CAST(SUM(v * (i + 1)) AS BIGINT) AS checksum
+      FROM sm GROUP BY doc_id)
+    SELECT * FROM img UNION ALL SELECT * FROM au ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_modality_router" -> (mmModalityRouter _),
     "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_image_decode" -> (mmImageDecode _),
     "mm_audio_decode" -> (mmAudioDecode _))
   val oracles: Map[String, String] = Map(
+    "mm_modality_router" -> mmModalityRouterSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_image_decode" -> mmImageDecodeSql,

@@ -552,6 +552,31 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.exists { case (k, n) => daily.getOrElse(k, 0L) < n })
   }
 
+  test("mm_modality_router: magic-byte dispatch agrees with the per-modality decoders") {
+    val got = graft.ops.Multimodal.mmModalityRouter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Long]("n_units"),
+        r.getAs[Long]("payload_sum"), r.getAs[Long]("checksum"))).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(got.size.toLong == nDocs)
+    // every even doc routed to image, odd to audio
+    got.foreach { case (id, (m, _, _, _)) =>
+      assert(m == (if (id % 2 == 0) "image" else "audio"), s"doc $id")
+    }
+    // image rows agree with the dedicated image decoder
+    val img = graft.ops.Multimodal.mmImageDecode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("px_sum"), r.getAs[Long]("px_wsum"))).toMap
+    got.filter(_._2._1 == "image").foreach { case (id, (_, _, s, w)) =>
+      assert((s, w) == img(id), s"doc $id")
+    }
+    // audio rows agree with the dedicated audio decoder
+    val aud = graft.ops.Multimodal.mmAudioDecode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_samples"), r.getAs[Long]("s_sum"),
+        r.getAs[Long]("s_wsum"))).toMap
+    got.filter(_._2._1 == "audio").foreach { case (id, (_, n, s, w)) =>
+      assert((n, s, w) == aud(id), s"doc $id")
+    }
+  }
+
   test("graph_kcore equals brute-force iterative peeling") {
     val pairs = graft.ops.Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
