@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.util.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TPC-H-ish relational operator suite.
@@ -730,9 +730,61 @@ object Relational {
     GROUP BY 1, 2
     ORDER BY numwait DESC, s_suppkey LIMIT 20"""
 
+  // ── q23_bloom_semijoin — Bloom runtime-filter + exact semi-join ──────
+  final val BloomBits = 4096L
+  final val BloomP = 1000000007L
+  final val BloomHashes: Seq[(Long, Long)] =
+    Seq((2654435761L, 3L), (2246822519L, 11L), (3266489917L, 19L))
+
+  /** The runtime-filter pattern made explicit (what Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` injects, and every
+    * warehouse's RF does): the small build side (urgent orders) is
+    * summarized into a [[BloomBits]]-bit Bloom filter built
+    * DISTRIBUTED (distinct bit positions via an aggregate — bounded
+    * ≤ m·k rows) and collected as broadcast-able driver state (like the
+    * IVF centroids: index-sized, not data-sized); the probe side is
+    * pre-filtered with k codegen'd hash membership tests BEFORE the
+    * shuffle, so only passing rows are exchanged; the exact semi-join
+    * then removes the false positives. No false negatives (Bloom
+    * guarantee) → the result equals the plain semi-join, which IS the
+    * oracle. Integer hashes, u reduced mod p before the multiply (the
+    * [[Events]] count-min overflow rule). */
+  private def bloomBits(u: Column): Seq[Column] = BloomHashes.map { case (a, b) =>
+    pmod(pmod(pmod(u, lit(BloomP)) * a + b, lit(BloomP)), lit(BloomBits))
+  }
+  private[graft] def bloomPrefiltered(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bits = urgent
+      .select(explode(array(bloomBits(col("o_orderkey")): _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val bitsL = typedlit(bits.toSeq)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .filter(bloomBits(col("l_orderkey"))
+        .map(h => array_contains(bitsL, h)).reduce(_ && _))
+  }
+  def q23BloomSemijoin: Q = (spark, dir) => {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    bloomPrefiltered(spark, dir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"))
+  }
+  val q23BloomSemijoinSql: String = s"""
+    SELECT COUNT(*) AS n,
+      CAST(SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey
+                    AND o_orderpriority = '1-URGENT')"""
+
   val queries: Map[String, Q] = Map(
     "q17_cube" -> q17Cube,
     "q18_having" -> q18Having,
+    "q23_bloom_semijoin" -> q23BloomSemijoin,
     "q2_min_cost" -> q2MinCost,
     "q6_filter_agg" -> q6FilterAgg,
     "q21_late_suppliers" -> q21LateSuppliers,
@@ -757,6 +809,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q17_cube" -> q17CubeSql,
     "q18_having" -> q18HavingSql,
+    "q23_bloom_semijoin" -> q23BloomSemijoinSql,
     "q2_min_cost" -> q2MinCostSql,
     "q6_filter_agg" -> q6FilterAggSql,
     "q21_late_suppliers" -> q21LateSuppliersSql,

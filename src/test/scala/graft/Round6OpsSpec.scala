@@ -577,6 +577,27 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("q23_bloom_semijoin: bloom prefilter is lossless and actually prunes") {
+    val row = Relational.q23BloomSemijoin(spark, sf).collect().head
+    // exact replay: plain semi-join
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val matched = li.filter(l => urgent(l._1))
+    val want = (matched.length.toLong,
+      matched.map(l => centsOf(l._2 * (1 - l._3))).sum)
+    assert((row.getAs[Long]("n"), row.getAs[Long]("revenue_c")) == want)
+    assert(want._1 > 0)
+    // the prefilter passes every true match (losslessness) but fewer
+    // rows than the full table (it actually prunes before the shuffle)
+    val pre = Relational.bloomPrefiltered(spark, sf).count()
+    assert(pre >= want._1, "bloom dropped a true match")
+    assert(pre < li.length, s"bloom pruned nothing: $pre of ${li.length}")
+  }
+
   test("graph_kcore equals brute-force iterative peeling") {
     val pairs = graft.ops.Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
