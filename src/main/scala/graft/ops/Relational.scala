@@ -731,7 +731,7 @@ object Relational {
     ORDER BY numwait DESC, s_suppkey LIMIT 20"""
 
   // ── q23_bloom_semijoin — Bloom runtime-filter + exact semi-join ──────
-  final val BloomBits = 4096L
+  final val BloomBits = 131072L // sized for the build side: m ≈ 10·n keys
   final val BloomP = 1000000007L
   final val BloomHashes: Seq[(Long, Long)] =
     Seq((2654435761L, 3L), (2246822519L, 11L), (3266489917L, 19L))
@@ -741,13 +741,18 @@ object Relational {
     * warehouse's RF does): the small build side (urgent orders) is
     * summarized into a [[BloomBits]]-bit Bloom filter built
     * DISTRIBUTED (distinct bit positions via an aggregate — bounded
-    * ≤ m·k rows) and collected as broadcast-able driver state (like the
-    * IVF centroids: index-sized, not data-sized); the probe side is
-    * pre-filtered with k codegen'd hash membership tests BEFORE the
-    * shuffle, so only passing rows are exchanged; the exact semi-join
-    * then removes the false positives. No false negatives (Bloom
-    * guarantee) → the result equals the plain semi-join, which IS the
-    * oracle. Integer hashes, u reduced mod p before the multiply (the
+    * ≤ m·k rows), collected as index-sized driver state (like the IVF
+    * centroids) and PACKED into 64-bit words, so each probe-side
+    * membership test is one O(1) element_at + bitwise AND (an
+    * array_contains over the raw bit list would be O(m) per row — a
+    * first cut measured 3.5 s at sf0.1 from exactly that); the probe
+    * side is pre-filtered with k such codegen'd tests BEFORE the
+    * shuffle, and the exact semi-join removes the false positives. No
+    * false negatives (Bloom guarantee) → the result equals the plain
+    * semi-join, which IS the oracle. m must scale with the build side
+    * (a saturated filter prunes nothing): 2^17 bits ≈ right for the
+    * 10^4-key build here; production RFs size m ≈ 10·n at runtime.
+    * Integer hashes, u reduced mod p before the multiply (the
     * [[Events]] count-min overflow rule). */
   private def bloomBits(u: Column): Seq[Column] = BloomHashes.map { case (a, b) =>
     pmod(pmod(pmod(u, lit(BloomP)) * a + b, lit(BloomP)), lit(BloomBits))
@@ -757,12 +762,16 @@ object Relational {
       .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
     val bits = urgent
       .select(explode(array(bloomBits(col("o_orderkey")): _*)).as("bit"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    val bitsL = typedlit(bits.toSeq)
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long]((BloomBits / 64).toInt)
+    bits.foreach(bit => words((bit >> 6).toInt) |= 1L << (bit & 63))
+    val wordsL = typedlit(words.toSeq)
+    def hit(h: Column): Column =
+      (element_at(wordsL, idiv(h, 64L).cast("int") + 1)
+        .bitwiseAND(shl(lit(1L), (h % 64L).cast("int"))) =!= 0L)
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-      .filter(bloomBits(col("l_orderkey"))
-        .map(h => array_contains(bitsL, h)).reduce(_ && _))
+      .filter(bloomBits(col("l_orderkey")).map(hit).reduce(_ && _))
   }
   def q23BloomSemijoin: Q = (spark, dir) => {
     val urgent = Tables.orders(spark, dir)
