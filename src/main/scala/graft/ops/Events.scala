@@ -866,7 +866,70 @@ object Events {
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
     FROM clipped GROUP BY 1, 2 ORDER BY event_type, t_day"""
 
+  // ── ev_sequence_pattern — gap-constrained ordered sequence match ─────
+  /** MATCH_RECOGNIZE-style sequential pattern detection (the funnel's
+    * stricter cousin — ev_funnel only checks stage ORDER, this enforces
+    * per-step time gaps): a conversion is view → first click within
+    * [[Seq1Us]] → first purchase within [[Seq2Us]] of that click.
+    * First-match semantics are made deterministic by value-based RANGE
+    * frames (min over (ts_us, ts_us+gap]) — peer rows at an identical
+    * timestamp get the identical frame on both engines, so no
+    * row-order tie can diverge. Scale: both lookahead columns come from
+    * ONE per-user window shuffle (same partition/order, two frames);
+    * the view→click stitch is a keyed equi-join on (user_id, ts_us).
+    * No self-join on the raw event table, no cross product. */
+  final val Seq1Us = 86400L * 1000000L   // view → click gap (1 day)
+  final val Seq2Us = 259200L * 1000000L  // click → purchase gap (3 days)
+  def evSequencePattern: Q = (spark, dir) => {
+    val e = ev(spark, dir).select("user_id", "ts_us", "event_type")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val w1 = byUser.rangeBetween(1L, Seq1Us)
+    val w2 = byUser.rangeBetween(1L, Seq2Us)
+    val staged = e
+      .withColumn("next_click_us",
+        min(when(col("event_type") === "click", col("ts_us"))).over(w1))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w2))
+    val clicks = staged.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("click_us"),
+        col("next_purchase_us"))
+      .distinct()
+    staged.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("next_click_us"))
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("next_click_us") === col("click_us"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("next_purchase_us").isNotNull.cast("long")).as("n_conversions"),
+        min(when(col("next_purchase_us").isNotNull, col("ts_us"))).as("first_conv_view_us"))
+      .filter(col("n_conversions") > 0)
+      .orderBy("user_id")
+  }
+  val evSequencePatternSql: String = s"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    staged AS (SELECT user_id, ts_us, event_type,
+        MIN(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+          (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 1 FOLLOWING AND $Seq1Us FOLLOWING) AS next_click_us,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+          (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 1 FOLLOWING AND $Seq2Us FOLLOWING) AS next_purchase_us
+      FROM e),
+    clicks AS (SELECT DISTINCT user_id, ts_us AS click_us, next_purchase_us
+      FROM staged WHERE event_type = 'click'),
+    v AS (SELECT s.user_id, s.ts_us, c.next_purchase_us
+      FROM staged s LEFT JOIN clicks c
+        ON s.user_id = c.user_id AND s.next_click_us = c.click_us
+      WHERE s.event_type = 'view')
+    SELECT user_id, COUNT(*) AS n_views,
+      CAST(SUM(CASE WHEN next_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+      MIN(CASE WHEN next_purchase_us IS NOT NULL THEN ts_us END) AS first_conv_view_us
+    FROM v GROUP BY 1 HAVING SUM(CASE WHEN next_purchase_us IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "ev_sequence_pattern" -> evSequencePattern,
     "ev_window_agg" -> evWindowAgg,
     "ev_changepoint" -> evChangepoint,
     "ev_rolling_distinct" -> evRollingDistinct,
@@ -891,6 +954,7 @@ object Events {
     "ev_count_min" -> evCountMin)
 
   val oracles: Map[String, String] = Map(
+    "ev_sequence_pattern" -> evSequencePatternSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_changepoint" -> evChangepointSql,
     "ev_rolling_distinct" -> evRollingDistinctSql,

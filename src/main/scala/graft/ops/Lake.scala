@@ -43,6 +43,8 @@ object Lake {
   private[graft] def timeTravelPath: String = s"$lakeDir/events_versions"
   private[graft] def rangeLayoutPath: String = s"$lakeDir/events_rangelayout"
   private[graft] def rangeManifestPath: String = s"$lakeDir/events_rangelayout_manifest"
+  private[graft] def dvDataPath: String = s"$lakeDir/events_dv_data"
+  private[graft] def dvDeletesPath: String = s"$lakeDir/events_dv_deletes"
 
   // ── Z-order clustering key (integer-exact, oracle-replayable) ────────
   final val ZBits = 16          // per-dimension resolution
@@ -167,6 +169,24 @@ object Lake {
           .agg(min("event_id").as("lo"), max("event_id").as("hi"))
           .coalesce(1)
           .write.mode("overwrite").json(rangeManifestPath)
+        // Merge-on-read positional-delete layout for lake_delete_vectors:
+        // data files carry their physical row address (file_id, pos) —
+        // what an Iceberg v2 positional delete / Delta deletion vector
+        // records — and a small deletes parquet lists deleted addresses.
+        // The per-file position window runs once at WRITE time (files are
+        // bounded-size in a real table, so the per-file window is bounded
+        // too); readers never recompute positions.
+        val dvW = org.apache.spark.sql.expressions.Window
+          .partitionBy("file_id").orderBy("event_id")
+        val dvBase = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), pmod(col("event_id"), lit(8L)).as("file_id"))
+          .withColumn("pos", row_number().over(dvW).cast("long"))
+        Sinks.writePartitioned(dvBase.repartition(col("file_id")),
+          dvDataPath, Seq("file_id"))
+        dvBase.filter(pmod(col("user_id"), lit(7L)) === 0L)
+          .select("file_id", "pos")
+          .coalesce(1).write.mode("overwrite").parquet(dvDeletesPath)
         // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
@@ -381,6 +401,32 @@ object Lake {
       CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
     FROM events WHERE event_id % 3 <= 1 GROUP BY 1 ORDER BY event_type"""
 
+  // ── lake_delete_vectors — merge-on-read positional deletes ───────────
+  /** Row-level deletes without rewriting data files (the Iceberg v2
+    * positional-delete / Delta deletion-vector semantic): data files
+    * carry their physical row address (file_id, pos) stamped at write
+    * time, deletes are a tiny (file_id, pos) side file, and a read is
+    * data ANTI-JOIN deletes — an O(|deletes|) broadcast against one
+    * map-only scan, instead of the copy-on-write rewrite of every file
+    * containing a deleted row. The delete set here tombstones
+    * user_id % 7 = 0 rows, so the oracle replays the SEMANTIC (filter)
+    * while the Spark side goes through the positional plumbing — any
+    * address drift (wrong pos, wrong file) breaks the hash. */
+  def lakeDeleteVectors: Q = (spark, dir) => {
+    ensureLake(spark, dir)
+    val data = spark.read.parquet(dvDataPath)
+    val deletes = spark.read.parquet(dvDeletesPath)
+    data.join(broadcast(deletes), Seq("file_id", "pos"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("event_type")
+  }
+  val lakeDeleteVectorsSql: String = s"""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_value_c
+    FROM events WHERE user_id % 7 <> 0 GROUP BY 1 ORDER BY event_type"""
+
   // ── lake_zone_map — file-level min/max data skipping ─────────────────
   /** Zone-map (min/max stats) data skipping — the mechanism behind
     * Delta/Iceberg "data skipping" and parquet row-group pruning, made
@@ -531,6 +577,7 @@ object Lake {
     FROM nation ORDER BY n_nationkey"""
 
   val queries: Map[String, Q] = Map(
+    "lake_delete_vectors" -> lakeDeleteVectors,
     "lake_zorder" -> lakeZorder,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_compact" -> lakeCompact,
@@ -542,6 +589,7 @@ object Lake {
     "lake_format_roundtrip" -> lakeFormatRoundtrip,
     "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
+    "lake_delete_vectors" -> lakeDeleteVectorsSql,
     "lake_zorder" -> lakeZorderSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_compact" -> lakeCompactSql,

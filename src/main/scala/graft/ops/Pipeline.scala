@@ -438,7 +438,52 @@ object Pipeline {
       CAST(floor(CAST(SUM(n_chars) AS BIGINT) / COUNT(*)) AS BIGINT) AS avg_chars
     FROM d GROUP BY source ORDER BY source"""
 
+  // ── pipeline_interleave — deterministic weighted source mixing ───────
+  /** Source-weighted corpus interleaving (the "mix Wikipedia at 3×, web
+    * crawl at 1×" step that fixes the ORDER training examples arrive
+    * in): classic stride scheduling — source s with weight w emits its
+    * j-th document (doc_id order) at virtual time j/w, so a weight-3
+    * source appears 3× as often as a weight-1 source, evenly spread,
+    * and the full schedule is a pure function of (source, doc_id).
+    * Virtual times are exact integers (j·LCM/w with LCM = [[StrideLcm]])
+    * — no float compare; ties break by (source, doc_id). The global
+    * rank is the [[pipelinePack]] two-pass prefix pattern (per-bucket
+    * counts → tiny exclusive prefix → intra-bucket row_number), NOT a
+    * single-partition global window. Scale: one per-source window for
+    * j (natural key, bounded source count), one bucket-keyed window,
+    * one broadcast of the bucket-offset frame. */
+  final val StrideLcm = 6L // weights are 1 + (src# % 3) ∈ {1,2,3}; LCM = 6
+  final val StrideBucketW = 600L
+  def pipelineInterleave: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir).select("doc_id", "source")
+      .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L)
+      .withColumn("j", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .withColumn("vt", col("j") * idiv(lit(StrideLcm), col("w")))
+      .withColumn("bkt", idiv(col("vt"), StrideBucketW))
+    val bktPrefix = d.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(
+        sum("bn").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val wIn = Window.partitionBy("bkt").orderBy("vt", "source", "doc_id")
+    d.join(broadcast(bktPrefix), "bkt")
+      .withColumn("pos", col("boff") + row_number().over(wIn).cast("long"))
+      .select("pos", "doc_id", "source", "w", "vt")
+      .orderBy("pos")
+  }
+  val pipelineInterleaveSql: String = s"""
+    WITH d AS (SELECT doc_id, source,
+        1 + CAST(substr(source, 4) AS BIGINT) % 3 AS w,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS j
+      FROM documents),
+    v AS (SELECT doc_id, source, w, j * ($StrideLcm // w) AS vt FROM d)
+    SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT) AS pos,
+      doc_id, source, CAST(w AS BIGINT) AS w, CAST(vt AS BIGINT) AS vt
+    FROM v ORDER BY pos"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_interleave" -> pipelineInterleave,
     "pipeline_corpus_stats" -> pipelineCorpusStats,
     "pipeline_pack" -> pipelinePack,
     "pipeline_token_budget" -> pipelineTokenBudget,
@@ -447,6 +492,7 @@ object Pipeline {
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
+    "pipeline_interleave" -> pipelineInterleaveSql,
     "pipeline_corpus_stats" -> pipelineCorpusStatsSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,

@@ -797,7 +797,70 @@ object TextAnalysis {
     SELECT doc_id, rank, tok, score_micro FROM ranked
     WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
 
+  // ── text_gopher_quality — repetition-based quality rules ─────────────
+  /** The Gopher/MassiveText-style repetition filters (Rae et al. 2021
+    * table A1; also RefinedWeb §3): a document is low-quality when too
+    * much of it is the SAME text repeated — measured here as the
+    * duplicate-word-bigram fraction (1 − distinct/total bigrams) and the
+    * most-frequent-single-word fraction, plus a minimum length. The keep
+    * rule is evaluated by integer cross-multiplication (n_dup·1000 ≤
+    * n_bigrams·[[GopherDupPm]] etc.) so no float compare can diverge;
+    * the reported ratios are 6-dp-rounded exact integer divisions.
+    * Scale: two wordcount-shaped hash aggregates (keys include doc_id —
+    * map-side combined, skew-free by construction) joined per-doc; one
+    * corpus scan per aggregate, no windows, no broadcast state. */
+  final val GopherMinWords = 20L
+  final val GopherDupPm = 60L   // dup-bigram fraction ≤ 6.0%
+  final val GopherTopPm = 140L  // top-word fraction ≤ 14.0%
+  def textGopherQuality: Q = (spark, dir) => {
+    val base = materializedColumn(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "toks", toksCol)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"))
+    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), max("c").as("top_word_n"))
+    val bigrams = base
+      .select(col("doc_id"), explode(shinglesOf(2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct"))
+      .withColumn("n_dup", col("n_bigrams") - col("n_distinct"))
+      .select("doc_id", "n_bigrams", "n_dup")
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_word_n"),
+        col("n_bigrams"), col("n_dup"),
+        r6(col("n_dup") / col("n_bigrams")).as("dup_ratio"),
+        r6(col("top_word_n") / col("n_words")).as("top_ratio"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_dup") * 1000L <= col("n_bigrams") * GopherDupPm &&
+          col("top_word_n") * 1000L <= col("n_words") * GopherTopPm)
+          .cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+  val textGopherQualitySql: String = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM tt),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             MAX(c) AS top_word_n FROM wc GROUP BY 1),
+    bg AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS bg FROM tt),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup FROM bc GROUP BY 1)
+    SELECT doc_id, n_words, top_word_n, n_bigrams, n_dup,
+      round(n_dup / n_bigrams, 6) AS dup_ratio,
+      round(top_word_n / n_words, 6) AS top_ratio,
+      CAST(n_words >= $GopherMinWords
+        AND n_dup * 1000 <= n_bigrams * $GopherDupPm
+        AND top_word_n * 1000 <= n_words * $GopherTopPm AS BIGINT) AS keep
+    FROM ws JOIN bs USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "text_gopher_quality" -> textGopherQuality,
     "text_tfidf" -> textTfidf,
     "text_redact" -> textRedact,
     "text_clean" -> textClean,
@@ -818,6 +881,7 @@ object TextAnalysis {
     "text_hll_sketch" -> textHllSketch)
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_quality" -> textGopherQualitySql,
     "text_tfidf" -> textTfidfSql,
     "text_redact" -> textRedactSql,
     "text_clean" -> textCleanSql,

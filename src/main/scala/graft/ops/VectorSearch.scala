@@ -684,7 +684,7 @@ object VectorSearch {
     * (SQL twin: [[int8GridCtes]]). Generate barrier: encode stages
     * reference qd many times — without it CollapseProject re-inlines the
     * quantization transform into every reference. */
-  private def int8Grid(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def int8Grid(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val mx = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
@@ -1417,8 +1417,106 @@ object VectorSearch {
     FROM semc s JOIN lexj l ON s.doc_id = l.doc_id
     ORDER BY score DESC NULLS LAST, s.doc_id LIMIT 10"""
 
+  // ── vs_diversify — MMR diversified top-k rerank ──────────────────────
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — the "don't return ten near-identical results" stage a
+    * retrieval pipeline runs after ANN: per query, a [[MmrC]]-candidate
+    * pool by integer int8-grid dot relevance, then [[MmrK]] greedy picks
+    * maximizing 2·rel − max-sim-to-already-picked (λ = 2/3 in thirds —
+    * all BIGINT, no float compare; ties by c_id). Scale shape: the only
+    * corpus-sized work is the candidate cut (broadcast query set, one
+    * map-only scan, per-query WindowGroupLimit — [[vsKnnJoin]]'s shape);
+    * the greedy runs as [[MmrK]]-1 unrolled joins over the bounded
+    * |Q|·[[MmrC]] candidate frame (staged once), like
+    * [[Graph.graphPagerank]]'s unrolled iterations. */
+  final val MmrC = 20
+  final val MmrK = 5
+  def vsDiversify: Q = (spark, dir) => {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val grid = int8Grid(spark, dir)
+    val q = grid.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    val cand = graft.util.Persist.stage(
+      grid.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("qd"),
+          idot(col("qd"), col("qq")).as("rel"))
+        .withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= MmrC)
+        .select("q_id", "c_id", "qd", "rel"),
+      eager = false)
+    val sims = graft.util.Persist.stage(
+      cand.select(col("q_id"), col("c_id").as("a_id"), col("qd").as("aq"))
+        .join(cand.select(col("q_id"), col("c_id").as("b_id"), col("qd").as("bq")),
+          Seq("q_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("q_id"), col("a_id"), col("b_id"),
+          idot(col("aq"), col("bq")).as("sim")),
+      eager = false)
+    val rels = cand.select("q_id", "c_id", "rel")
+    var selected = rels
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), lit(1L).as("step"),
+        (col("rel") * lit(2L)).as("mmr"))
+    for (s <- 2 to MmrK) {
+      val sel = selected.select("q_id", "c_id")
+      val maxsim = sims
+        .join(sel.withColumnRenamed("c_id", "b_id"), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("c_id"))
+        .agg(max("sim").as("maxsim"))
+      val pick = rels.join(sel, Seq("q_id", "c_id"), "left_anti")
+        .join(maxsim, Seq("q_id", "c_id"))
+        .withColumn("mmr", col("rel") * lit(2L) - col("maxsim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("mmr").desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(s.toLong).as("step"), col("mmr"))
+      selected = graft.util.Persist.stage(selected.unionByName(pick), eager = false)
+    }
+    selected.orderBy("q_id", "step")
+  }
+  val vsDiversifySql: String = {
+    val steps = (2 to MmrK).map { s =>
+      s"""
+    m$s AS (SELECT s.q_id, s.a_id AS c_id, MAX(s.sim) AS maxsim
+      FROM sims s JOIN sel${s - 1} t ON s.q_id = t.q_id AND s.b_id = t.c_id
+      GROUP BY 1, 2),
+    p$s AS (SELECT c.q_id, c.c_id, 2 * c.rel - m.maxsim AS mmr
+      FROM cand c JOIN m$s m ON c.q_id = m.q_id AND c.c_id = m.c_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel${s - 1} t
+                        WHERE t.q_id = c.q_id AND t.c_id = c.c_id)),
+    s$s AS (SELECT q_id, c_id, CAST($s AS BIGINT) AS step, mmr FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, c_id) AS rn
+       FROM p$s) WHERE rn = 1),
+    sel$s AS (SELECT q_id, c_id FROM sel${s - 1}
+      UNION ALL SELECT q_id, c_id FROM s$s)"""
+    }.mkString(",")
+    val unions = (2 to MmrK).map(s => s"SELECT * FROM s$s").mkString(" UNION ALL ")
+    int8GridCtes + s""",
+    q AS (SELECT vec_id AS q_id, qd AS qq FROM quant WHERE vec_id % 100 = 0),
+    cand0 AS (SELECT q_id, vec_id AS c_id, qd,
+        CAST(list_sum(list_transform(range(1, len(qd)+1), i -> qd[i] * qq[i])) AS BIGINT) AS rel
+      FROM quant, q WHERE vec_id <> q_id),
+    cand AS (SELECT q_id, c_id, qd, rel FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+       FROM cand0) WHERE rn <= $MmrC),
+    sims AS (SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+        CAST(list_sum(list_transform(range(1, len(a.qd)+1), i -> a.qd[i] * b.qd[i])) AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+    s1 AS (SELECT q_id, c_id, CAST(1 AS BIGINT) AS step, 2 * rel AS mmr FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+       FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT q_id, c_id FROM s1),$steps
+    SELECT q_id, c_id, step, CAST(mmr AS BIGINT) AS mmr
+    FROM (SELECT * FROM s1 UNION ALL $unions)
+    ORDER BY q_id, step"""
+  }
+
   val queries: Map[String, Q] = Map(
     "vs_count" -> vsCount,
+    "vs_diversify" -> vsDiversify,
     "vs_hybrid_search" -> vsHybridSearch,
     "vec_functions" -> vecFunctions,
     "vs_search_topk" -> vsSearchTopk,
@@ -1444,6 +1542,7 @@ object VectorSearch {
     "vs_lsh_tuned" -> vsLshTuned)
 
   val oracles: Map[String, String] = Map(
+    "vs_diversify" -> vsDiversifySql,
     "vs_ivf_trained" -> vsIvfTrainedSql,
     "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.util.Det._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Structured Streaming variants of the event analytics.
   *
@@ -472,7 +472,93 @@ object Streaming {
     SELECT user_id, event_type, ts_us, event_id, value_c
     FROM e WHERE rn = 1 ORDER BY user_id, event_type"""
 
+  // ── Streaming quantile sketch (mergeable fixed-bin histogram) ────────
+
+  /** Streaming cannot two-pass for global min/max the way
+    * [[graft.ops.Events.evQuantileSketch]] does, so the always-on form
+    * fixes the bin domain up front (the standard production choice for
+    * monitoring sketches) and CLAMPS out-of-range values into the edge
+    * bins — the estimate degrades at the extremes instead of the state
+    * growing. State is the bounded (type × [[SqBins]]) histogram —
+    * mergeable across micro-batches by plain addition, which is exactly
+    * what complete-mode `groupBy(bin).count` maintains. */
+  final val SqBins = 512L
+  final val SqLoC = 0L
+  final val SqHiC = 60000L // cents; events.value observed ≤ ~500.00
+  final val SqQuantiles: Seq[Long] = Seq(250L, 500L, 750L, 900L, 990L)
+
+  /** Clamped equi-width bin of a cents value — the ONE bin definition
+    * shared by the stream, the batch twin, and (mirrored) the oracle. */
+  private def sqBin(vc: Column): Column =
+    least(greatest(idiv((vc - SqLoC) * SqBins, SqHiC - SqLoC + 1), lit(0L)),
+      lit(SqBins - 1))
+
+  /** Streaming histogram: per-(type, bin) counts as complete-mode state. */
+  def quantileHistStream(spark: SparkSession, dir: String): DataFrame = {
+    readEvents(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"), sqBin(col("v_c")).as("bin"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Driver-checkable twin: the same fixed-bin histogram read as a batch,
+    * with the quantile extraction [[graft.ops.Events.evQuantileSketch]]
+    * runs on its two-pass bins — estimate for per-mille rank q = true
+    * upper edge of the first bin whose cumulative count reaches
+    * ceil(q·n/1000). EventsStreamingSpec asserts stream histogram ≡
+    * batch histogram; the oracle replays bins and extraction. */
+  def quantileSketchBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = graft.Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"), sqBin(col("v_c")).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    val qs = SqQuantiles.map(q => s"($q)").mkString(", ")
+    val probe = spark.sql(s"SELECT * FROM (VALUES $qs) AS t(q_pm)")
+      .select(col("q_pm").cast("long").as("q_pm"))
+    val span = SqHiC - SqLoC + 1
+    cum.join(broadcast(probe),
+        col("cum") >= idiv(col("q_pm") * col("n") + 999L, 1000L))
+      .groupBy("event_type", "q_pm")
+      .agg(min("bin").as("bin"), first("n").as("n"))
+      .select(col("event_type"), col("q_pm"),
+        (lit(SqLoC) + idiv((col("bin") + 1) * span + SqBins - 1, SqBins) - 1)
+          .as("est_c"),
+        col("n"))
+      .orderBy("event_type", "q_pm")
+  }
+  val quantileSketchSql: String = {
+    val qs = SqQuantiles.mkString(", ")
+    val span = SqHiC - SqLoC + 1
+    s"""
+    WITH e AS (SELECT event_type, ${centsSql("value")} AS v_c FROM events),
+    binned AS (SELECT event_type,
+        LEAST(GREATEST(((v_c - $SqLoC) * $SqBins) // $span, 0), ${SqBins - 1}) AS bin,
+        COUNT(*) AS c
+      FROM e GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM binned),
+    probe AS (SELECT unnest(ARRAY[$qs]) AS q_pm)
+    SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm,
+      CAST($SqLoC + ((MIN(bin) + 1) * $span + $SqBins - 1) // $SqBins - 1 AS BIGINT) AS est_c,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM (SELECT c.*, p.q_pm,
+            MIN(bin) OVER (PARTITION BY c.event_type, p.q_pm) AS minbin
+          FROM cum c JOIN probe p ON cum >= (q_pm * n + 999) // 1000)
+    WHERE bin = minbin
+    GROUP BY 1, 2 ORDER BY event_type, q_pm"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quantile" -> (quantileSketchBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
     "stream_join" -> clickPurchaseJoinQuery,
@@ -481,6 +567,7 @@ object Streaming {
     "stream_attribution" -> (attributionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
+    "stream_quantile" -> quantileSketchSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,

@@ -215,4 +215,52 @@ class EventsStreamingSpec extends SparkSpec {
       assert(mx < 128, s"$dir: non-ASCII codepoint $mx in documents.text")
     }
   }
+
+  test("streaming quantile histogram (complete mode) equals the driver replay") {
+    val q = Streaming.quantileHistStream(spark, sf).writeStream
+      .format("memory").queryName("stream_quantile_hist")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_quantile_hist").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("c")).toMap
+    val span = Streaming.SqHiC - Streaming.SqLoC + 1
+    def binOf(vc: Long): Long = math.min(math.max(
+      Math.floorDiv((vc - Streaming.SqLoC) * Streaming.SqBins, span), 0L),
+      Streaming.SqBins - 1)
+    val want = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), binOf(math.floor(r.getDouble(1) * 100 + 0.5).toLong)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(streamed.nonEmpty && streamed == want)
+  }
+
+  test("stream_quantile estimates are the exact upper edge of the true quantile's bin") {
+    val got = Streaming.quantileSketchBatch(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("q_pm")) ->
+        (r.getAs[Long]("est_c"), r.getAs[Long]("n"))).toMap
+    val span = Streaming.SqHiC - Streaming.SqLoC + 1
+    def binOf(vc: Long): Long = math.min(math.max(
+      Math.floorDiv((vc - Streaming.SqLoC) * Streaming.SqBins, span), 0L),
+      Streaming.SqBins - 1)
+    def upperEdge(b: Long): Long =
+      Streaming.SqLoC + ((b + 1) * span + Streaming.SqBins - 1) / Streaming.SqBins - 1
+    val byType = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
+    assert(got.nonEmpty)
+    for (((t, qpm), (est, n)) <- got) {
+      val vs = byType(t)
+      assert(n == vs.length.toLong)
+      val rank = ((qpm * n + 999L) / 1000L).toInt
+      val trueQ = vs(rank - 1)
+      assert(est == upperEdge(binOf(trueQ)),
+        s"$t q$qpm: est $est != upper edge of true-quantile bin (true $trueQ)")
+      assert(est >= trueQ) // one-sided within the clamp domain
+    }
+    // every (type, probe) cell is present
+    val types = byType.keySet
+    assert(got.keySet == (for (t <- types; q <- Streaming.SqQuantiles) yield (t, q)).toSet)
+  }
 }

@@ -154,7 +154,8 @@ class PlanShapeSpec extends SparkSpec {
   test("round-6 prefix/rank ops: corpus windows are bucket-partitioned, never single-partition") {
     for ((name, df) <- Seq(
         "pipeline_token_budget" -> graft.ops.Pipeline.pipelineTokenBudget(spark, sf),
-        "pipeline_epoch_shuffle" -> graft.ops.Pipeline.pipelineEpochShuffle(spark, sf))) {
+        "pipeline_epoch_shuffle" -> graft.ops.Pipeline.pipelineEpochShuffle(spark, sf),
+        "pipeline_interleave" -> graft.ops.Pipeline.pipelineInterleave(spark, sf))) {
       val nodes = executedNodes(df)
       val bktExchanges = nodes.collect {
         case e: ShuffleExchangeExec
@@ -254,5 +255,44 @@ class PlanShapeSpec extends SparkSpec {
       assert(rangeShuffles.size <= 1,
         s"$name should have at most the final order's range exchange")
     }
+  }
+
+  test("ev_sequence_pattern: both lookahead frames share ONE per-user window node") {
+    val nodes = executedNodes(Events.evSequencePattern(spark, sf))
+    val windows = nodes.filter(_.nodeName == "Window")
+    // two different RANGE frames, same (partition, order) → Spark must
+    // plan a single Window operator (one user-keyed shuffle), and that
+    // operator is evaluated once thanks to the staged-frame reuse
+    assert(windows.size <= 2, // staged appears under views and clicks branches
+      s"expected the two lookahead mins to share Window nodes, got ${windows.size}")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("text_gopher_quality: pure hash aggregates — no window, no cartesian") {
+    val nodes = executedNodes(graft.ops.TextAnalysis.textGopherQuality(spark, sf))
+    assert(!nodes.exists(_.nodeName == "Window"),
+      "repetition metrics must be aggregate-shaped, not window-shaped")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+  }
+
+  test("lake_delete_vectors: the positional delete apply is a broadcast anti-join") {
+    val nodes = executedNodes(Lake.lakeDeleteVectors(spark, sf))
+    val bhj = nodes.filter(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj.exists(_.toString.contains("LeftAnti")),
+      "delete vectors must apply as a broadcast LeftAnti, not a shuffle join")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "no shuffle join anywhere — deletes are small and data is map-only")
+  }
+
+  test("vs_diversify: corpus work is one broadcast candidate cut; greedy joins are keyed") {
+    val nodes = executedNodes(VectorSearch.vsDiversify(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "MMR must never plan a cartesian product")
+    // the only nested-loop allowed is the bounded broadcast query set
+    // against the corpus (the candidate cut — vs_knn_join's shape)
+    val bnl = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnl.size <= 1, s"expected at most the candidate-cut BNL, got ${bnl.size}")
   }
 }

@@ -638,4 +638,135 @@ class Round6OpsSpec extends SparkSpec {
     // propagation did something: at least one node carries a foreign label
     assert(got.exists { case (n, l) => n != l } || got.size == 1)
   }
+
+  test("text_gopher_quality equals brute-force repetition metrics") {
+    val got = TextAnalysis.textGopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("top_word_n"),
+          r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("keep"))).toMap
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+      .filter(_._2.length >= 2)
+      .map { case (id, ts) =>
+        val bgs = ts.sliding(2).map(_.mkString(" ")).toSeq
+        val nWords = ts.length.toLong
+        val topW = ts.groupBy(identity).values.map(_.size).max.toLong
+        val nBg = bgs.length.toLong
+        val nDup = nBg - bgs.distinct.length.toLong
+        val keep = nWords >= TextAnalysis.GopherMinWords &&
+          nDup * 1000L <= nBg * TextAnalysis.GopherDupPm &&
+          topW * 1000L <= nWords * TextAnalysis.GopherTopPm
+        id -> (nWords, topW, nBg, nDup, if (keep) 1L else 0L)
+      }.toMap
+    assert(got == want)
+    // the rule must actually split the corpus (both classes present)
+    assert(got.values.exists(_._5 == 1L) && got.values.exists(_._5 == 0L))
+  }
+
+  test("ev_sequence_pattern equals a sequential per-user replay") {
+    val got = Events.evSequencePattern(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_views"), r.getAs[Long]("n_conversions"))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = ev.groupBy(_._2).flatMap { case (user, es) =>
+      val views = es.filter(_._3 == "view").map(_._1)
+      val clicks = es.filter(_._3 == "click").map(_._1)
+      val purchases = es.filter(_._3 == "purchase").map(_._1)
+      val conv = views.count { t =>
+        val cs = clicks.filter(c => c > t && c <= t + Events.Seq1Us)
+        cs.nonEmpty && {
+          val c = cs.min
+          purchases.exists(p => p > c && p <= c + Events.Seq2Us)
+        }
+      }
+      if (conv > 0) Some(user -> (views.length.toLong, conv.toLong)) else None
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+    // strictness: some user must have a view that did NOT convert
+    assert(got.values.exists { case (v, c) => c < v })
+  }
+
+  test("pipeline_interleave equals the sequential stride schedule") {
+    val rows = Pipeline.pipelineInterleave(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("w"), r.getAs[Long]("vt")))
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val w = 1L + src.drop(3).toLong % 3L
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (id, src, w, (i + 1L) * (Pipeline.StrideLcm / w))
+      }
+    }.sortBy { case (id, src, _, vt) => (vt, src, id) }
+      .zipWithIndex
+      .map { case ((id, src, w, vt), i) => (i + 1L, id, src, w, vt) }
+    assert(rows.toSeq == want)
+    // weighting is visible: among the first 20% of positions, weight-3
+    // sources must out-emit weight-1 sources
+    val head = rows.take(rows.length / 5)
+    val by = head.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(by.getOrElse(3L, 0) > by.getOrElse(1L, 0))
+  }
+
+  test("lake_delete_vectors: positional anti-join equals the logical filter") {
+    val got = graft.ops.Lake.lakeDeleteVectors(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("id_sum"), r.getAs[Long]("sum_value_c")))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "event_id", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.filter(_._3 % 7L != 0L).groupBy(_._1).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map(_._2).sum, rs.map(r => centsOf(r._4)).sum)
+    }
+    assert(got == want)
+    // the delete set is non-trivial: some rows really were tombstoned
+    assert(ev.exists(_._3 % 7L == 0L))
+  }
+
+  test("vs_diversify equals a sequential MMR greedy replay") {
+    // The int8 grid is collected from Spark (re-quantizing on the driver
+    // could round differently); candidate cut, pairwise sims, and the
+    // greedy itself are replayed sequentially in exact Long arithmetic.
+    val grid = VectorSearch.int8Grid(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val want = grid.keys.filter(_ % 100L == 0L).toSeq.sorted.flatMap { qid =>
+      val cand = grid.keys.filter(_ != qid).toSeq
+        .map(c => c -> dot(grid(c), grid(qid)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .take(VectorSearch.MmrC)
+      val rel = cand.toMap
+      var sel = Vector(cand.head._1)
+      var out = Vector((qid, cand.head._1, 1L, cand.head._2 * 2L))
+      for (s <- 2 to VectorSearch.MmrK) {
+        val pick = cand.filter(c => !sel.contains(c._1)).map { case (c, r) =>
+          val maxsim = sel.map(t => dot(grid(c), grid(t))).max
+          (c, r * 2L - maxsim)
+        }.minBy { case (c, mmr) => (-mmr, c) }
+        sel :+= pick._1
+        out :+= ((qid, pick._1, s.toLong, pick._2))
+      }
+      out
+    }
+    val got = VectorSearch.vsDiversify(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("step"), r.getAs[Long]("mmr"))).toSeq
+    assert(got == want)
+    // diversification did something: for some query the rank-2 pick by
+    // pure relevance is NOT the step-2 MMR pick
+    val relRank2: Map[Long, Long] = grid.keys.filter(_ % 100L == 0L).map { qid =>
+      qid -> grid.keys.filter(_ != qid).toSeq
+        .map(c => c -> dot(grid(c), grid(qid)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .apply(1)._1
+    }.toMap
+    val mmrStep2 = got.filter(_._3 == 2L).map(t => t._1 -> t._2).toMap
+    assert(relRank2.exists { case (q, c) => mmrStep2(q) != c })
+  }
 }
