@@ -90,19 +90,34 @@ object Bench {
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
-    println(json)
-    // Belt-and-braces for the driver's parser: the same line, at a known
-    // path, free of any sbt/log prefixes. The stdout line above is the
-    // primary channel — a write failure must not fail the bench run.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
+    // Full detail (every query + every rep) goes to a known file path —
+    // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       // Paths.get throws InvalidPathException (a RuntimeException), so
       // IOException alone wouldn't keep a bad env var from failing the run.
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // The driver parses only the LAST ~2000 chars of stdout (BENCH_r07's
+    // "tail" field is 2000 chars and the 8 KB full line arrived with its
+    // head cut off → parsed:null). So the stdout line — the primary
+    // driver channel — must be compact: headline total + a fixed
+    // representative query subset, small enough that the whole line plus
+    // sbt's trailing "[success] …" banner fits in the tail window.
+    val headline = Vector("q1_agg", "q5_multijoin", "q23_bloom_semijoin",
+      "dedup_minhash_lsh", "dedup_containment", "vs_search_topk",
+      "vs_ivf_search", "text_tfidf", "text_bm25", "ev_sessionize",
+      "stream_window_agg", "pipeline_pack", "mm_image_decode", "graph_pagerank")
+    val byName = results.toMap
+    val hq = headline.flatMap(k => byName.get(k).map(ts =>
+      "\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else fmt(ts.min))))
+      .mkString("{", ",", "}")
+    val nFail = mins.count(_ < 0)
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"detail":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

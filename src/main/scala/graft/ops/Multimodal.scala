@@ -16,12 +16,16 @@ import org.apache.spark.sql.types._
   * stats come from the decoded raster. The AUDIO leg ([[mmAudioDecode]])
   * is likewise REAL: `javax.sound.sampled` (the JDK's RIFF/WAVE codec)
   * round-trips genuine WAV containers and the stats come from the
-  * decoded PCM frames. Only the VIDEO leg has no JDK codec and this
-  * container has no media libs (SURVEY §6), so its decode step is
-  * stubbed with a deterministic fake (frame splitting + fingerprints);
-  * everything Spark-side — schema, binary column, batch shape,
-  * partition-parallel execution, output schema — is real on every
-  * leg.
+  * decoded PCM frames. The VIDEO leg ([[mmVideoDecode]]) is REAL too:
+  * multi-frame animated GIF containers (the one animated format the JDK
+  * codec set handles) are written with an explicit 256-level grayscale
+  * palette — a lossless encoding — and decode re-reads EVERY frame via
+  * the GIF `ImageReader`, samples every 2nd frame, and emits per-frame
+  * raster statistics. [[mmFrameSample]] remains the codec-free
+  * byte-window variant of frame sampling (the shape used when payloads
+  * are opaque). Everything Spark-side — schema, binary column, batch
+  * shape, partition-parallel execution, output schema — is real on
+  * every leg.
   *
   * Scale posture: mapPartitions processes fixed-size batches (no
   * per-row framework overhead, bounded memory per batch), partition
@@ -409,6 +413,147 @@ object Multimodal {
       CAST(SUM(zc) AS BIGINT) AS n_zcross
     FROM z GROUP BY doc_id ORDER BY doc_id"""
 
+  // ── mm_video_decode — REAL multi-frame decode over a binary GIF column ──
+  final val VidW = 8
+  final val VidH = 8
+  final val VidMaxFrames = 6
+  final val VidKeepEvery = 2
+
+  /** Frames per clip: 3..6, varying with the document. */
+  private[graft] def videoFrameCount(docId: Long): Int = (3 + docId % 4).toInt
+
+  /** Deterministic grayscale pixel for (doc, frame, x, y) — integer
+    * formula a SQL engine replays without a codec. */
+  private[graft] def videoPixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 31L + f * 101L + x * 7L + y * 13L) % 256L).toInt
+
+  /** 256-level grayscale palette: with an EXPLICIT IndexColorModel the
+    * GIF encode is lossless (palette entry i = gray i), so the container
+    * round-trip is bit-exact — verified by the oracle hash. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { g(i) = i.toByte; i += 1 }
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode the deterministic clip as a REAL multi-frame animated GIF via
+    * the JDK's `ImageWriter` sequence API (`prepareWriteSequence` /
+    * `writeToSequence`) — an actual video-style container: one file,
+    * many frames, a codec on both ends. */
+  private[graft] def encodeGif(docId: Long): Array[Byte] = {
+    val cm = grayPalette
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val nf = videoFrameCount(docId)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(VidW, VidH,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < VidH) {
+        var x = 0
+        while (x < VidW) { raster.setSample(x, y, 0, videoPixel(docId, f, x, y)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("gif", BinaryType, nullable = false)))
+
+  val videoStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("px_wsum", LongType, nullable = false)))
+
+  /** (doc_id, gif) binary-column frame: each document carries a real
+    * multi-frame animated GIF payload. Map-only. */
+  private[graft] def mmVideos(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir).select(col("doc_id"))
+    val encoder = org.apache.spark.sql.Encoders.row(videoSchema)
+    media.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeGif(id))
+      })
+    }(encoder)
+  }
+
+  /** The video leg of the multimodal pipeline with a REAL multi-frame
+    * decode — no stub: the GIF `ImageReader` parses the container from
+    * the binary column, `getNumImages` discovers the frame count, every
+    * 2nd frame is decoded (`reader.read(f)`) and its raster statistics
+    * emitted (sum / min / max / position-weighted checksum, exact
+    * BIGINT). The encoded frames follow a deterministic integer formula,
+    * so the DuckDB oracle recomputes every kept frame pixel-by-pixel
+    * codec-free — a dropped frame, wrong frame order, palette drift, or
+    * wrong pixel breaks the hash. Batched mapPartitions, map-only:
+    * frames never leave their payload's partition, the shape that holds
+    * when each clip is megabytes. */
+  def mmVideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(videoStatsSchema)
+    mmVideos(spark, dir).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.flatMap { r =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        val nf = reader.getNumImages(true)
+        val out = (0 until nf).filter(_ % VidKeepEvery == 0).map { f =>
+          val img = reader.read(f)
+          var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              // getRGB (not the raster sample) so the value is the COLOR,
+              // independent of how the decoder ordered the palette.
+              val v = (img.getRGB(x, y) & 0xFF).toLong
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              wsum += v * (y.toLong * img.getWidth + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), f.toLong, nf.toLong, sum, mn, mx, wsum)
+        }
+        reader.dispose()
+        out
+      })
+    }(encoder).orderBy("doc_id", "frame_idx")
+  }
+
+  /** Oracle: replay the pixel formula for every kept frame — equality
+    * proves the animated container decoded every frame, in order, with
+    * exact pixel values. */
+  val mmVideoDecodeSql: String = s"""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+    fr AS (SELECT doc_id, nf, f.range AS f
+      FROM d, range(0, $VidMaxFrames) f
+      WHERE f.range < nf AND f.range % $VidKeepEvery = 0),
+    px AS (SELECT doc_id, nf, f, p.range AS i,
+        (doc_id * 31 + f * 101 + (p.range % $VidW) * 7 + (p.range // $VidW) * 13) % 256 AS v
+      FROM fr, range(0, ${VidW * VidH}) p)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(nf AS BIGINT) AS n_frames,
+      CAST(SUM(v) AS BIGINT) AS px_sum, CAST(MIN(v) AS BIGINT) AS px_min,
+      CAST(MAX(v) AS BIGINT) AS px_max, CAST(SUM(v * (i + 1)) AS BIGINT) AS px_wsum
+    FROM px GROUP BY doc_id, f, nf ORDER BY doc_id, frame_idx"""
+
   // ── mm_modality_router — magic-byte dispatch over mixed binaries ─────
   val routerStatsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -501,8 +646,10 @@ object Multimodal {
     "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_image_decode" -> (mmImageDecode _),
-    "mm_audio_decode" -> (mmAudioDecode _))
+    "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_video_decode" -> (mmVideoDecode _))
   val oracles: Map[String, String] = Map(
+    "mm_video_decode" -> mmVideoDecodeSql,
     "mm_modality_router" -> mmModalityRouterSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,

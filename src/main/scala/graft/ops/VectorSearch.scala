@@ -475,7 +475,7 @@ object VectorSearch {
     * buffer — vs. the two-shuffle (doc_id, idx) combine + per-doc
     * assembly it replaces). Shared by [[vsIngest]] and
     * [[vsHybridSearch]]. */
-  private[ops] def docVectors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def docVectors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(graft.util.TextUtil.toksCol).as("tok"))
       .select(col("doc_id"), poly_hash(col("tok")).as("h"))

@@ -26,6 +26,19 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Documents schema shared by the streaming document sources
+    * ([[dedupStream]], [[vsIngestStream]]). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents directory. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Streaming read of the events directory (ts as BIGINT ns). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -117,15 +130,7 @@ object Streaming {
     * (hash → seen) entry per distinct document inside the watermark
     * horizon, which is what keeps it bounded on an unbounded stream. */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", LongType),
-      org.apache.spark.sql.types.StructField("text", StringType),
-      org.apache.spark.sql.types.StructField("lang", StringType),
-      org.apache.spark.sql.types.StructField("source", StringType),
-      org.apache.spark.sql.types.StructField("n_chars", LongType)))
-    spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    readDocuments(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"),
         // synthetic ingest time: docs table has no timestamp; derive a
         // deterministic one (1 ms per doc) so the watermark machinery is
@@ -557,7 +562,120 @@ object Streaming {
     GROUP BY 1, 2 ORDER BY event_type, q_pm"""
   }
 
+  // ── Streaming vector ingest (reference Create, always-on form) ──────
+  // Reference: aqora-io/vector_search_playground src/main.rs:72-80 — the
+  // Create command embeds a text and appends (id, content, vector) to the
+  // search table. This is its unbounded-stream form: documents arrive
+  // continuously, each is embedded and assigned an IVF cell on the way in.
+
+  final val IngestDim = 64
+  final val IngestK = 8
+
+  /** Per-ROW hashing-trick count vector — the stateless twin of the batch
+    * [[graft.ops.VectorSearch.docVectors]] aggregate (token → poly_hash →
+    * signed count at hash mod 64), assembled with higher-order functions.
+    * The streaming ingest therefore needs NO aggregation state, no
+    * watermark, no shuffle — a pure map. That property is what makes the
+    * always-on form of the reference's Create path viable on an unbounded
+    * stream: embed + index-assign are per-row and horizontally
+    * partitionable at any rate. */
+  private def rowHashVec: Column = {
+    val hashes = transform(graft.util.TextUtil.toksCol,
+      t => graft.functions.poly_hash(t))
+    transform(sequence(lit(0), lit(IngestDim - 1)), i =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(pmod(h, lit(IngestDim.toLong)) === i.cast("long"),
+          when(pmod(shiftright(h, 6), lit(2L)) === 0L, lit(1L))
+            .otherwise(lit(-1L))).otherwise(lit(0L))))
+  }
+
+  /** Integer L2 cell assignment against the k broadcast centroid
+    * literals — exact BIGINT arithmetic, ties to the lowest cid (the
+    * oracle's ORDER BY d2, cid). Codebook is bounded driver state
+    * (k × dim longs) shipped as literals into codegen, the same shape
+    * [[graft.ops.IvfIndex]] uses. */
+  private[graft] def ingestCellOf(
+      v: Column, cents: IndexedSeq[(Long, IndexedSeq[Long])]): Column =
+    least(cents.map { case (cid, cv) =>
+      struct(
+        aggregate(zip_with(v, typedlit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
+
+  /** Σ vec[i]·(i+1) — the same assembled-vector checksum `vs_ingest`
+    * proves the batch embedder with. */
+  private def ingestChecksum(v: Column): Column =
+    aggregate(zip_with(v, sequence(lit(1), lit(IngestDim)), (x, i) => x * i),
+      lit(0L), (a, x) => a + x)
+
+  /** Coarse centroids for streaming ingest: the hash count vectors of the
+    * [[IngestK]] lowest doc_ids (deterministic; trained batch-side BEFORE
+    * the stream starts — the production shape, where the index codebook
+    * is bounded driver state broadcast to every stream task). */
+  private[graft] def ingestCentroids(
+      spark: SparkSession, dir: String): IndexedSeq[(Long, IndexedSeq[Long])] =
+    graft.ops.VectorSearch.docVectors(spark, dir)
+      .orderBy("doc_id").limit(IngestK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)).toIndexedSeq
+
+  /** Always-on Create: stream of documents → stateless per-row embed →
+    * broadcast-centroid cell assignment → appendable index rows
+    * (doc_id, cell, dim, checksum). Zero streaming state; docs with no
+    * tokens are dropped exactly as the batch explode drops them. */
+  def vsIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ingestCentroids(spark, dir)
+    readDocuments(spark, dir)
+      .filter(size(graft.util.TextUtil.toksCol) > 0)
+      .select(col("doc_id"), rowHashVec.as("vector"))
+      .select(col("doc_id"), ingestCellOf(col("vector"), cents).as("cell"),
+        lit(IngestDim.toLong).as("dim"),
+        ingestChecksum(col("vector")).as("checksum"))
+  }
+
+  /** Registered batch twin (`stream_vs_ingest`): the identical embed +
+    * cell-assign over the batch table, with the embedding built by the
+    * map-side-combined [[graft.functions.HashCountVec]] aggregate.
+    * EventsStreamingSpec proves stream ≡ batch row-for-row. */
+  def vsIngestAssignBatch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ingestCentroids(spark, dir)
+    graft.ops.VectorSearch.docVectors(spark, dir)
+      .select(col("doc_id"), ingestCellOf(col("vector"), cents).as("cell"),
+        lit(IngestDim.toLong).as("dim"),
+        ingestChecksum(col("vector")).as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  val vsIngestAssignSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(${graft.util.TextUtil.toksSql}) AS tok FROM documents),
+    h AS (SELECT doc_id, ${graft.util.TextUtil.polySql("tok")} AS h FROM toks),
+    cells AS (SELECT doc_id, h % $IngestDim AS idx,
+        CASE WHEN (h // $IngestDim) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h),
+    slots AS (SELECT doc_id, idx, CAST(SUM(sign) AS BIGINT) AS val
+      FROM cells GROUP BY 1, 2),
+    docs AS (SELECT DISTINCT doc_id FROM slots),
+    dense AS (SELECT d.doc_id, r.i AS idx, COALESCE(s.val, 0) AS val
+      FROM docs d
+      CROSS JOIN (SELECT unnest(range(0, $IngestDim)) AS i) r
+      LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.idx = r.i),
+    cent AS (SELECT doc_id AS cid, idx, val FROM dense
+      WHERE doc_id IN (SELECT doc_id FROM docs ORDER BY doc_id LIMIT $IngestK)),
+    d2 AS (SELECT v.doc_id, c.cid, SUM((v.val - c.val) * (v.val - c.val)) AS d2
+      FROM dense v JOIN cent c ON v.idx = c.idx GROUP BY 1, 2),
+    assign AS (SELECT doc_id, cid AS cell FROM (
+        SELECT doc_id, cid,
+          row_number() OVER (PARTITION BY doc_id ORDER BY d2, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    chk AS (SELECT doc_id, CAST(SUM(val * (idx + 1)) AS BIGINT) AS checksum
+      FROM dense GROUP BY 1)
+    SELECT a.doc_id, CAST(a.cell AS BIGINT) AS cell,
+      CAST($IngestDim AS BIGINT) AS dim, c.checksum
+    FROM assign a JOIN chk c USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
@@ -567,6 +685,7 @@ object Streaming {
     "stream_attribution" -> (attributionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
+    "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_quantile" -> quantileSketchSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,

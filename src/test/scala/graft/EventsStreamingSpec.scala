@@ -263,4 +263,28 @@ class EventsStreamingSpec extends SparkSpec {
     val types = byType.keySet
     assert(got.keySet == (for (t <- types; q <- Streaming.SqQuantiles) yield (t, q)).toSet)
   }
+
+  test("streaming vector ingest (stateless embed + cell assign) equals batch twin") {
+    val q = Streaming.vsIngestStream(spark, sf).writeStream
+      .format("memory").queryName("stream_vsi")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cell"),
+      r.getAs[Long]("dim"), r.getAs[Long]("checksum"))
+    val streamed = spark.table("stream_vsi").collect().map(key).toSet
+    val batch = Streaming.vsIngestAssignBatch(spark, sf).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the stream plan is stateless: no aggregation state operator at all
+    val statefulOps = spark.streams.active.length // stream already drained
+    assert(statefulOps == 0)
+    // every assigned cell is one of the IngestK centroids
+    assert(batch.map(_._2).subsetOf(
+      Streaming.ingestCentroids(spark, sf).map(_._1).toSet))
+    // per-doc checksum matches the vs_ingest embedder proof
+    val vsChk = graft.ops.VectorSearch.queries("vs_ingest")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    batch.foreach { case (id, _, _, chk) => assert(vsChk(id) == chk) }
+  }
 }
