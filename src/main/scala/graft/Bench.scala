@@ -81,6 +81,13 @@ object Bench {
       (name, base.toVector)
     }
     def fmt(d: Double) = if (d < 0) "-1.0" else f"$d%.4f"
+    // Env-controlled paths are interpolated into JSON → escape them (a
+    // quote or backslash in a value would break the driver's parse).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else fmt(ts.min))
     }.mkString("{", ",", "}")
@@ -90,7 +97,7 @@ object Bench {
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
@@ -112,11 +119,15 @@ object Bench {
       "vs_ivf_search", "text_tfidf", "text_bm25", "ev_sessionize",
       "stream_window_agg", "pipeline_pack", "mm_image_decode", "graph_pagerank")
     val byName = results.toMap
+    // A renamed query must not silently drop out of the driver-visible
+    // subset — warn loudly so the headline list gets updated with it.
+    headline.filterNot(byName.contains).foreach(k =>
+      System.err.println(s"[bench] headline key '$k' not in registry — update the headline list"))
     val hq = headline.flatMap(k => byName.get(k).map(ts =>
       "\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else fmt(ts.min))))
       .mkString("{", ",", "}")
     val nFail = mins.count(_ < 0)
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"detail":"$out"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_failed":$nFail,"detail":${jstr(out)}}"""
     println(compact)
     spark.stop()
   }

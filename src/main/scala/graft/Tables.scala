@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loaders for the driver-generated star schema.
@@ -18,11 +20,33 @@ object Tables {
   private def prep(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
-    // read it as raw BIGINT nanoseconds. Ops convert to integer µs
-    // (`ts div 1000`) which equals DuckDB's epoch_us(ts) exactly.
+    // If events.ts arrives as parquet TIMESTAMP(NANOS) — which Spark cannot
+    // represent as a timestamp — read it as raw BIGINT nanoseconds. The
+    // driver has shipped the column as NANOS in some rounds and as
+    // TIMESTAMP(µs) in others; [[normalizeTs]] folds both encodings into
+    // BIGINT ns so ops can always do `ts div 1000` (= DuckDB epoch_us(ts)).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
+
+  /** Normalize an event-time column to BIGINT nanoseconds-since-epoch,
+    * whatever the parquet writer chose:
+    *  - TIMESTAMP(NANOS)  → loaded as LongType ns via `nanosAsLong` → as-is
+    *  - BIGINT ns         → as-is
+    *  - TIMESTAMP(µs)     → `unix_micros(ts) * 1000` (exact; µs-precision
+    *    payloads have zero sub-µs bits, so this is bit-equal to DuckDB's
+    *    `epoch_us(ts) * 1000`)
+    * Keeping the engine-internal convention a plain BIGINT makes every
+    * event op immune to parquet logical-type drift in the source data.
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(colName, unix_micros(col(colName).cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$colName: cannot normalize ${other.catalogString} to BIGINT ns")
+    }
 
   // Fan-out-decision memo. The decision below costs a full physical
   // planning pass (`df.rdd`) per call, and a 50-query bench run loads each
@@ -68,7 +92,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -15,12 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated key filter for targeted local re-checks
-    // (tools/check.py skips oracle keys with no dumped parquet? No — it
-    // FAILs them, so filtered runs should be compared with the same
-    // filter; the driver never sets this).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Optional comma-separated key filter for targeted local re-checks.
+    // The driver's checker FAILs (not skips) oracle keys with no dumped
+    // parquet, so a filtered run must never masquerade as a full round:
+    // blank counts as unset, and oracle_sql.json below is always written
+    // COMPLETE so a stray filter can't shrink the graded surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    only.foreach(o => System.err.println(
+      s"[verify] FILTERED run (${o.size} of ${SparkEntry.queries.size} keys) — local use only"))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -40,7 +44,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    // Deliberately UNfiltered — see the guard note above.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -511,29 +511,35 @@ object Multimodal {
     mmVideos(spark, dir).mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap(_.iterator.flatMap { r =>
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
-        val nf = reader.getNumImages(true)
-        val out = (0 until nf).filter(_ % VidKeepEvery == 0).map { f =>
-          val img = reader.read(f)
-          var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              // getRGB (not the raster sample) so the value is the COLOR,
-              // independent of how the decoder ordered the palette.
-              val v = (img.getRGB(x, y) & 0xFF).toLong
-              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-              wsum += v * (y.toLong * img.getWidth + x + 1)
-              x += 1
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        // dispose/close even when a malformed payload makes the decode
+        // throw — per-row native/heap leaks compound over a long scan
+        try {
+          reader.setInput(iis)
+          val nf = reader.getNumImages(true)
+          (0 until nf).filter(_ % VidKeepEvery == 0).map { f =>
+            val img = reader.read(f)
+            var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                // getRGB (not the raster sample) so the value is the COLOR,
+                // independent of how the decoder ordered the palette.
+                val v = (img.getRGB(x, y) & 0xFF).toLong
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                wsum += v * (y.toLong * img.getWidth + x + 1)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            Row(r.getLong(0), f.toLong, nf.toLong, sum, mn, mx, wsum)
           }
-          Row(r.getLong(0), f.toLong, nf.toLong, sum, mn, mx, wsum)
+        } finally {
+          reader.dispose()
+          iis.close()
         }
-        reader.dispose()
-        out
       })
     }(encoder).orderBy("doc_id", "frame_idx")
   }

@@ -39,14 +39,29 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
-  /** Streaming read of the events directory (ts as BIGINT ns). */
+  /** Streaming read of the events directory, `ts` normalized to BIGINT ns.
+    *
+    * Streaming file sources require a user-declared schema, and the parquet
+    * writer's choice for `ts` has drifted across driver rounds
+    * (TIMESTAMP(NANOS) → loads as LongType under `nanosAsLong`; plain
+    * TIMESTAMP(µs) → TimestampType). One batch footer read discovers the
+    * actual physical type so the declared schema always matches the file,
+    * then [[graft.Tables.normalizeTs]] folds either encoding into the
+    * engine-wide BIGINT-ns convention downstream ops rely on.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val fileTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val declared = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = fileTs) else f))
     // Streaming file sources take a directory; select just the events
     // table out of the scale-factor dir with a glob filter.
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(declared)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming tumbling-window aggregate with a 1-hour watermark. */

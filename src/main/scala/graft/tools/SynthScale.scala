@@ -26,14 +26,21 @@ import org.apache.spark.sql.functions._
   *     and coordinate distributions unchanged, cross-copy cosine sims
   *     fall to background level.
   * events keep their time range (10× copies = 10× event density, the
-  * realistic way an event stream grows); ts stays raw nanos (BIGINT),
-  * matching what the nanosAsLong loader yields from the driver files.
+  * realistic way an event stream grows); ts is normalized to BIGINT ns
+  * on read (Tables.normalizeTs), so synth output is canonical whatever
+  * parquet encoding the driver files carried.
+  *
+  * Skew mode (4th arg `skew`): plants realistic hot spots for stress
+  * runs — ~1% of all events collapse onto ONE user_id and ~0.8% of all
+  * embeddings become ONE identical vector (→ one LSH/IVF bucket far
+  * above any cap) — while keeping every other distribution unchanged.
   */
 object SynthScale {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("testdata_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val skew = args.lift(3).contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +51,16 @@ object SynthScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, copies, skew)
+    spark.stop()
+  }
+
+  /** The tiling body, callable from specs with a shared session.
+    * `skewHotEvery`: 1 in N events lands on the hot user (default 100 =
+    * the realistic ~1% whale; specs use a smaller N so the plant
+    * dominates even a few-hundred-user sf0.001 corpus). */
+  def run(spark: SparkSession, src: String, out: String, copies: Int,
+      skew: Boolean, skewHotEvery: Long = 100L): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c)).cast("long")).head().getLong(0) + 1
@@ -77,11 +94,20 @@ object SynthScale {
       .withColumn("l_partkey", col("l_partkey") + lit(i * pMax))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * sMax))), "lineitem")
 
-    val ev = rd("events")
+    // Whatever parquet encoding the source chose for ts, synth output
+    // carries the canonical BIGINT ns (see Tables.normalizeTs).
+    val ev = graft.Tables.normalizeTs(rd("events"))
     val eMax = maxOf(ev, "event_id"); val uMax = maxOf(ev, "user_id")
-    wr(tiled(ev)((d, i) => d
+    val evTiled = tiled(ev)((d, i) => d
       .withColumn("event_id", col("event_id") + lit(i * eMax))
-      .withColumn("user_id", col("user_id") + lit(i * uMax))), "events")
+      .withColumn("user_id", col("user_id") + lit(i * uMax)))
+    // Skew plant: 1 in 100 events (uniform over event_id, so spread over
+    // all types/times) lands on ONE hot user — the realistic bot/whale
+    // profile that breaks per-user groupBy/sessionization without salting.
+    wr(if (skew) evTiled.withColumn("user_id",
+        when(pmod(col("event_id"), lit(skewHotEvery)) === 0L, lit(uMax * copies + 1L))
+          .otherwise(col("user_id")))
+      else evTiled, "events")
 
     val docs = rd("documents"); val dMax = maxOf(docs, "doc_id")
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -98,15 +124,23 @@ object SynthScale {
     }), "documents")
 
     val emb = rd("embeddings"); val vMax = maxOf(emb, "vec_id")
-    wr(tiled(emb)((d, i) => {
+    val embTiled = tiled(emb)((d, i) => {
       val roll = i % 64
       val rolled = if (roll == 0) col("embedding")
         else concat(slice(col("embedding"), roll + 1, 64 - roll),
           slice(col("embedding"), 1, roll))
       d.withColumn("vec_id", col("vec_id") + lit(i * vMax))
         .withColumn("embedding", rolled)
-    }), "embeddings")
-
-    spark.stop()
+    })
+    // Skew plant: 1 in 128 vectors becomes ONE identical embedding — all
+    // of them share every LSH band bucket and IVF cell, putting that
+    // bucket far above any self-pair cap (the crawler-duplicate profile).
+    wr(if (skew) {
+      val hot = emb.orderBy("vec_id").select("embedding").head()
+        .getSeq[Float](0).toArray
+      embTiled.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(128L)) === 0L,
+          lit(hot)).otherwise(col("embedding")))
+    } else embTiled, "embeddings")
   }
 }

@@ -276,9 +276,13 @@ class EventsStreamingSpec extends SparkSpec {
     val streamed = spark.table("stream_vsi").collect().map(key).toSet
     val batch = Streaming.vsIngestAssignBatch(spark, sf).collect().map(key).toSet
     assert(streamed.nonEmpty && streamed == batch)
-    // the stream plan is stateless: no aggregation state operator at all
-    val statefulOps = spark.streams.active.length // stream already drained
-    assert(statefulOps == 0)
+    // the stream plan is stateless: the executed micro-batches report no
+    // state-store operators (active.length==0 would only prove the
+    // AvailableNow query terminated, not that the plan carried no state)
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty)
+    assert(progresses.forall(_.stateOperators.isEmpty),
+      "vs_ingest stream must run with zero state-store operators")
     // every assigned cell is one of the IngestK centroids
     assert(batch.map(_._2).subsetOf(
       Streaming.ingestCentroids(spark, sf).map(_._1).toSet))
