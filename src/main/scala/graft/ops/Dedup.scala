@@ -289,8 +289,20 @@ object Dedup {
     * for the Hamming ≤ 2 threshold. The 32-bit key space grows with
     * content (vs. a single 16-bit chunk's fixed 65,536 buckets, which
     * turns quadratic at corpus scale); corpus-sized data shuffles only on
-    * (pair_idx, pair_val). Verified with exact bit_count(xor). */
+    * (pair_idx, pair_val). Verified with exact bit_count(xor).
+    *
+    * Degenerate-signature buckets are capped ([[graft.util.Skew.cappedSelfPairs]],
+    * SQL mirrored with the same HAVING filter): sign-vote signatures are
+    * low-entropy for short documents — the all-ones chunk pair
+    * (pv = 0xFFFFFFFF, every vote ≥ 0) is CONTENT-INDEPENDENT, so these
+    * buckets grow with corpus size, not content diversity, and their
+    * self-join is the one quadratic path banding cannot fix (measured: a
+    * 10× corpus grew the all-ones bucket 343 → 7,873 rows and candidate
+    * pairs 247 k → 120 M, a 486× blowup). The cap (2,000) sits ~6× above
+    * the largest sf0.1 bucket and ~60× above oracle-scale (sf0.01)
+    * buckets, so driver-checked results are the uncapped join exactly. */
   private[graft] final val ChunkPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+  private[graft] final val SimhashBucketCap = 2000L
   /** Per-doc 64-bit SimHash as four 16-bit chunks (doc_id, c0..c3). One
     * custom aggregate (graft.functions.SimhashChunks) folds all 64 sign
     * counters in a single primitive buffer per group — vs. 64 separate
@@ -309,11 +321,8 @@ object Dedup {
       posexplode(array(ChunkPairs.map { case (i, j) =>
         col(s"c$i") * 65536L + col(s"c$j")
       }: _*)).as(Seq("pi", "pv")))
-    val cand = expl.as("x").join(expl.as("y"),
-        col("x.pi") === col("y.pi") && col("x.pv") === col("y.pv") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cand = graft.util.Skew.cappedSelfPairs(expl, "doc_id",
+        Seq("pi", "pv"), SimhashBucketCap)
     val ham = (0 until 4).map(c =>
       bit_count(col(s"ac$c").bitwiseXOR(col(s"bc$c")))).reduce(_ + _).cast("long")
     cand
@@ -334,13 +343,21 @@ object Dedup {
     chunks AS (SELECT doc_id, i // 16 AS ci,
                  CAST(SUM(CASE WHEN s >= 0 THEN 1 << (i % 16) ELSE 0 END) AS BIGINT) AS cv
                FROM bits GROUP BY 1, 2),
-    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-             FROM chunks x JOIN chunks y
-               ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
     wide AS (SELECT doc_id,
                MAX(CASE WHEN ci = 0 THEN cv END) AS c0, MAX(CASE WHEN ci = 1 THEN cv END) AS c1,
                MAX(CASE WHEN ci = 2 THEN cv END) AS c2, MAX(CASE WHEN ci = 3 THEN cv END) AS c3
-             FROM chunks GROUP BY 1)
+             FROM chunks GROUP BY 1),
+    pairs AS (SELECT doc_id, p.pi AS pi,
+                CASE p.pi WHEN 0 THEN c0*65536+c1 WHEN 1 THEN c0*65536+c2
+                          WHEN 2 THEN c0*65536+c3 WHEN 3 THEN c1*65536+c2
+                          WHEN 4 THEN c1*65536+c3 ELSE c2*65536+c3 END AS pv
+              FROM wide, (SELECT range AS pi FROM range(0, 6)) p),
+    bsizes AS (SELECT pi, pv FROM pairs GROUP BY 1, 2
+               HAVING COUNT(*) <= $SimhashBucketCap),
+    kept AS (SELECT p.* FROM pairs p JOIN bsizes USING (pi, pv)),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM kept x JOIN kept y
+               ON x.pi = y.pi AND x.pv = y.pv AND x.doc_id < y.doc_id)
     SELECT a_id, b_id,
       CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
