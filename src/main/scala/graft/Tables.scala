@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions.{col, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType,
+  TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loaders for the driver-generated star schema.
@@ -48,6 +49,34 @@ object Tables {
           s"events.$colName: cannot normalize ${other.catalogString} to BIGINT ns")
     }
 
+  /** The r8 ts-drift lesson, generalized: the driver's parquet writer is
+    * free to pick any legal physical encoding round to round (int32 vs
+    * int64 ids, float vs double embeddings), and every op assumes the
+    * canonical engine types (`getLong` on ids, float kernels). Casts are
+    * applied ONLY when the loaded type differs — on a matching file this
+    * is a no-op the optimizer erases, so the steady-state plan is
+    * unchanged; under drift the query stays correct instead of dying in
+    * analysis or a row-accessor ClassCastException. Value-preserving
+    * casts only (int32→int64, float→double), so DuckDB oracles — which
+    * read the same file through their own coercion — agree bit-for-bit.
+    * `embedding` is deliberately NOT forced: the vector kernels accept
+    * float and double arrays natively, and a narrowing cast could change
+    * results. `label` stays int32 (row accessors use getInt; values fit). */
+  private val canonicalTypes: Map[String, Map[String, DataType]] = Map(
+    "events" -> Map("event_id" -> LongType, "user_id" -> LongType,
+      "value" -> DoubleType),
+    "documents" -> Map("doc_id" -> LongType, "n_chars" -> LongType),
+    "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType))
+
+  private def canonicalize(df: DataFrame, name: String): DataFrame =
+    canonicalTypes.get(name).fold(df) { want =>
+      want.foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c) && d.schema(c).dataType != t)
+          d.withColumn(c, col(c).cast(t))
+        else d
+      }
+    }
+
   // Fan-out-decision memo. The decision below costs a full physical
   // planning pass (`df.rdd`) per call, and a 50-query bench run loads each
   // table ~100 times — so we memoize it. We deliberately cache only the
@@ -82,7 +111,7 @@ object Tables {
       spark.conf.getOption("spark.sql.files.openCostInBytes").getOrElse(""))
     val needsFanOut = fanOut.computeIfAbsent(key,
       _ => df.rdd.getNumPartitions < math.min(8, target))
-    if (needsFanOut) df.repartition(target) else df
+    canonicalize(if (needsFanOut) df.repartition(target) else df, name)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

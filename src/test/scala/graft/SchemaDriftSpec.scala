@@ -63,6 +63,26 @@ class SchemaDriftSpec extends SparkSpec {
     assert(run(nsDir) == run(usDir))
   }
 
+  test("id-width drift: int32 ids and float values normalize to canonical types") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = java.nio.file.Files.createTempDirectory("graft-drift32").toString
+    val docs = Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType))
+    docs.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    assert(spark.read.parquet(s"$base/documents.parquet")
+      .schema("doc_id").dataType == IntegerType)
+    val loaded = Tables.documents(spark, base)
+    assert(loaded.schema("doc_id").dataType == LongType)
+    assert(loaded.schema("n_chars").dataType == LongType)
+    // a representative doc query runs and matches the canonical-file result
+    val got = SparkEntry.queries("text_quality")(spark, base)
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("text_quality")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("Streaming.readEvents adapts its declared schema to the file encoding") {
     for (dir <- Seq(nsDir, usDir)) {
       val sdf = graft.streaming.Streaming.readEvents(spark, dir)
