@@ -928,7 +928,88 @@ object Events {
     FROM v GROUP BY 1 HAVING SUM(CASE WHEN next_purchase_us IS NOT NULL THEN 1 ELSE 0 END) > 0
     ORDER BY user_id"""
 
+  // ── ev_bot_detect — inter-arrival cadence regularity screen ──────────
+  /** Bot/automation screen over per-user event cadence — the filter a
+    * training pipeline runs before learning from user-generated events:
+    * humans are bursty (inter-arrival cv² near 1 for Poisson-ish
+    * activity), schedulers and scrapers tick (cv² near 0). Per user with
+    * ≥ [[BotMinGaps]] gaps: consecutive inter-arrival gaps in integer
+    * SECONDS (lag over the per-user time order — the same single user_id
+    * shuffle as [[evSessionize]]), then the squared coefficient of
+    * variation in integer ppm, cv2_ppm = ⌊10⁶·(n·Σd² − (Σd)²)/(Σd)²⌋,
+    * flagged below [[BotCv2FloorPpm]]. Gaps are clamped to
+    * [[BotGapCapS]] (10 min): cadence regularity is a WITHIN-activity
+    * property — an overnight pause says nothing about tick discipline —
+    * and the clamp is also what bounds the integer arithmetic
+    * (d ≤ 600 ⇒ Σd² ≤ n·3.6·10⁵ and (Σd)² ≤ n²·3.6·10⁵, inside 2⁶³ up
+    * to ~1.6·10⁵ gaps per user; beyond that window the cadence per day
+    * first). The ppm scaling itself would overflow (10⁶·N can reach
+    * 10²¹), so it runs as three exact floor-division steps
+    * (a = N//D, then the remainder ×10³ twice) — algebraically
+    * ⌊10⁶·N/D⌋ with every intermediate < 2⁶³. All values non-negative
+    * (Cauchy–Schwarz), so Spark `div` ≡ DuckDB `//` and the oracle
+    * replays identical integers. Scale: one user_id shuffle +
+    * map-side-combined per-user counters (3 longs of state — a hot user
+    * costs bandwidth, not memory). */
+  final val BotMinGaps = 20L
+  final val BotCv2FloorPpm = 100000L
+  final val BotGapCapS = 600L
+  def evBotDetect: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val g = ev(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      // clamp AFTER the null filter: least() skips nulls on both engines,
+      // so clamping first would turn each user's first event into a fake
+      // 600 s gap instead of dropping it
+      .withColumn("rawd", idiv(col("ts_us") - lag("ts_us", 1).over(byUser), 1000000L))
+      .filter(col("rawd").isNotNull)
+      .withColumn("d", least(col("rawd"), lit(BotGapCapS)))
+    val s = g.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("d").as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .filter(col("n_gaps") >= BotMinGaps)
+    val nD = col("n_gaps") * col("sd2") - col("sd") * col("sd")
+    val dD = col("sd") * col("sd")
+    val a = idiv(nD, dD)
+    val r1 = nD - a * dD
+    val b = idiv(r1 * 1000L, dD)
+    val r2 = r1 * 1000L - b * dD
+    val c = idiv(r2 * 1000L, dD)
+    val cv2 = when(col("sd") === 0L, lit(0L))
+      .otherwise(a * 1000000L + b * 1000L + c)
+    s.select(col("user_id"), col("n_gaps"),
+        idiv(col("sd"), col("n_gaps")).as("mean_gap_s"), cv2.as("cv2_ppm"),
+        when(cv2 < BotCv2FloorPpm, 1L).otherwise(0L).as("is_bot"))
+      .orderBy("user_id")
+  }
+  val evBotDetectSql: String = s"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+    g0 AS (SELECT user_id,
+            (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id))
+              // 1000000 AS rawd
+          FROM e),
+    g AS (SELECT user_id, least(rawd, $BotGapCapS) AS d
+          FROM g0 WHERE rawd IS NOT NULL),
+    s AS (SELECT user_id, COUNT(d) AS n_gaps,
+            CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS sd2
+          FROM g GROUP BY 1
+          HAVING COUNT(d) >= $BotMinGaps),
+    q AS (SELECT user_id, n_gaps, sd,
+            n_gaps*sd2 - sd*sd AS nd, sd*sd AS dd FROM s),
+    q2 AS (SELECT *, nd // dd AS a, (nd - (nd // dd) * dd) AS r1 FROM q),
+    q3 AS (SELECT *, (r1*1000) // dd AS b,
+             (r1*1000 - ((r1*1000) // dd) * dd) AS r2 FROM q2),
+    f AS (SELECT user_id, n_gaps, sd,
+            CASE WHEN sd = 0 THEN 0
+                 ELSE a*1000000 + b*1000 + (r2*1000) // dd END AS cv2
+          FROM q3)
+    SELECT user_id, n_gaps, sd // n_gaps AS mean_gap_s,
+      CAST(cv2 AS BIGINT) AS cv2_ppm,
+      CAST(CASE WHEN cv2 < $BotCv2FloorPpm THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+    FROM f ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "ev_bot_detect" -> evBotDetect,
     "ev_sequence_pattern" -> evSequencePattern,
     "ev_window_agg" -> evWindowAgg,
     "ev_changepoint" -> evChangepoint,
@@ -954,6 +1035,7 @@ object Events {
     "ev_count_min" -> evCountMin)
 
   val oracles: Map[String, String] = Map(
+    "ev_bot_detect" -> evBotDetectSql,
     "ev_sequence_pattern" -> evSequencePatternSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_changepoint" -> evChangepointSql,
