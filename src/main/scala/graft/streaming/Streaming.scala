@@ -689,7 +689,87 @@ object Streaming {
       CAST($IngestDim AS BIGINT) AS dim, c.checksum
     FROM assign a JOIN chk c USING (doc_id) ORDER BY doc_id"""
 
+  // ── Streaming bot-cadence counters ───────────────────────────────────
+  case class CadEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class CadSeen(ts_us: Long, event_id: Long, n_gaps: Long, sd: Long, sd2: Long)
+  case class CadOut(user_id: Long, n_gaps: Long, sd: Long, sd2: Long)
+
+  /** Streaming form of [[graft.ops.Events.evBotDetect]]'s state: per-user
+    * `GroupState[CadSeen]` carries (last position, n, Σd, Σd²) across
+    * micro-batches — cadence counters are algebraic, so the stream
+    * maintains EXACTLY the batch aggregate with 5 longs per user (the
+    * cv²/flag derivation is a stateless map over the final counters).
+    * Gaps clamp at [[graft.ops.Events.BotGapCapS]] like the batch op;
+    * same deterministic late-drop rule as [[transitionStream]] (an event
+    * at or before the stored position is ignored); a user emits one
+    * change-log row per micro-batch in which a gap was recorded — the
+    * last row per user IS the batch aggregate (spec-asserted). */
+  def botCadenceStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
+      .as[CadEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CadSeen, CadOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[CadEvent], state: GroupState[CadSeen]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption
+          var advanced = false
+          sorted.foreach { e =>
+            st match {
+              case Some(p) if e.ts_us < p.ts_us ||
+                  (e.ts_us == p.ts_us && e.event_id <= p.event_id) => ()
+              case Some(p) =>
+                val gap = math.min((e.ts_us - p.ts_us) / 1000000L,
+                  graft.ops.Events.BotGapCapS)
+                st = Some(CadSeen(e.ts_us, e.event_id,
+                  p.n_gaps + 1, p.sd + gap, p.sd2 + gap * gap))
+                advanced = true
+              case None =>
+                st = Some(CadSeen(e.ts_us, e.event_id, 0L, 0L, 0L))
+            }
+          }
+          st.foreach(state.update)
+          if (advanced) {
+            val s = st.get
+            Iterator.single(CadOut(user, s.n_gaps, s.sd, s.sd2))
+          } else Iterator.empty
+      }.toDF()
+  }
+
+  /** Driver-checkable twin of [[botCadenceStream]]: the per-user cadence
+    * counters the stream's state carries (every user with ≥1 gap — no
+    * min-gap filter, no cv² derivation: that is [[graft.ops.Events
+    * .evBotDetect]]'s stateless tail, not stream state). */
+  def botCadenceBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
+      .withColumn("rawd", idiv(col("ts_us") - lag("ts_us", 1).over(byUser), 1000000L))
+      .filter(col("rawd").isNotNull)
+      .withColumn("d", least(col("rawd"), lit(graft.ops.Events.BotGapCapS)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("d").as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .orderBy("user_id")
+  }
+  val botCadenceSql: String = s"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+    g0 AS (SELECT user_id,
+            (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id))
+              // 1000000 AS rawd
+          FROM e),
+    g AS (SELECT user_id, least(rawd, ${graft.ops.Events.BotGapCapS}) AS d
+          FROM g0 WHERE rawd IS NOT NULL)
+    SELECT user_id, COUNT(d) AS n_gaps,
+      CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS sd2
+    FROM g GROUP BY 1 ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bot_detect" -> (botCadenceBatch _),
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
@@ -700,6 +780,7 @@ object Streaming {
     "stream_attribution" -> (attributionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
+    "stream_bot_detect" -> botCadenceSql,
     "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_quantile" -> quantileSketchSql,
     "stream_upsert" -> upsertLatestSql,

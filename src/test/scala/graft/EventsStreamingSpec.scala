@@ -264,6 +264,34 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.keySet == (for (t <- types; q <- Streaming.SqQuantiles) yield (t, q)).toSet)
   }
 
+  test("streaming bot-cadence counters equal batch twin; flags equal ev_bot_detect") {
+    val q = Streaming.botCadenceStream(spark, sf).writeStream
+      .format("memory").queryName("stream_cad")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // counters are monotone per user, so the final state row is the one
+    // with the max n_gaps
+    val finals = spark.table("stream_cad").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+    val batch = Streaming.botCadenceBatch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(finals.nonEmpty && finals == batch)
+    // deriving cv2/flag from the final counters reproduces ev_bot_detect
+    val wantFlags = graft.ops.Events.evBotDetect(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val gotFlags = finals.collect { case (u, (n, sd, sd2))
+        if n >= graft.ops.Events.BotMinGaps =>
+      val cv2 = if (sd == 0) 0L
+        else ((BigInt(1000000) * (BigInt(n) * sd2 - BigInt(sd) * sd)) /
+          (BigInt(sd) * sd)).toLong
+      u -> (cv2, if (cv2 < graft.ops.Events.BotCv2FloorPpm) 1L else 0L)
+    }.toMap
+    assert(gotFlags == wantFlags)
+  }
+
   test("streaming vector ingest (stateless embed + cell assign) equals batch twin") {
     val q = Streaming.vsIngestStream(spark, sf).writeStream
       .format("memory").queryName("stream_vsi")
