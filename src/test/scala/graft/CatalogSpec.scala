@@ -28,6 +28,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"remove from CATALOG.md: ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every registered query is documented in SURVEY.md") {
+    val survey = {
+      val s = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val missing = SparkEntry.queries.keySet.filterNot(k => survey.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"registered but undocumented in SURVEY.md: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every catalog row points at an existing source file") {
     for ((key, (file, line)) <- catalogRows) {
       val f = new java.io.File(file)
