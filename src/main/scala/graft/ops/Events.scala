@@ -940,17 +940,20 @@ object Events {
     * flagged below [[BotCv2FloorPpm]]. Gaps are clamped to
     * [[BotGapCapS]] (10 min): cadence regularity is a WITHIN-activity
     * property — an overnight pause says nothing about tick discipline —
-    * and the clamp is also what bounds the integer arithmetic
-    * (d ≤ 600 ⇒ Σd² ≤ n·3.6·10⁵ and (Σd)² ≤ n²·3.6·10⁵, inside 2⁶³ up
-    * to ~1.6·10⁵ gaps per user; beyond that window the cadence per day
-    * first). The ppm scaling itself would overflow (10⁶·N can reach
-    * 10²¹), so it runs as three exact floor-division steps
-    * (a = N//D, then the remainder ×10³ twice) — algebraically
-    * ⌊10⁶·N/D⌋ with every intermediate < 2⁶³. All values non-negative
-    * (Cauchy–Schwarz), so Spark `div` ≡ DuckDB `//` and the oracle
-    * replays identical integers. Scale: one user_id shuffle +
-    * map-side-combined per-user counters (3 longs of state — a hot user
-    * costs bandwidth, not memory). */
+    * and the clamp bounds the arithmetic: d ≤ 600 ⇒ Σd² ≤ n·3.6·10⁵ and
+    * (Σd)² ≤ n²·3.6·10⁵. The ppm scaling overflows 2⁶³ (10⁶·N can reach
+    * 10²¹), so the ⌊10⁶·N/D⌋ runs as ONE exact integral division in
+    * DECIMAL(38,0): 10⁶·N ≤ 3.6·10¹¹·n² stays inside 10³⁸ up to
+    * n ≈ 10¹³ gaps per user — a whale holding 1% of a 10¹⁴-event corpus
+    * is still exact, and no intermediate can hit ANSI
+    * ARITHMETIC_OVERFLOW (the r9 ladder's r·10³ steps capped out at
+    * ~1.6·10⁵ gaps). The divisor is `greatest(D, 1)` so the Σd = 0
+    * branch is division-safe even if a common-subexpression hoist
+    * defeats CASE laziness under `spark.sql.ansi.enabled`. All values
+    * non-negative (Cauchy–Schwarz), so Spark decimal `div` ≡ DuckDB
+    * HUGEINT `//` and the oracle replays identical integers. Scale: one
+    * user_id shuffle + map-side-combined per-user counters (3 longs of
+    * state — a hot user costs bandwidth, not memory). */
   final val BotMinGaps = 20L
   final val BotCv2FloorPpm = 100000L
   final val BotGapCapS = 600L
@@ -968,15 +971,14 @@ object Events {
       .agg(count(lit(1)).as("n_gaps"), sum("d").as("sd"),
         sum(col("d") * col("d")).as("sd2"))
       .filter(col("n_gaps") >= BotMinGaps)
-    val nD = col("n_gaps") * col("sd2") - col("sd") * col("sd")
-    val dD = col("sd") * col("sd")
-    val a = idiv(nD, dD)
-    val r1 = nD - a * dD
-    val b = idiv(r1 * 1000L, dD)
-    val r2 = r1 * 1000L - b * dD
-    val c = idiv(r2 * 1000L, dD)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val sdDec = col("sd").cast(dec19)
+    val nD = col("n_gaps").cast(dec19) * col("sd2").cast(dec19) - sdDec * sdDec
+    val dD = greatest(sdDec * sdDec,
+      lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
     val cv2 = when(col("sd") === 0L, lit(0L))
-      .otherwise(a * 1000000L + b * 1000L + c)
+      .otherwise(idiv(nD * lit(1000000L).cast(
+        org.apache.spark.sql.types.DecimalType(7, 0)), dD))
     s.select(col("user_id"), col("n_gaps"),
         idiv(col("sd"), col("n_gaps")).as("mean_gap_s"), cv2.as("cv2_ppm"),
         when(cv2 < BotCv2FloorPpm, 1L).otherwise(0L).as("is_bot"))
@@ -995,14 +997,14 @@ object Events {
           FROM g GROUP BY 1
           HAVING COUNT(d) >= $BotMinGaps),
     q AS (SELECT user_id, n_gaps, sd,
-            n_gaps*sd2 - sd*sd AS nd, sd*sd AS dd FROM s),
-    q2 AS (SELECT *, nd // dd AS a, (nd - (nd // dd) * dd) AS r1 FROM q),
-    q3 AS (SELECT *, (r1*1000) // dd AS b,
-             (r1*1000 - ((r1*1000) // dd) * dd) AS r2 FROM q2),
+            CAST(n_gaps AS HUGEINT) * CAST(sd2 AS HUGEINT)
+              - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS nd,
+            GREATEST(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT),
+              CAST(1 AS HUGEINT)) AS dd FROM s),
     f AS (SELECT user_id, n_gaps, sd,
             CASE WHEN sd = 0 THEN 0
-                 ELSE a*1000000 + b*1000 + (r2*1000) // dd END AS cv2
-          FROM q3)
+                 ELSE (nd * 1000000) // dd END AS cv2
+          FROM q)
     SELECT user_id, n_gaps, sd // n_gaps AS mean_gap_s,
       CAST(cv2 AS BIGINT) AS cv2_ppm,
       CAST(CASE WHEN cv2 < $BotCv2FloorPpm THEN 1 ELSE 0 END AS BIGINT) AS is_bot

@@ -49,6 +49,34 @@ class PlantedSkewSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ev_bot_detect is exact on the planted-hot-user corpus (whale cadence)") {
+    val got = SparkEntry.queries("ev_bot_detect")(spark, skewDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = Tables.events(spark, skewDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hotUid = ev.groupBy(_._1).view.mapValues(_.length).maxBy(_._2)._1
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val d = ts.sliding(2).collect { case Array(a, b) =>
+        math.min((b - a) / 1000000L, graft.ops.Events.BotGapCapS) }.toSeq
+      if (d.length < graft.ops.Events.BotMinGaps) None
+      else {
+        val n = d.length.toLong; val sd = d.sum; val sd2 = d.map(x => x * x).sum
+        val cv2 = if (sd == 0) 0L
+          else ((BigInt(1000000) * (BigInt(n) * sd2 - BigInt(sd) * sd)) /
+            (BigInt(sd) * sd)).toLong
+        Some((uid, n, sd / n, cv2,
+          if (cv2 < graft.ops.Events.BotCv2FloorPpm) 1L else 0L))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the whale actually exercises the aggregate: it must clear the
+    // min-gap filter by a wide margin on the planted corpus
+    assert(want.exists { case (uid, n, _, _, _) =>
+      uid == hotUid && n > 50L * graft.ops.Events.BotMinGaps })
+  }
+
   test("cappedSelfPairs engages on the planted over-cap LSH buckets and stays exact") {
     val cap = 20L
     val e = Tables.embeddings(spark, skewDir)
