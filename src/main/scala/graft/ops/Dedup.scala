@@ -368,15 +368,53 @@ object Dedup {
 
   // ── dedup_ngram_jaccard — exact char-3-gram Jaccard, minhash-blocked ─
   /** Exact character-3-gram Jaccard with *content-based* blocking: 16
-    * minhashes of the gram set → 8 bands of 2, each band value conjoined
-    * with a ⌊len/16⌋ length band (each doc emits lb and lb+1 so any pair
-    * within 16 chars shares a length key). Band values are drawn from the
-    * gram-hash space, so bucket count grows with corpus content — unlike
-    * a pure length band, whose bucket count is bounded by max document
-    * length and goes quadratic at 100 TB. Candidates shuffle on the band
-    * key; the exact char-gram Jaccard is the verify stage. The oracle
-    * regenerates the identical bands (same hash arithmetic). */
-  def dedupNgramJaccard: Q = (spark, dir) => {
+    * minhashes of the avalanche-mixed gram set → 8 bands of 2, each
+    * conjoined with a length band (see [[ngramBandKeyed]]). Band values
+    * are drawn from the mixed gram-hash space, so bucket count grows
+    * with corpus content — the property a bounded key space (a pure
+    * length band, an unmixed minhash that collapses to the global min
+    * gram) lacks, and whose absence goes quadratic at 100 TB. Three
+    * scale defenses between band join and verify, all mirrored by the
+    * oracle: the degenerate-bucket cap ([[NgramBucketCap]]), the
+    * minhash-agreement prefilter ([[NgramSigFloor]] — evaluated inside
+    * the band self-join, before the pair-dedup shuffle), and only then
+    * the exact char-gram Jaccard verify over the pairs that survive.
+    * The oracle regenerates the identical bands (same mixer + hash
+    * arithmetic). */
+  private[graft] final val NgramBucketCap = 2000L
+  private[graft] final val NgramSigFloor = 11L
+  // ~1.6 KB of gram+sig payload per doc ⇒ 200k docs ≈ 320 MB broadcast.
+  private[graft] final val NgramBroadcastDocLimit = 200000L
+  /** Band-key frame (doc_id, bk) for the ngram blocking: 8 minhash
+    * bands of 2, each conjoined with a ⌊len/16⌋ length band (each doc
+    * emits lb and lb+1 so any pair within 16 chars shares a length key)
+    * = 16 keys per doc. Rows stay NARROW (24 bytes) — the agreement
+    * prefilter fetches signatures via broadcast join after the band
+    * join, because carrying two 16-slot arrays through the b²/2 join
+    * emissions was measured 2× slower than the whole unfused query at
+    * sf1. The length conjunct is load-bearing on templated
+    * corpora: measured at sf0.1, dropping it merged the band space from
+    * 10.0k buckets down to 1.1k and grew raw candidate pairs 2.1M→14.6M
+    * (with the two biggest buckets blowing past the degenerate cap).
+    * Its cost is a bounded recall window — j ≥ 0.8 permits a ~25%
+    * length difference, wider than ±16 chars on long documents — which
+    * is acceptable for the near-dup regime this op targets (whole-doc
+    * perturbations; containment-style partial overlap is
+    * [[dedupContainment]]'s job). Split out so BucketStats can audit
+    * the bucket-size distribution the candidate join will see. */
+  private[graft] def ngramBandKeyed(mh: DataFrame): DataFrame = {
+    val bandKeys = (0 until 8).flatMap { b =>
+      Seq(col("lb"), col("lb") + 1L).map { lbv =>
+        concat_ws(":", lit(b),
+          col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1), lbv)
+      }
+    }
+    mh.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+  }
+  /** Per-doc gram set + 16-minhash signature frame (doc_id, lb, grams,
+    * sig) — the persisted signature table both the band join and the
+    * verify joins read. */
+  private[graft] def ngramSignatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.register(spark)
     // Grams are poly_hashed to longs: set ops over long arrays are ~10×
     // cheaper than string arrays and deterministic on both engines.
@@ -401,25 +439,86 @@ object Dedup {
     // and the two verify joins would otherwise each recompute the gram
     // arrays from the raw text (4× O(len) per doc). At lake scale this
     // materialization is the signature table a real pipeline persists.
+    // Avalanche-mix each gram hash BEFORE the minhash permutations:
+    // poly_hash_cp of a 3-char gram stays < ~1.2e5 for ASCII text, so
+    // the affine "permutations" (h·(2k+1)+1000003k) mod M never wrap —
+    // all 16 are monotone in h, every slot is the image of the SAME
+    // globally-minimal gram, and the blocking silently collapses to
+    // length-band ∧ shared-min-gram (measured at sf0.1: all 16 signature
+    // slots agreed on 100% of candidate pairs). A length-band key space
+    // is bounded by max document length, which is the quadratic-at-scale
+    // failure the content-based design exists to avoid. The two-round
+    // multiply-xor mixer (same arithmetic as VectorSearch.planeVal;
+    // every intermediate < 2⁶³) spreads grams over [0, 2³¹) so the 16
+    // permutation argmins genuinely differ and band keys carry content.
+    val mixCol = transform(col("grams"), h => {
+      val x1 = (h * 2654435761L) % 2147483648L
+      val x2 = (x1.bitwiseXOR(idiv(x1, 65536L)) * 2246822519L) % 2147483648L
+      x2.bitwiseXOR(idiv(x2, 8192L))
+    })
+    val gm = materializedColumn(g, "mixed", mixCol)
     val sigCol = transform(sequence(lit(0), lit(15)), k =>
-      array_min(transform(col("grams"),
-        h => (h * (k * 2 + 1) + lit(1000003L) * k) % lit(M))))
-    val mh = persistRound(materializedColumn(g, "sig", sigCol))
-    val bandKeys = (0 until 8).flatMap { b =>
-      Seq(col("lb"), col("lb") + 1L).map { lbv =>
-        concat_ws(":", lit(b),
-          col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1), lbv)
-      }
-    }
-    val keyed = mh.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-    // Dedup candidate ids BEFORE the expensive set intersection.
-    val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      array_min(transform(col("mixed"),
+        m => (m * (k * 2 + 1) + lit(1000003L) * k) % lit(M))))
+    persistRound(materializedColumn(gm, "sig", sigCol)
+      .select("doc_id", "lb", "grams", "sig"))
+  }
+  def dedupNgramJaccard: Q = (spark, dir) => {
+    val mh = ngramSignatures(spark, dir)
+    val keyed = ngramBandKeyed(mh)
+    // Candidate stage: bucket-cap the band keys (degenerate-bucket
+    // contract as in dedup_simhash — one boilerplate band key must not
+    // emit b²/2 pairs on one reducer; the cap sits ~6× above the
+    // largest measured sf1 bucket, so test-scale results equal the
+    // uncapped join), self-join the NARROW (doc_id, bk) rows, then
+    // evaluate the minhash-agreement prefilter on the raw join output —
+    // BEFORE the pair-dedup distinct, so the dedup shuffle only ever
+    // sees floor survivors (sf1: 30.5M joined rows → ~4M past the
+    // floor → 1.9M distinct pairs, vs deduping all 9.4M first).
+    //
+    // The prefilter fetches each side's 16 minhashes via broadcast join
+    // as 16 FLAT COLUMNS, not an array: the 16-term equality sum stays
+    // inside whole-stage codegen, where an array zip_with/aggregate
+    // would fall back to interpreted per-row closures on 30M rows — and
+    // the broadcast (50k docs × 17 longs ≈ 7 MB at sf1) keeps the 30M-
+    // row stream map-side. Gated on a measured doc count (the count
+    // doubles as the persisted signature table's materialization
+    // action) so a larger corpus degrades to a shuffle join instead of
+    // OOMing the driver; at 100 TB the right shape is the persisted
+    // signature table bucketed by doc_id, co-partitioned with the pair
+    // stream.
+    //
+    // The floor ([[NgramSigFloor]]): only pairs agreeing on ≥11 of 16
+    // slots proceed to the exact verify. Measured at sf0.001/0.01/0.1:
+    // every exact ≥0.8 pair agrees on ≥12 slots, while the corpus's
+    // heavy 0.4–0.7 templated mass sits at 5–10. Mirrored in the
+    // oracle, so it is operator contract, not silent truncation; like
+    // any LSH parameter it is probabilistic at the margin (P[pass |
+    // j=0.8] ≈ 0.92/pair) — LshRecallSpec re-verifies the measured 100%
+    // recall vs the exact all-pairs baseline.
+    val b = graft.util.Persist.stage(keyed, eager = false)
+    val ok = b.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NgramBucketCap).select("bk")
+    val kept = b.join(ok, "bk")
+    val fitsBroadcast = mh.count() <= NgramBroadcastDocLimit
+    def fetch(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
+    def sigCols(idName: String, p: String): DataFrame =
+      fetch(mh.select(col("doc_id").as(idName) +:
+        (0 until 16).map(i => col("sig").getItem(i).as(s"$p$i")): _*))
+    val sigEq = (0 until 16)
+      .map(i => (col(s"a$i") === col(s"b$i")).cast("long")).reduce(_ + _)
+    val pre = kept.as("x")
+      .join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .join(sigCols("a_id", "a"), "a_id")
+      .join(sigCols("b_id", "b"), "b_id")
+      .filter(sigEq >= NgramSigFloor)
+      .select("a_id", "b_id")
       .distinct()
-    cand
-      .join(mh.select(col("doc_id").as("a_id"), col("grams").as("ga")), "a_id")
-      .join(mh.select(col("doc_id").as("b_id"), col("grams").as("gb")), "b_id")
+    pre
+      .join(fetch(mh.select(col("doc_id").as("a_id"), col("grams").as("ga"))), "a_id")
+      .join(fetch(mh.select(col("doc_id").as("b_id"), col("grams").as("gb"))), "b_id")
       .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")).cast("double"))
       .select(col("a_id"), col("b_id"),
         r6(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
@@ -436,21 +535,32 @@ object Dedup {
                  + unicode(lower(text)[i+2])) % $M))) AS grams
       FROM documents WHERE len(text) >= 3),
     hx AS (SELECT doc_id, lb, unnest(grams) AS h FROM g),
+    mx1 AS (SELECT doc_id, lb, (h * 2654435761) % 2147483648 AS x1 FROM hx),
+    mx2 AS (SELECT doc_id, lb,
+             (xor(x1, x1 // 65536) * 2246822519) % 2147483648 AS x2 FROM mx1),
+    mx AS (SELECT doc_id, lb, xor(x2, x2 // 8192) AS m FROM mx2),
     ks AS (SELECT range AS k FROM range(0, 16)),
-    mh AS (SELECT doc_id, lb, k, MIN((h * (2*k+1) + 1000003*k) % $M) AS mh
-           FROM hx, ks GROUP BY 1, 2, 3),
+    mh AS (SELECT doc_id, lb, k, MIN((m * (2*k+1) + 1000003*k) % $M) AS mh
+           FROM mx, ks GROUP BY 1, 2, 3),
     bands AS (SELECT doc_id, lb, k // 2 AS b,
                 string_agg(mh::VARCHAR, ':' ORDER BY k) AS bv
               FROM mh GROUP BY doc_id, lb, k // 2),
+    sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
     keyed AS (SELECT doc_id,
                 b || ':' || bv || ':' || CAST(unnest([lb, lb + 1]) AS VARCHAR) AS bk
               FROM bands),
+    bsz AS (SELECT bk FROM keyed GROUP BY 1 HAVING COUNT(*) <= $NgramBucketCap),
+    keptk AS (SELECT k.* FROM keyed k JOIN bsz USING (bk)),
     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      FROM keptk a JOIN keptk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    sigf AS (SELECT a_id, b_id FROM cand
+      JOIN sigs sa ON sa.doc_id = a_id JOIN sigs sb ON sb.doc_id = b_id
+      WHERE list_sum(list_transform(range(1, 17),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= $NgramSigFloor),
     jj AS (SELECT a_id, b_id,
         round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
           / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
-      FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+      FROM sigf JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
     SELECT a_id, b_id, jaccard FROM jj WHERE jaccard >= 0.8 ORDER BY a_id, b_id"""
 
   // ── dedup_embedding — embedding-cosine near-dup keep/drop decision ───
