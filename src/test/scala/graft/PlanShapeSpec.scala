@@ -66,16 +66,26 @@ class PlanShapeSpec extends SparkSpec {
       s"gap fill must not rescan events (found ${eventScans.length} scans)")
   }
 
-  test("q14_median uses a single group-key hash exchange for windows AND aggregate") {
+  test("q14_median: no per-group-only corpus sort — row_number is bucketed, targets broadcast") {
     val nodes = executedNodes(Relational.q14Median(spark, sf))
-    val hashExchanges = nodes.collect {
-      case e: ShuffleExchangeExec
-        if e.outputPartitioning.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
-          e.outputPartitioning.toString.contains("l_returnflag") => e
+    // The scale hazard this guards: a row_number window partitioned by
+    // l_returnflag ALONE sorts millions of rows per task (|groups| is
+    // tiny). The bucketed-rank rewrite must (a) partition every
+    // row_number by (group, bucket) and (b) narrow the corpus to the
+    // target buckets via a broadcast join, never a shuffled one.
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(hashExchanges.length == 1,
-      s"expected exactly 1 hash exchange on l_returnflag, got ${hashExchanges.length}")
+    val rowNumberWindows = windows.filter(
+      _.windowExpression.exists(_.toString.contains("row_number")))
+    assert(rowNumberWindows.nonEmpty, "expected a row_number window")
+    rowNumberWindows.foreach { w =>
+      assert(w.partitionSpec.length >= 2 &&
+          w.partitionSpec.exists(_.toString.contains("bkt")),
+        s"row_number window must partition by (group, bucket), got ${w.partitionSpec}")
+    }
+    assert(nodes.exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "target-bucket narrowing must be a broadcast hash join")
   }
 
   test("lake_compact reads the compacted copy in at most 4 partitions") {
