@@ -581,7 +581,7 @@ object Dedup {
     * banded-vs-exact recall. For an engineered recall target, derive the
     * geometry from the S-curve with
     * [[graft.ops.VectorSearch.lshBandsForRecall]] (the registered
-    * `vs_lsh_tuned` runs the 8-plane × 14-band solution for 90% recall
+    * `vs_lsh_tuned` runs the 12-plane × 35-band solution for 90% recall
     * at sim 0.8) and pay the candidate blowup. */
   def dedupEmbedding: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),

@@ -1255,13 +1255,21 @@ object VectorSearch {
     math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt
   }
   /** Near-dup design point for [[vsLshTuned]]: 90% recall of sim ≥ 0.8
-    * pairs with 8-plane bands → [[lshBandsForRecall]] gives 14 bands
-    * (p(0.8)=0.795, p^8=0.160, ⌈ln 0.1 / ln 0.840⌉ = 14). The default
+    * pairs with 12-plane bands → [[lshBandsForRecall]] gives 35 bands
+    * (p(0.8)=0.795, p^12=0.0639, ⌈ln 0.1 / ln 0.936⌉ = 35). The band
+    * width is the CANDIDATE-VOLUME knob: random (sim≈0) pairs collide
+    * per band with probability 2^−r, so expected candidates are
+    * n²·b/2^(r+1) — the earlier 8×14 geometry hit the same recall
+    * target but generated 13.0M pairs at sf1's 20k vectors (measured,
+    * BucketStats: max bucket 289, so the degenerate cap never engaged —
+    * the volume was uniform, not skew), where 12×35 generates ~2M for
+    * 3.75× more (map-only, linear) hashing work. Same curve, 6.4× less
+    * quadratic work — the knob to turn FIRST at 100 TB. The default
     * 16×16 geometry keeps its documented low-recall/high-precision
     * regime; this one is the engineered near-dup setting. */
   final val LshDesignSim = 0.8
   final val LshTargetRecall = 0.9
-  final val LshTunedPlanesPerBand = 8
+  final val LshTunedPlanesPerBand = 12
   val LshTunedBands: Int =
     lshBandsForRecall(LshTargetRecall, LshDesignSim, LshTunedPlanesPerBand)
 
@@ -1361,8 +1369,8 @@ object VectorSearch {
     WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
     ORDER BY a_id, b_id"""
 
-  /** [[vsLshSearch]] at the ENGINEERED near-dup geometry: 8-plane bands ×
-    * [[LshTunedBands]] (=14) bands, derived from the (1−(1−p^r)^b) curve
+  /** [[vsLshSearch]] at the ENGINEERED near-dup geometry: 12-plane bands ×
+    * [[LshTunedBands]] (=35) bands, derived from the (1−(1−p^r)^b) curve
     * for 90% recall at sim 0.8 rather than hand-picked. Same bucketed
     * shape (hash join on band keys behind the degenerate-bucket cap, exact
     * cosine verify) — only the geometry changes, trading more candidates

@@ -64,7 +64,7 @@ class LshRecallSpec extends SparkSpec {
     // cyclic), landing sims around 0.8-0.9. Measured candidate recall of
     // the planted pairs must track the (1-(1-p^r)^b) prediction computed
     // from each pair's ACTUAL similarity, at both the default 16x16 and
-    // the engineered 8x14 geometry.
+    // the engineered tuned (12x35) geometry.
     import org.apache.spark.sql.types._
     val raw = Tables.embeddings(spark, sf01).select("vec_id", "embedding").collect()
       .map(r => (r.getAs[Long]("vec_id"),
@@ -125,7 +125,7 @@ class LshRecallSpec extends SparkSpec {
 
   test("derived band count solves the S-curve for the design point") {
     import VectorSearch._
-    assert(LshTunedBands == 14, s"geometry drifted: $LshTunedBands")
+    assert(LshTunedBands == 35, s"geometry drifted: $LshTunedBands")
     // Just below the derived count the target is missed; at it, reached.
     assert(lshPredictedRecall(LshDesignSim, LshTunedPlanesPerBand, LshTunedBands) >= LshTargetRecall)
     assert(lshPredictedRecall(LshDesignSim, LshTunedPlanesPerBand, LshTunedBands - 1) < LshTargetRecall)
