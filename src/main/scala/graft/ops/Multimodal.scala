@@ -250,26 +250,56 @@ object Multimodal {
     * (wrong pixel, wrong order, wrong dimensions) breaks the hash.
     * Batched mapPartitions, map-only, frames never leave their partition:
     * the same scale shape as the stubbed legs. */
+  /** Raster statistics of a decoded single-band image: (width, height,
+    * Σv, min, max, Σv·(y·w+x+1)). The ONE definition of the pixel fold —
+    * [[mmImageDecode]] and [[mmModalityRouter]] both decode through it,
+    * so the raster traversal order (row-major, position-weighted) can
+    * never diverge between the dedicated op and the router. */
+  private[graft] def pngRasterStats(blob: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val in = new java.io.ByteArrayInputStream(blob)
+    try {
+      val img = javax.imageio.ImageIO.read(in)
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0).toLong
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          wsum += v * (y.toLong * w + x + 1)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum, mn, mx, wsum)
+    } finally in.close()
+  }
+
+  /** Parse a WAV container through the real JDK codec and return the raw
+    * 16-bit mono little-endian PCM bytes; the AudioInputStream is closed
+    * in finally. Shared by [[mmAudioDecode]] and [[mmModalityRouter]]. */
+  private[graft] def wavPcmBytes(blob: Array[Byte]): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+      ais.readAllBytes()
+    } finally ais.close()
+  }
+
+  /** i-th signed 16-bit little-endian sample of a PCM byte array. */
+  @inline private[graft] def pcmSample(pcm: Array[Byte], i: Int): Long =
+    ((pcm(i * 2 + 1).toInt << 8) | (pcm(i * 2) & 0xFF)).toLong
+
   def mmImageDecode(spark: SparkSession, dir: String): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(imageStatsSchema)
     mmImages(spark, dir).mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val raster = img.getRaster
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = raster.getSample(x, y, 0).toLong
-            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-            wsum += v * (y.toLong * w + x + 1)
-            x += 1
-          }
-          y += 1
-        }
+        val (w, h, sum, mn, mx, wsum) = pngRasterStats(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), w.toLong, h.toLong, sum, mn, mx, wsum)
       })
     }(encoder).orderBy("doc_id")
@@ -365,19 +395,14 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(audioStatsSchema)
     mmAudio(spark, dir).mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          !fmt.isBigEndian, s"unexpected decoded format: $fmt")
-        val pcm = ais.readAllBytes()
+        val pcm = wavPcmBytes(r.getAs[Array[Byte]](1))
         val n = pcm.length / 2
         var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
         var wsum = 0L; var energy = 0L; var zc = 0L
         var prevNonNeg = false
         var i = 0
         while (i < n) {
-          val v = ((pcm(i * 2 + 1).toInt << 8) | (pcm(i * 2) & 0xFF)).toLong
+          val v = pcmSample(pcm, i)
           sum += v; if (v < mn) mn = v; if (v > mx) mx = v
           wsum += v * (i + 1); energy += v * v
           val nonNeg = v >= 0
@@ -571,8 +596,9 @@ object Multimodal {
   /** Schema-on-read modality dispatch — the ingest step a mixed media
     * lake needs when blobs arrive UNTAGGED: one batched mapPartitions
     * pass sniffs each blob's magic bytes (\\x89PNG vs RIFF) and routes it
-    * to the matching REAL decoder (raster pixels / PCM samples), emitting
-    * a uniform (modality, units, payload sum, position checksum) row.
+    * to the matching REAL decoder — the SAME [[pngRasterStats]] /
+    * [[wavPcmBytes]] kernels the dedicated ops use — emitting a uniform
+    * (modality, units, payload sum, position checksum) row.
     * The mixed input is images for even doc_ids, WAV clips for odd ones
     * (deterministic split, so the oracle replays both formula legs and
     * unions them). Map-only; blobs never leave their partition. An
@@ -589,31 +615,16 @@ object Multimodal {
         val blob = r.getAs[Array[Byte]](1)
         if (blob.length >= 4 && (blob(0) & 0xFF) == 0x89 && blob(1) == 'P' &&
             blob(2) == 'N' && blob(3) == 'G') {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-          val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L; var wsum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = raster.getSample(x, y, 0).toLong
-              sum += v; wsum += v * (y.toLong * w + x + 1)
-              x += 1
-            }
-            y += 1
-          }
+          val (w, h, sum, _, _, wsum) = pngRasterStats(blob)
           Row(id, "image", w.toLong * h, sum, wsum)
         } else if (blob.length >= 4 && blob(0) == 'R' && blob(1) == 'I' &&
             blob(2) == 'F' && blob(3) == 'F') {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(blob))
-          val pcm = ais.readAllBytes()
+          val pcm = wavPcmBytes(blob)
           val n = pcm.length / 2
           var sum = 0L; var wsum = 0L
           var i = 0
           while (i < n) {
-            val v = ((pcm(i * 2 + 1).toInt << 8) | (pcm(i * 2) & 0xFF)).toLong
+            val v = pcmSample(pcm, i)
             sum += v; wsum += v * (i + 1)
             i += 1
           }
