@@ -37,8 +37,17 @@ class SchemaDriftSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nsD))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(usD))
     writeSingleFile(ev, nsD)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    writeSingleFile(ev.withColumn("ts", timestamp_micros(expr("ts div 1000"))), usD)
+    // Restore the session's writer encoding afterwards: the SparkSpec
+    // session is shared across suites, and leaving TIMESTAMP_MICROS set
+    // would silently change every later timestamp-writing test.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try writeSingleFile(ev.withColumn("ts", timestamp_micros(expr("ts div 1000"))), usD)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     (nsD, usD)
   }
 
