@@ -139,4 +139,40 @@ object VectorStore {
   /** Open a store over the driver-generated embeddings table. */
   def fromParquet(spark: org.apache.spark.sql.SparkSession, dir: String): VectorStore =
     new VectorStore(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** Corpus-TRAINED embedder leg: MLlib Word2Vec (skip-gram) fitted on
+    * the ingest corpus itself, doc vector = mean of in-vocabulary word
+    * vectors (Word2VecModel.transform's own composition), L2-normalized
+    * into the same (vec_id, content, embedding) store shape as
+    * [[ingestText]] — proving the store API generalizes beyond the
+    * hashing trick (the reference's fastembed model is learned too;
+    * main.rs:53-61). Deterministic per environment: fixed seed, input
+    * sorted by id, numPartitions=1 (parallel float SGD is NOT
+    * bit-reproducible across partition counts — which is why this leg is
+    * registered rows-only, SURVEY §6). Training cost is the corpus pass
+    * × `maxIter`; at 100 TB you train on a sample and [[ingestTextW2v]]
+    * only *applies* the model, which is a broadcast-vocabulary map-only
+    * transform. Zero-vocab docs (no token survives minCount) keep a NULL
+    * vector, like [[embedText]]'s null on empty token streams. */
+  def ingestTextW2v(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = Dim, seed: Long = 42L, minCount: Int = 2,
+      maxIter: Int = 1): VectorStore = {
+    import org.apache.spark.ml.feature.Word2Vec
+    import org.apache.spark.ml.functions.vector_to_array
+    val toks = docs
+      .select(col(idCol).cast("long").as("vec_id"), col(textCol).as("content"))
+      .withColumn("tokens",
+        filter(split(lower(col("content")), "[^a-z0-9]+"), t => length(t) > 0))
+      .orderBy("vec_id")
+    val model = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("w2v")
+      .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
+      .setMaxIter(maxIter).setNumPartitions(1)
+      .fit(toks)
+    val out = model.transform(toks)
+      .withColumn("embedding",
+        vector_normalize(vector_to_array(col("w2v"), "float64")))
+      .select(col("vec_id"), col("content"), col("embedding"))
+    new VectorStore(out, "vec_id", "embedding")
+  }
 }

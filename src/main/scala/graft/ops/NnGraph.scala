@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.util.Persist
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Batch k-NN-graph index: NN-descent construction (Dong, Moses &
+  * Li, WWW 2011) + greedy beam search over the built graph — the
+  * graph-based ANN family (pgvector's flagship index is HNSW; the
+  * reference creates the extension in
+  * migration/src/m20250414_131949_create_search.rs:19-24). HNSW itself
+  * is a sequential insert-one-at-a-time structure with no faithful
+  * data-parallel construction; the published batch-friendly alternative
+  * with the same "navigate a neighbor graph" search is NN-descent, whose
+  * local-join rounds are exactly Spark-shaped: every step is a keyed
+  * hash join or a per-node top-K — never a corpus cross product.
+  *
+  * All distances are exact integer squared-L2 on the shared int8
+  * quantization grid ([[VectorSearch.int8Grid]]), so every round — and
+  * therefore the finished graph and every search over it — replays
+  * bit-for-bit in the DuckDB oracle as unrolled per-round CTEs (the
+  * graph_pagerank / vs_ivf_trained technique). On unit-norm embeddings
+  * integer-L2 ordering tracks cosine ordering.
+  *
+  * Init matters: the first cut used K arithmetic strides j·n/(K+1),
+  * and NN-descent then crawled (edge recall 0.06 after 2 rounds at
+  * n=2000) or deadlocked outright — when (K+1) divides n the strides
+  * generate a proper subgroup of Z_n and candidates NEVER leave the
+  * sublattice (measured: K=24, n=2000 froze at 0.012 for 6 rounds).
+  * The init must look random in id space: each node draws K offsets
+  * from the repo's bounded multiply-xor avalanche mixer (the
+  * [[VectorSearch]] LSH plane generator's integer core, BIGINT-safe so
+  * DuckDB replays it). Measured on the sf0.1 corpus (n=2000): edge
+  * recall 0.40 → 0.69 → 0.81 over rounds 1-3, plateau 0.87.
+  *
+  * Scale shape per NN-descent round, for corpus size n and degree K:
+  *   - symmetrize: union + distinct of the 2·n·K edge list (one shuffle
+  *     keyed by edge);
+  *   - local join: edge-list self-join keyed on the shared endpoint —
+  *     ≤ n·(2K)² candidate pairs, a hash join whose fan-out is bounded
+  *     by the degree cap, NOT by corpus size;
+  *   - score: two id-keyed hash joins pull the grid vectors;
+  *   - select: per-src top-K window (shuffle keyed by src).
+  * Driver state is zero (no collected model — the index IS a DataFrame);
+  * rounds are cut from lineage with [[Persist.stage]]. At 100 TB the
+  * graph (n·K edges) is the stored index artifact, exactly like the IVF
+  * assignment table; rounds scale as ~log n (the one knob to raise with
+  * corpus size).
+  *
+  * Search navigates the refined edges UNION the random init edges — the
+  * navigable-small-world recipe (Malkov et al., NSW 2014): k-NN edges
+  * are cluster-local, so a query whose cluster contains no entry point
+  * could never reach it through near edges alone; the init edges are
+  * exactly the long random links NSW adds for global connectivity
+  * (measured at sf0.1: recall@5 0.95 → 0.97 for the same beam).
+  * Greedy beam expansion: fixed entry points, `hops` rounds of "expand
+  * the current best `beam` nodes through their out-edges", then top-k of
+  * everything visited. Visited state per query is bounded by
+  * entries + hops·beam·K rows, and each hop is one id-keyed join
+  * against the graph.
+  */
+object NnGraph {
+  /** Graph degree K: out-neighbors kept per node each round. */
+  final val K = 16
+  /** NN-descent rounds — edge recall 0.81 at n=2000 (see above);
+    * convergence needs ~log n rounds, so this is the knob that grows
+    * (slowly) with corpus size. */
+  final val Rounds = 3
+  /** Search: fixed entry nodes (vec_id < Entries), beam width, hops. */
+  final val Entries = 8
+  final val Beam = 16
+  final val Hops = 4
+  final val TopK = 5
+
+  /** Exact integer squared L2 between two grid-vector columns (|diff| ≤
+    * 254 per dim → far below BIGINT overflow at any real dimension). */
+  def intD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Random init offset for (src, j) from the bounded two-round
+    * multiply-xor avalanche mixer (every intermediate < 2^62, so DuckDB
+    * BIGINT replays it bit-for-bit; same core as the LSH plane
+    * generator). The input is reduced mod 2^31 first so src·K never
+    * overflows the first multiply at any corpus size. */
+  private def mixOff(src: Column, j: Int, k: Int, n: Long): Column = {
+    val x0 = (src * k + lit(j)) % 2147483648L
+    val h1 = (x0 * 2654435761L) % 2147483648L
+    val h2 = (h1.bitwiseXOR(shiftright(h1, 16)) * 2246822519L) % 2147483648L
+    val h3 = h2.bitwiseXOR(shiftright(h2, 13))
+    lit(1L) + (h3 % (n - 1))
+  }
+
+  /** The random init graph: K mixer-drawn offsets per node — doubles as
+    * the NSW long-link set at search time. */
+  def initGraph(quant: DataFrame, n: Long, k: Int = K): DataFrame = {
+    val offs = array((1 to k).map(j => mixOff(col("src"), j, k, n)): _*)
+    quant.select(col("vec_id").as("src"))
+      .select(col("src"), explode(offs).as("off"))
+      .select(col("src"), ((col("src") + col("off")) % n).as("dst"))
+  }
+
+  /** NN-descent over `quant` (vec_id, qd): returns the directed k-NN
+    * graph (src, dst, d2), ≤ K rows per src, ranked by (d2, dst),
+    * PLUS the init edges for NSW navigation — as (refined, init). */
+  def build(quant: DataFrame, k: Int = K, rounds: Int = Rounds): (DataFrame, DataFrame) = {
+    val n = quant.count()
+    val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    val g0 = Persist.stage(initGraph(quant, n, k), eager = false)
+    var g: DataFrame = g0
+    for (_ <- 1 to rounds) {
+      // Symmetrized adjacency: candidates come from co-neighborhoods in
+      // the undirected graph (forward-only joins stall on sink nodes).
+      val s = g.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(g.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+      // Local join: any two nodes sharing a neighborhood are candidate
+      // neighbors of each other; keep the current edges as candidates too.
+      val cand = s.as("s1").join(s.as("s2"), "a")
+        .select(col("s1.b").as("src"), col("s2.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(g.select("src", "dst"))
+        .distinct()
+      val scored = cand
+        .join(quant.select(col("vec_id").as("src"), col("qd").as("aq")), "src")
+        .join(quant.select(col("vec_id").as("dst"), col("qd").as("bq")), "dst")
+        .select(col("src"), col("dst"), intD2(col("aq"), col("bq")).as("d2"))
+      g = Persist.stage(
+        scored.withColumn("rn", row_number().over(wSrc))
+          .filter(col("rn") <= k).select("src", "dst", "d2"),
+        eager = false)
+    }
+    (g, g0)
+  }
+
+  /** Greedy beam search over refined ∪ init edges: `qs` = (q_id, qq)
+    * query grid vectors. Returns (q_id, c_id, d2) — everything visited,
+    * for the caller to cut. */
+  def search(refined: DataFrame, init: DataFrame, quant: DataFrame, qs: DataFrame,
+      entries: Int = Entries, beam: Int = Beam, hops: Int = Hops): DataFrame = {
+    val graph = refined.select("src", "dst")
+      .unionByName(init.select("src", "dst")).distinct()
+    val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    val ent = quant.filter(col("vec_id") < entries)
+      .select(col("vec_id").as("c_id"), col("qd"))
+    var v: DataFrame = qs.crossJoin(broadcast(ent))
+      .select(col("q_id"), col("c_id"), intD2(col("qd"), col("qq")).as("d2"))
+    for (_ <- 1 to hops) {
+      val frontier = v.withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= beam).select("q_id", "c_id")
+      val expanded = frontier
+        .join(graph.select(col("src").as("c_id"), col("dst")), "c_id")
+        .select(col("q_id"), col("dst").as("c_id")).distinct()
+      val scored = expanded
+        .join(quant.select(col("vec_id").as("c_id"), col("qd")), "c_id")
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("c_id"), intD2(col("qd"), col("qq")).as("d2"))
+      v = Persist.stage(v.unionByName(scored).distinct(), eager = false)
+    }
+    v
+  }
+}

@@ -1552,6 +1552,154 @@ object VectorSearch {
     ORDER BY q_id, step"""
   }
 
+  // ── vs_nng_search — NN-descent k-NN graph index + greedy beam search ──
+  /** Graph-based ANN — the index family the repo's IVF/PQ/LSH suite was
+    * missing (pgvector's flagship index is HNSW; the reference installs
+    * the extension in migration/src/m20250414_131949_create_search.rs:19-24).
+    * Build = [[NnGraph.build]]: NN-descent local-join rounds from the
+    * mixer-random init, all keyed hash joins + per-node top-K, zero
+    * driver model state (the graph IS a DataFrame — the stored index
+    * artifact at 100 TB). Search = [[NnGraph.search]]: greedy beam
+    * expansion from fixed entries over refined ∪ init edges (the NSW
+    * long-link recipe — see NnGraph's scaladoc for the measured
+    * geometry), each hop one id-keyed join against the graph. Every
+    * distance is exact
+    * integer L2 on the shared int8 grid, so the DuckDB oracle replays
+    * the whole build AND search with unrolled per-round CTEs (the
+    * vs_ivf_trained technique) and the output hashes bit-for-bit.
+    * Output grades the graph against exact brute-force top-5 — one row
+    * per query (q_id, n_exact, n_hits, recall, mean_recall_ppm,
+    * below_floor); NngSpec asserts below_floor = 0 at every SF and that
+    * the build plan contains no cartesian/BNL join. */
+  final val NngRecallFloorPpm = 800000L
+  def vsNngSearch: Q = (spark, dir) => {
+    // One staged evaluation of the grid — the build rounds, the search
+    // hops and the exact baseline all reuse it.
+    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val (graph, init) = NnGraph.build(qv)
+    val qs = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    val approx = NnGraph.search(graph, init, qv, qs)
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id")
+    val exact = qv.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        NnGraph.intD2(col("qd"), col("qq")).as("d2"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id")
+    val graded = graft.util.Persist.stage(
+      exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits")))
+    val tot = graded.agg(sum("n_hits"), sum("n_exact")).head()
+    require(!tot.isNullAt(1) && tot.getLong(1) > 0,
+      "k-NN graph has no queries to grade (empty query set)")
+    val ppm = 1000000L * tot.getLong(0) / tot.getLong(1)
+    graded.select(col("q_id"), col("n_exact"), col("n_hits"),
+        r6(col("n_hits") / col("n_exact")).as("recall"))
+      .withColumn("mean_recall_ppm", lit(ppm))
+      .withColumn("below_floor", lit(if (ppm < NngRecallFloorPpm) 1L else 0L))
+      .orderBy("q_id")
+  }
+
+  /** Full SQL replay of [[vsNngSearch]]: int8 grid → strided init graph
+    * → unrolled NN-descent rounds (symmetrize, co-neighbor local join,
+    * integer-L2 score, per-src top-K) → unrolled beam-search hops →
+    * top-5 cut → recall grade vs exact. All integers except the shared
+    * round-6 recall division. Every per-round/per-hop CTE is
+    * `AS MATERIALIZED`: the chain references each predecessor 2-3 times,
+    * and DuckDB's default CTE inlining re-evaluates every reference —
+    * compounding to >100× work by round 3 (measured: the un-hinted
+    * oracle ran >10 min at sf0.001; materialized it's seconds). */
+  val vsNngSearchSql: String = {
+    def d2Sql(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def round_(r: Int) = s"""
+    s$r AS MATERIALIZED (SELECT src AS a, dst AS b FROM g${r - 1}
+      UNION SELECT dst AS a, src AS b FROM g${r - 1}),
+    c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT s1.b AS src, s2.b AS dst FROM s$r s1 JOIN s$r s2 ON s1.a = s2.a
+          WHERE s1.b <> s2.b
+        UNION ALL SELECT src, dst FROM g${r - 1})),
+    d$r AS MATERIALIZED (SELECT c.src, c.dst, ${d2Sql("a.qd", "b.qd")} AS d2
+      FROM c$r c JOIN quant a ON a.vec_id = c.src JOIN quant b ON b.vec_id = c.dst),
+    g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn FROM d$r)
+      WHERE rn <= ${NnGraph.K})"""
+    def hop_(t: Int) = s"""
+    b$t AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM v${t - 1}) WHERE rn <= ${NnGraph.Beam}),
+    x$t AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS c_id
+      FROM b$t b JOIN gs g ON g.src = b.c_id),
+    n$t AS MATERIALIZED (SELECT x.q_id, x.c_id, ${d2Sql("e.qd", "q.qq")} AS d2
+      FROM x$t x JOIN quant e ON e.vec_id = x.c_id JOIN qs q ON q.q_id = x.q_id),
+    v$t AS MATERIALIZED (SELECT DISTINCT q_id, c_id, d2 FROM
+        (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM n$t))"""
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    nn AS (SELECT COUNT(*) AS n FROM quant),
+    g0 AS MATERIALIZED (SELECT src, (src + 1 + (xor(h2, h2 // 8192) % (nn.n - 1))) % nn.n AS dst
+      FROM (SELECT src, (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2
+            FROM (SELECT q.vec_id AS src,
+                (((q.vec_id * ${NnGraph.K} + j.j) % 2147483648) * 2654435761)
+                  % 2147483648 AS h1
+              FROM quant q,
+                (SELECT unnest(range(1, ${NnGraph.K + 1})) AS j) j)), nn),
+    ${(1 to NnGraph.Rounds).map(round_).mkString(",")},
+    gs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g${NnGraph.Rounds}
+        UNION ALL SELECT src, dst FROM g0)),
+    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
+      WHERE vec_id % 100 = 0),
+    v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
+      FROM qs q, quant e WHERE e.vec_id < ${NnGraph.Entries}),
+    ${(1 to NnGraph.Hops).map(hop_).mkString(",")},
+    approx AS (SELECT q_id, c_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM v${NnGraph.Hops}) WHERE rn <= ${NnGraph.TopK}),
+    ex AS (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
+      FROM quant e, qs q),
+    exact AS (SELECT q_id, c_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM ex) WHERE rn <= ${NnGraph.TopK}),
+    hits AS (SELECT x.q_id, COUNT(*) AS n_exact,
+        CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.c_id = x.c_id
+      GROUP BY x.q_id),
+    tot AS (SELECT CAST((1000000 * SUM(n_hits)) // SUM(n_exact) AS BIGINT) AS ppm
+      FROM hits)
+    SELECT q_id, n_exact, n_hits,
+      round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+      ppm AS mean_recall_ppm,
+      CAST(CASE WHEN ppm < $NngRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT)
+        AS below_floor
+    FROM hits, tot ORDER BY q_id"""
+  }
+
+  // ── vs_ingest_w2v — corpus-trained Word2Vec embedder leg ────────────
+  /** The second embedder behind the same store API
+    * ([[graft.VectorStore.ingestTextW2v]]): a LEARNED model trained on
+    * the ingest corpus itself, like the reference's fastembed AllMiniLM
+    * (main.rs:53-61) — the hashing trick ([[vsIngest]]) is the
+    * deterministic stand-in, this leg proves the engine's embed surface
+    * isn't hashing-trick-shaped. Registered ROWS-ONLY (no SQL oracle):
+    * parallel float SGD is not replayable in a SQL engine — SURVEY §6
+    * declares the check downgrade; W2vSpec pins the semantics instead
+    * (planted two-topic corpus → search over w2v vectors returns the
+    * query's own topic cluster). Output is the structural report (one
+    * row per doc: dim + vocab membership), stable across runs by fixed
+    * seed + sorted single-partition training. */
+  def vsIngestW2v: Q = (spark, dir) => {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val store = graft.VectorStore.ingestTextW2v(docs, "doc_id", "text")
+    store.df.select(col("vec_id"),
+        coalesce(size(col("embedding")).cast("long"), lit(0L)).as("dim"),
+        when(col("embedding").isNull, 0L).otherwise(1L).as("in_vocab"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "vs_count" -> vsCount,
     "vs_diversify" -> vsDiversify,
@@ -1577,7 +1725,9 @@ object VectorSearch {
     "vs_maxsim_search" -> vsMaxsimSearch,
     "vs_ivfpq_search" -> vsIvfPqSearch,
     "vs_lsh_search" -> vsLshSearch,
-    "vs_lsh_tuned" -> vsLshTuned)
+    "vs_lsh_tuned" -> vsLshTuned,
+    "vs_nng_search" -> vsNngSearch,
+    "vs_ingest_w2v" -> vsIngestW2v)
 
   val oracles: Map[String, String] = Map(
     "vs_diversify" -> vsDiversifySql,
@@ -1604,5 +1754,6 @@ object VectorSearch {
     "vs_pq_rerank" -> vsPqRerankSql,
     "vs_maxsim_search" -> vsMaxsimSearchSql,
     "vs_ivfpq_search" -> vsIvfPqSearchSql,
-    "vs_lsh_search" -> vsLshSearchSql)
+    "vs_lsh_search" -> vsLshSearchSql,
+    "vs_nng_search" -> vsNngSearchSql)
 }

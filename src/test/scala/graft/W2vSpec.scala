@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The corpus-trained Word2Vec embedder leg ([[VectorStore.ingestTextW2v]]):
+  * the store API must generalize beyond the hashing trick — a LEARNED
+  * embedding trained on the ingest corpus, searched through the same
+  * `VectorStore.searchAll`, must place planted same-topic documents
+  * nearer than cross-topic ones. Also pins the registered rows-only
+  * query's structural output.
+  */
+class W2vSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two disjoint-vocabulary topics, repeated sentences so skip-gram
+    * co-occurrence has signal even on a tiny corpus. */
+  private def plantedDocs = {
+    val animal = "cat dog pet fur paw tail kitten puppy leash collar"
+    val market = "stock bond yield trade price index broker margin equity fund"
+    def doc(topic: String, i: Int): String = {
+      val words = topic.split(" ")
+      // rotate so each doc is a different sentence over the same vocab
+      (0 until 6).map(s => words.drop((i + s) % words.length) ++
+        words.take((i + s) % words.length)).flatten.mkString(" ")
+    }
+    ((0L until 10L).map(i => (i, doc(animal, i.toInt))) ++
+      (10L until 20L).map(i => (i, doc(market, i.toInt - 10))))
+      .toDF("doc_id", "text")
+  }
+
+  test("w2v store: same-topic docs rank above cross-topic on planted corpus") {
+    val store = VectorStore.ingestTextW2v(plantedDocs, "doc_id", "text",
+      dim = 16, seed = 7L, minCount = 1, maxIter = 2)
+    val queries = store.df.filter(col("vec_id").isin(0L, 10L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val top = store.searchAll(queries, "q_id", "qv", k = 10)
+      .select("q_id", "c_id", "rn").collect()
+    // for each query, ALL top-10 hits must come from the query's own
+    // topic block (ids 0-9 vs 10-19) — w2v trained on co-occurrence
+    // must separate two disjoint vocabularies.
+    for (r <- top) {
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert((q < 10) == (c < 10),
+        s"query $q retrieved cross-topic doc $c in its top-10")
+    }
+    assert(top.count(_.getLong(0) == 0L) == 10)
+  }
+
+  test("w2v embeddings are unit-norm and trained per corpus vocabulary") {
+    val store = VectorStore.ingestTextW2v(plantedDocs, "doc_id", "text",
+      dim = 16, seed = 7L, minCount = 1, maxIter = 2)
+    val norms = store.df
+      .select(sqrt(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x)))
+      .as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9, s"norm $n"))
+  }
+
+  test("vs_ingest_w2v registered query: one structural row per document") {
+    val out = SparkEntry.queries("vs_ingest_w2v")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs)
+    assert(out.forall(r => r.getLong(1) == 64L || r.getLong(1) == 0L))
+    // the synthetic corpus has a dense shared vocabulary: every doc
+    // should land in-vocab at minCount=2
+    assert(out.forall(_.getLong(2) == 1L))
+  }
+}
