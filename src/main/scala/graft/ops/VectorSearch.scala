@@ -1617,14 +1617,20 @@ object VectorSearch {
       s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
     def round_(r: Int) = s"""
-    s$r AS MATERIALIZED (SELECT src AS a, dst AS b FROM g${r - 1}
-      UNION SELECT dst AS a, src AS b FROM g${r - 1}),
+    s$r AS MATERIALIZED (SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+        FROM (SELECT src AS a, dst AS b, d2 FROM g${r - 1}
+              UNION SELECT dst AS a, src AS b, d2 FROM g${r - 1}))
+      WHERE rn <= ${NnGraph.SampleS}),
     c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT s1.b AS src, s2.b AS dst FROM s$r s1 JOIN s$r s2 ON s1.a = s2.a
-          WHERE s1.b <> s2.b
-        UNION ALL SELECT src, dst FROM g${r - 1})),
-    d$r AS MATERIALIZED (SELECT c.src, c.dst, ${d2Sql("a.qd", "b.qd")} AS d2
+          WHERE s1.b < s2.b
+        UNION ALL SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM g${r - 1})),
+    h$r AS MATERIALIZED (SELECT c.src, c.dst, ${d2Sql("a.qd", "b.qd")} AS d2
       FROM c$r c JOIN quant a ON a.vec_id = c.src JOIN quant b ON b.vec_id = c.dst),
+    d$r AS (SELECT src, dst, d2 FROM h$r
+      UNION ALL SELECT dst AS src, src AS dst, d2 FROM h$r),
     g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn FROM d$r)
       WHERE rn <= ${NnGraph.K})"""
@@ -1640,17 +1646,19 @@ object VectorSearch {
         (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM n$t))"""
     int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
     nn AS (SELECT COUNT(*) AS n FROM quant),
-    g0 AS MATERIALIZED (SELECT src, (src + 1 + (xor(h2, h2 // 8192) % (nn.n - 1))) % nn.n AS dst
+    gi AS MATERIALIZED (SELECT src, (src + 1 + (xor(h2, h2 // 8192) % (nn.n - 1))) % nn.n AS dst
       FROM (SELECT src, (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2
             FROM (SELECT q.vec_id AS src,
                 (((q.vec_id * ${NnGraph.K} + j.j) % 2147483648) * 2654435761)
                   % 2147483648 AS h1
               FROM quant q,
                 (SELECT unnest(range(1, ${NnGraph.K + 1})) AS j) j)), nn),
+    g0 AS MATERIALIZED (SELECT gi.src, gi.dst, ${d2Sql("a.qd", "b.qd")} AS d2
+      FROM gi JOIN quant a ON a.vec_id = gi.src JOIN quant b ON b.vec_id = gi.dst),
     ${(1 to NnGraph.Rounds).map(round_).mkString(",")},
     gs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM g${NnGraph.Rounds}
-        UNION ALL SELECT src, dst FROM g0)),
+        UNION ALL SELECT src, dst FROM gi)),
     qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
       WHERE vec_id % 100 = 0),
     v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
