@@ -279,7 +279,9 @@ object Multimodal {
 
   /** Parse a WAV container through the real JDK codec and return the raw
     * 16-bit mono little-endian PCM bytes; the AudioInputStream is closed
-    * in finally. Shared by [[mmAudioDecode]] and [[mmModalityRouter]]. */
+    * in finally. The REFERENCE decoder: [[wavPcmBytesDirect]] is the hot
+    * path, and AudioParitySpec pins byte-identical output of the two on
+    * the whole generated corpus. */
   private[graft] def wavPcmBytes(blob: Array[Byte]): Array[Byte] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(blob))
@@ -289,6 +291,42 @@ object Multimodal {
         !fmt.isBigEndian, s"unexpected decoded format: $fmt")
       ais.readAllBytes()
     } finally ais.close()
+  }
+
+  /** Direct RIFF/WAVE chunk walk returning the same PCM bytes as
+    * [[wavPcmBytes]] without the per-blob `AudioSystem` SPI dispatch
+    * (provider discovery + stream plumbing dominated the decode at
+    * ~0.5 ms/clip; the container math is microseconds). Validates the
+    * same contract the codec did — RIFF/WAVE magic, fmt chunk with
+    * PCM(1), mono, 16-bit — and errors loudly on anything else. Chunks
+    * are walked by (id, size) with word alignment, so extra chunks
+    * (LIST/fact) are skipped exactly as the codec skips them. */
+  private[graft] def wavPcmBytesDirect(blob: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.remaining >= 12 && bb.getInt(0) == 0x46464952, "not RIFF") // "RIFF"
+    require(bb.getInt(8) == 0x45564157, "not WAVE") // "WAVE"
+    var pos = 12
+    var fmtOk = false
+    while (pos + 8 <= blob.length) {
+      val id = bb.getInt(pos)
+      val size = bb.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= blob.length,
+        s"truncated chunk at $pos")
+      if (id == 0x20746d66) { // "fmt "
+        require(size >= 16, "short fmt chunk")
+        val audioFormat = bb.getShort(pos + 8).toInt
+        val channels = bb.getShort(pos + 10).toInt
+        val bits = bb.getShort(pos + 22).toInt
+        require(audioFormat == 1 && channels == 1 && bits == 16,
+          s"unexpected WAV format: fmt=$audioFormat ch=$channels bits=$bits")
+        fmtOk = true
+      } else if (id == 0x61746164) { // "data"
+        require(fmtOk, "data chunk before fmt chunk")
+        return java.util.Arrays.copyOfRange(blob, pos + 8, pos + 8 + size)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    throw new IllegalArgumentException("no data chunk in WAV container")
   }
 
   /** i-th signed 16-bit little-endian sample of a PCM byte array. */
@@ -395,7 +433,7 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(audioStatsSchema)
     mmAudio(spark, dir).mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
-        val pcm = wavPcmBytes(r.getAs[Array[Byte]](1))
+        val pcm = wavPcmBytesDirect(r.getAs[Array[Byte]](1))
         val n = pcm.length / 2
         var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
         var wsum = 0L; var energy = 0L; var zc = 0L
@@ -619,7 +657,7 @@ object Multimodal {
           Row(id, "image", w.toLong * h, sum, wsum)
         } else if (blob.length >= 4 && blob(0) == 'R' && blob(1) == 'I' &&
             blob(2) == 'F' && blob(3) == 'F') {
-          val pcm = wavPcmBytes(blob)
+          val pcm = wavPcmBytesDirect(blob)
           val n = pcm.length / 2
           var sum = 0L; var wsum = 0L
           var i = 0
