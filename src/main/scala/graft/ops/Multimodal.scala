@@ -36,6 +36,14 @@ object Multimodal {
   final val BatchSize = 64
   final val FeatDim = 4
 
+  // ImageIO's default stream cache is DISK-backed: every read/write of a
+  // blob creates (and fsyncs) a temp file under java.io.tmpdir. With 32
+  // decode threads per executor and ~700-byte payloads that is pure
+  // filesystem churn — measured 5× wall on mm_image_decode once /tmp got
+  // busy. Executors must never touch local disk per tiny blob; the
+  // in-memory cache is strictly correct for heap-backed byte streams.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val outputSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("mime", StringType, nullable = false),

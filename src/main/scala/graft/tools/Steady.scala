@@ -23,7 +23,13 @@ object Steady {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val medians = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Comma-separated subset probe (same convention as Verify). A subset
+    // run prints STEADY lines but does NOT rewrite the json output.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val medians = selected.map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -33,10 +39,12 @@ object Steady {
       println(f"STEADY $name%s median=$med%.3f s reps=${ts.map(t => f"$t%.2f").mkString(",")}")
       name -> med
     }
-    val json = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty) {
+      val json = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }
