@@ -152,6 +152,81 @@ case class L1Distance(left: Expression, right: Expression) extends VectorBinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Integer kernels over quantized grids (array<long>/array<int>):
+  * EXACT BIGINT accumulation — the oracle-replayable arithmetic the
+  * int8-grid ops are built on. The `aggregate(zip_with(...))` spelling
+  * of the same fold is a CodegenFallback higher-order function —
+  * interpreted per-row eval plus an intermediate array allocation;
+  * measured 5-8× slower on the NN-descent score step. Callers
+  * guarantee bounded elements (int8 grid: |v| ≤ 127, so Σd² fits
+  * BIGINT at any real dimension — same contract the HOF spelling had;
+  * accumulation wraps Java-style, it is NOT ANSI-checked). */
+abstract class IntVectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected def leftElem: DataType = left.dataType.asInstanceOf[ArrayType].elementType
+  protected def rightElem: DataType = right.dataType.asInstanceOf[ArrayType].elementType
+  protected def getLong(arr: ArrayData, et: DataType, i: Int): Long = et match {
+    case LongType    => arr.getLong(i)
+    case IntegerType => arr.getInt(i).toLong
+    case other => throw new IllegalArgumentException(s"unsupported integer vector element $other")
+  }
+}
+
+/** int_sq_l2(a, b) = Σ (aᵢ−bᵢ)² as BIGINT — exact squared L2. */
+case class IntSquaredL2(left: Expression, right: Expression) extends IntVectorBinaryExpression {
+  override def prettyName: String = "int_sq_l2"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var acc = 0L; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val d = getLong(x, leftElem, i) - getLong(y, rightElem, i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, acc, d) = Seq("i", "n", "acc", "d").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |long $acc = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  long $d = (long) ${CodeGenerator.getValue(a, leftElem, i)}
+        |          - (long) ${CodeGenerator.getValue(b, rightElem, i)};
+        |  $acc += $d * $d;
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** int_dot(a, b) = Σ aᵢ·bᵢ as BIGINT — exact integer inner product. */
+case class IntDot(left: Expression, right: Expression) extends IntVectorBinaryExpression {
+  override def prettyName: String = "int_dot"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var acc = 0L; var i = 0; val n = x.numElements()
+    while (i < n) { acc += getLong(x, leftElem, i) * getLong(y, rightElem, i); i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, n, acc) = Seq("i", "n", "acc").map(ctx.freshName)
+      s"""
+        |int $n = $a.numElements();
+        |long $acc = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += (long) ${CodeGenerator.getValue(a, leftElem, i)}
+        |        * (long) ${CodeGenerator.getValue(b, rightElem, i)};
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** vector_norm(a) = sqrt(Σ aᵢ²). */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vector_norm"

@@ -16,6 +16,10 @@ package object functions {
   def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
   def l1_distance(a: Column, b: Column): Column = col(L1Distance(expr(a), expr(b)))
   def inner_product(a: Column, b: Column): Column = col(InnerProduct(expr(a), expr(b)))
+  /** Exact BIGINT Σ(aᵢ−bᵢ)² over integer arrays (int8-grid distance). */
+  def int_sq_l2(a: Column, b: Column): Column = col(IntSquaredL2(expr(a), expr(b)))
+  /** Exact BIGINT Σaᵢ·bᵢ over integer arrays (int8-grid relevance). */
+  def int_dot(a: Column, b: Column): Column = col(IntDot(expr(a), expr(b)))
   def vector_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vector_normalize(a: Column): Column = col(VectorNormalize(expr(a)))
   def poly_hash(s: Column): Column = col(PolyHash(expr(s)))
@@ -46,6 +50,8 @@ package object functions {
     registerFunction(spark, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     registerFunction(spark, "inner_product", es => InnerProduct(es(0), es(1)))
     registerFunction(spark, "l2_distance", es => L2Distance(es(0), es(1)))
+    registerFunction(spark, "int_sq_l2", es => IntSquaredL2(es(0), es(1)))
+    registerFunction(spark, "int_dot", es => IntDot(es(0), es(1)))
     registerFunction(spark, "l1_distance", es => L1Distance(es(0), es(1)))
     registerFunction(spark, "vector_norm", es => VectorNorm(es.head))
     registerFunction(spark, "vector_normalize", es => VectorNormalize(es.head))

@@ -82,8 +82,7 @@ object IvfIndex {
     * embeddings L2 ordering equals cosine ordering, so the integer grid
     * preserves the assignment geometry. */
   def intD2(q: Column, c: IndexedSeq[Long]): Column =
-    aggregate(zip_with(q, typedlit(c), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.int_sq_l2(q, typedlit(c))
 
   /** Nearest-centroid cell id under integer L2, ties to the smaller cid. */
   def intCellOf(q: Column, model: IntModel): Column =

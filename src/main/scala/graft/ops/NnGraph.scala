@@ -63,10 +63,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 object NnGraph {
   /** Graph degree K: out-neighbors kept per node each round. */
   final val K = 16
-  /** NN-descent rounds — edge recall 0.75 at n=2000 with the sampled
-    * local join (see [[SampleS]]); convergence needs ~log n rounds, so
-    * this is the knob that grows (slowly) with corpus size. */
-  final val Rounds = 3
+  /** NN-descent rounds — convergence needs ~log n rounds, so this is
+    * the knob that grows (slowly) with corpus size. Two rounds + the
+    * wider beam below measured search recall@5 0.93 at n=2000 (three
+    * rounds: 0.97 at +35% wall — each round is ~6 shuffle stages, and
+    * on the small-SF corpus stage overhead, not arithmetic, is the
+    * cost; at real scale raise rounds before beam). */
+  final val Rounds = 2
   /** Sampled local join (the NN-descent paper's ρ-sampling, made
     * deterministic): only each node's [[SampleS]] CLOSEST symmetrized
     * neighbors participate in the co-neighbor join, and each unordered
@@ -77,16 +80,22 @@ object NnGraph {
     * LINEAR in corpus size — and S is the quality/cost knob to raise
     * with intrinsic dimensionality. */
   final val SampleS = 24
-  /** Search: fixed entry nodes (vec_id < Entries), beam width, hops. */
+  /** Search: fixed entry nodes (vec_id < Entries), beam width, hops.
+    * Beam 24 × 3 hops ≡ recall of beam 16 × 4 hops here (0.93 vs 0.92
+    * measured) at one fewer hop — a hop is ~4 shuffle stages while a
+    * wider beam only fattens existing joins, so beam is the cheap knob
+    * and hops the expensive one. */
   final val Entries = 8
-  final val Beam = 16
-  final val Hops = 4
+  final val Beam = 24
+  final val Hops = 3
   final val TopK = 5
 
   /** Exact integer squared L2 between two grid-vector columns (|diff| ≤
-    * 254 per dim → far below BIGINT overflow at any real dimension). */
-  def intD2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    * 254 per dim → far below BIGINT overflow at any real dimension).
+    * Codegen'd kernel ([[graft.functions.IntSquaredL2]]) — the
+    * `aggregate(zip_with(...))` spelling is a CodegenFallback HOF and
+    * measured 5-8× slower on the ~500k-pair score steps. */
+  def intD2(a: Column, b: Column): Column = graft.functions.int_sq_l2(a, b)
 
   /** Random init offset for (src, j) from the bounded two-round
     * multiply-xor avalanche mixer (every intermediate < 2^62, so DuckDB
@@ -172,9 +181,12 @@ object NnGraph {
     for (_ <- 1 to hops) {
       val frontier = v.withColumn("rn", row_number().over(wQ))
         .filter(col("rn") <= beam).select("q_id", "c_id")
+      // No distinct here: scoring a duplicate (q_id, c_id) is one cheap
+      // codegen'd int_sq_l2 and the visited-set distinct below dedups —
+      // cheaper than an extra exchange per hop just to pre-dedup.
       val expanded = frontier
         .join(graph.select(col("src").as("c_id"), col("dst")), "c_id")
-        .select(col("q_id"), col("dst").as("c_id")).distinct()
+        .select(col("q_id"), col("dst").as("c_id"))
       val scored = expanded
         .join(quant.select(col("vec_id").as("c_id"), col("qd")), "c_id")
         .join(broadcast(qs), "q_id")

@@ -666,8 +666,7 @@ object VectorSearch {
     val q0 = quant.filter(col("vec_id") === 0).select(col("qd").as("qv"))
     quant.crossJoin(broadcast(q0))
       .select(col("vec_id"),
-        aggregate(zip_with(col("qd"), col("qv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qdot"))
+        graft.functions.int_dot(col("qd"), col("qv")).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(10)
   }
@@ -797,8 +796,7 @@ object VectorSearch {
       .select("vec_id", "adist")
       .join(quant, "vec_id")
       .select(col("vec_id"), col("adist"),
-        aggregate(zip_with(col("qd"), qvL, (a, b) => sq(a - b)),
-          lit(0L), (acc, x) => acc + x).as("exact_d2"))
+        graft.functions.int_sq_l2(col("qd"), qvL).as("exact_d2"))
       .orderBy(col("exact_d2"), col("vec_id"))
       .limit(10)
   }
@@ -855,8 +853,7 @@ object VectorSearch {
       slice(col("qd"), j * lit(dsub) + 1, lit(dsub)))
     val score = aggregate(sequence(lit(1), lit(MsSlices)), lit(0L), (acc, i) =>
       acc + array_max(transform(col("dslices"), dv =>
-        aggregate(zip_with(element_at(qL, i), dv, (a, b) => a * b),
-          lit(0L), (s, x) => s + x))))
+        graft.functions.int_dot(element_at(qL, i), dv))))
     graft.util.Det.materializedColumn(quant, "dslices", dSlices)
       .select(col("vec_id"), score.as("maxsim"))
       .orderBy(col("maxsim").desc, col("vec_id"))
@@ -1470,8 +1467,7 @@ object VectorSearch {
   final val MmrC = 20
   final val MmrK = 5
   def vsDiversify: Q = (spark, dir) => {
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def idot(a: Column, b: Column): Column = graft.functions.int_dot(a, b)
     val grid = int8Grid(spark, dir)
     val q = grid.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
@@ -1638,7 +1634,7 @@ object VectorSearch {
     b$t AS MATERIALIZED (SELECT q_id, c_id FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
         FROM v${t - 1}) WHERE rn <= ${NnGraph.Beam}),
-    x$t AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS c_id
+    x$t AS MATERIALIZED (SELECT b.q_id, g.dst AS c_id
       FROM b$t b JOIN gs g ON g.src = b.c_id),
     n$t AS MATERIALIZED (SELECT x.q_id, x.c_id, ${d2Sql("e.qd", "q.qq")} AS d2
       FROM x$t x JOIN quant e ON e.vec_id = x.c_id JOIN qs q ON q.q_id = x.q_id),

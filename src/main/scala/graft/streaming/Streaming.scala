@@ -635,17 +635,14 @@ object Streaming {
   private[graft] def ingestCellOf(
       v: Column, cents: IndexedSeq[(Long, IndexedSeq[Long])]): Column =
     least(cents.map { case (cid, cv) =>
-      struct(
-        aggregate(zip_with(v, typedlit(cv), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"),
+      struct(graft.functions.int_sq_l2(v, typedlit(cv)).as("d2"),
         lit(cid).as("cid"))
     }: _*).getField("cid")
 
   /** Σ vec[i]·(i+1) — the same assembled-vector checksum `vs_ingest`
     * proves the batch embedder with. */
   private def ingestChecksum(v: Column): Column =
-    aggregate(zip_with(v, sequence(lit(1), lit(IngestDim)), (x, i) => x * i),
-      lit(0L), (a, x) => a + x)
+    graft.functions.int_dot(v, sequence(lit(1L), lit(IngestDim.toLong)))
 
   /** Coarse centroids for streaming ingest: the hash count vectors of the
     * [[IngestK]] lowest doc_ids (deterministic; trained batch-side BEFORE
