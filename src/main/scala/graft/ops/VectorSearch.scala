@@ -1704,6 +1704,80 @@ object VectorSearch {
       .orderBy("vec_id")
   }
 
+  // ── vs_sparse_search — sparse-vector MIPS via posting-list join ──────
+  /** Sparse-vector retrieval — the pgvector `sparsevec` column family
+    * (pgvector 0.7 adds sparse vectors alongside the dense `vector` the
+    * reference's migration creates), and the learned-sparse (SPLADE-
+    * style) leg a hybrid retrieval stack pairs with dense ANN.
+    *
+    * Sparsify = per-vector top-[[SparseTopM]] dims by |weight| on the
+    * shared int8 grid, TIES KEPT (every dim whose |w| ≥ the M-th
+    * largest |w| of that vector): a SET-valued rule with no ordering
+    * dependence, computed on the array itself (`sort_array` +
+    * `element_at` — map-only, no per-vector window) and replayed
+    * bit-for-bit by DuckDB `list_sort`. Zero weights dropped (they
+    * cannot contribute to any dot product).
+    *
+    * Score = EXACT sparse dot product via the classic inverted-file
+    * posting join: a dot term exists only where BOTH vectors kept the
+    * dim, so joining postings on dim and summing products is exact —
+    * never a candidate-generation approximation. Scale shape: corpus
+    * postings are one map-only pass over the scan; the bounded query
+    * set (every 100th id) is staged and BROADCAST, so the join adds no
+    * corpus shuffle; the ONE corpus-sized exchange is the (q_id, c_id)
+    * partial-agg sum (map-side combined), whose volume is bounded by
+    * Σ_dim |postings_q(dim)|·|postings_c(dim)| — impact thresholding
+    * keeps it ~(M/dim)² of the dense cross product. Hot dims fan out
+    * by at most |query postings on that dim|, combined map-side. At
+    * 100 TB the posting table is the stored index artifact (like the
+    * IVF assignment table) and this plan is one scan + one bounded
+    * shuffle. */
+  final val SparseTopM = 12
+  final val SparseTopK = 10
+  def vsSparseSearch: Q = (spark, dir) => {
+    val quant = int8Grid(spark, dir)
+    val thr = element_at(sort_array(transform(col("qd"), x => abs(x)), asc = false),
+      SparseTopM)
+    // The posting table is the stored index artifact (IVF-assignment
+    // shape): staged once, it feeds BOTH join sides without a second
+    // scan+sparsify pass.
+    val posts = graft.util.Persist.stage(
+      quant
+        .withColumn("thr", thr)
+        .select(col("vec_id"), col("thr"), posexplode(col("qd")).as(Seq("pos", "w")))
+        .filter(abs(col("w")) >= col("thr") && col("w") =!= 0)
+        .select(col("vec_id"), (col("pos") + 1).as("dim"), col("w")),
+      eager = false)
+    val qp = posts.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("dim"), col("w").as("wq"))
+    val wQ = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))
+    posts.select(col("vec_id").as("c_id"), col("dim"), col("w"))
+      .join(broadcast(qp), "dim")
+      .groupBy("q_id", "c_id").agg(sum(col("w") * col("wq")).as("dot"))
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= SparseTopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"), col("dot"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Full SQL replay of [[vsSparseSearch]]: same grid, same tie-kept
+    * top-M sparsify (`list_sort(..., 'DESC')[M]`), same posting join +
+    * integer dot, same (dot DESC, c_id) tie-broken top-k. */
+  val vsSparseSearchSql: String = int8GridCtes + s""",
+    th AS (SELECT vec_id,
+        list_sort(list_transform(qd, x -> abs(x)), 'DESC')[$SparseTopM] AS thr
+      FROM quant),
+    cp AS (SELECT q.vec_id AS c_id, d.i AS dim, q.qd[d.i] AS w
+      FROM quant q JOIN th t ON t.vec_id = q.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) d
+      WHERE abs(q.qd[d.i]) >= t.thr AND q.qd[d.i] <> 0),
+    qp AS (SELECT c_id AS q_id, dim, w AS wq FROM cp WHERE c_id % 100 = 0),
+    sc AS (SELECT q.q_id, c.c_id, CAST(SUM(c.w * q.wq) AS BIGINT) AS dot
+      FROM cp c JOIN qp q ON q.dim = c.dim GROUP BY 1, 2)
+    SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, dot FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rn
+      FROM sc) WHERE rn <= $SparseTopK ORDER BY q_id, rank"""
+
   val queries: Map[String, Q] = Map(
     "vs_count" -> vsCount,
     "vs_diversify" -> vsDiversify,
@@ -1731,6 +1805,7 @@ object VectorSearch {
     "vs_lsh_search" -> vsLshSearch,
     "vs_lsh_tuned" -> vsLshTuned,
     "vs_nng_search" -> vsNngSearch,
+    "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
   val oracles: Map[String, String] = Map(
@@ -1759,5 +1834,6 @@ object VectorSearch {
     "vs_maxsim_search" -> vsMaxsimSearchSql,
     "vs_ivfpq_search" -> vsIvfPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql,
-    "vs_nng_search" -> vsNngSearchSql)
+    "vs_nng_search" -> vsNngSearchSql,
+    "vs_sparse_search" -> vsSparseSearchSql)
 }
