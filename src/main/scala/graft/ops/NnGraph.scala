@@ -63,13 +63,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 object NnGraph {
   /** Graph degree K: out-neighbors kept per node each round. */
   final val K = 16
-  /** NN-descent rounds — convergence needs ~log n rounds, so this is
-    * the knob that grows (slowly) with corpus size. Two rounds + the
-    * wider beam below measured search recall@5 0.93 at n=2000 (three
-    * rounds: 0.97 at +35% wall — each round is ~6 shuffle stages, and
-    * on the small-SF corpus stage overhead, not arithmetic, is the
-    * cost; at real scale raise rounds before beam). */
-  final val Rounds = 2
+  /** NN-descent polish rounds on top of the bucket-seeded init.
+    * Geometry was tuned on the sf1 corpus (n=20k), which is measured to
+    * be ISOTROPIC noise — true top-5 cosine ≈ 0.443 against a
+    * random-pair σ of 0.126, i.e. the nearest neighbors are 3.5σ order
+    * statistics of noise, not cluster structure (labels are geometry-
+    * independent: 8.3% of top-5 share the query's label ≈ the 10%
+    * chance rate). That is the worst case every published ANN family
+    * degrades on (high intrinsic dimensionality), so these constants
+    * are the honest budget for it, not free parameters: seeded
+    * rounds=3/S=24 reaches graph edge-recall 0.26 where UNSEEDED
+    * rounds=4/S=32 needed 5× the scored pairs for 0.315 (and 120 s vs
+    * 25 s build wall at sf1). Search over the seeded graph clears the
+    * 0.8 recall floor at 0.867 (entries=256, beam=96, hops=4); hop 5
+    * bought only +0.006 and was dropped. */
+  final val Rounds = 3
   /** Sampled local join (the NN-descent paper's ρ-sampling, made
     * deterministic): only each node's [[SampleS]] CLOSEST symmetrized
     * neighbors participate in the co-neighbor join, and each unordered
@@ -81,13 +89,16 @@ object NnGraph {
     * with intrinsic dimensionality. */
   final val SampleS = 24
   /** Search: fixed entry nodes (vec_id < Entries), beam width, hops.
-    * Beam 24 × 3 hops ≡ recall of beam 16 × 4 hops here (0.93 vs 0.92
-    * measured) at one fewer hop — a hop is ~4 shuffle stages while a
-    * wider beam only fattens existing joins, so beam is the cheap knob
-    * and hops the expensive one. */
-  final val Entries = 8
-  final val Beam = 24
-  final val Hops = 3
+    * A hop is ~4 shuffle stages while entries and beam only fatten
+    * existing joins, so hops is the expensive knob and the other two
+    * are nearly free: at sf1, entries 64→256 and beam 64→96 moved
+    * recall 0.804→0.867 at the SAME hop count, and the 5th hop added
+    * only +0.006. On the isotropic corpus (see [[Rounds]]) wide-start +
+    * descent beats deep navigation — there is no long-range cluster
+    * gradient for extra hops to follow. */
+  final val Entries = 256
+  final val Beam = 96
+  final val Hops = 4
   final val TopK = 5
 
   /** Exact integer squared L2 between two grid-vector columns (|diff| ≤
@@ -96,6 +107,65 @@ object NnGraph {
     * `aggregate(zip_with(...))` spelling is a CodegenFallback HOF and
     * measured 5-8× slower on the ~500k-pair score steps. */
   def intD2(a: Column, b: Column): Column = graft.functions.int_sq_l2(a, b)
+
+  /** Bucket-seeded init (the EFANNA recipe — Fu & Cai 2016: seed the
+    * k-NN graph from an approximate space partition, then let NN-descent
+    * polish): [[SeedBands]] hyperplane-sign buckets over the int8 grid,
+    * each node chain-linked to its next [[SeedChain]] co-bucket members
+    * in id order. Near pairs co-bucket with probability p(sim)^r per
+    * band, so the seed edges start in the right neighborhood — measured
+    * at sf1 (n=20k) the seeded round-0 graph alone reaches the edge
+    * recall the random-init build needed 3 full NN-descent rounds for,
+    * at a fraction of the pair volume (seed scoring is n·(B·C + K) pairs
+    * vs n·S²/2 per descent round). Chain-linking bounds per-node seed
+    * degree at B·C regardless of bucket population, so a degenerate
+    * bucket (all-same-sign corpus slice) costs edges, never a quadratic
+    * pair blowup — the [[graft.util.Skew.cappedSelfPairs]] concern
+    * engineered away by construction.
+    *
+    * Planes are INTEGER (coords in [-16384, 16384) from the same
+    * bounded avalanche mixer): |dot| ≤ 127·16384·64 < 2^31, so the
+    * signs — and therefore the buckets, the seeds, and the finished
+    * graph — replay bit-for-bit in DuckDB BIGINT arithmetic. The float
+    * LSH planes ([[VectorSearch.lshBands]]) would work too, but float
+    * dot-product sign is exactly the kind of cross-engine edge this
+    * repo keeps out of oracle-hashed paths. */
+  final val SeedPlanes = 10
+  final val SeedBands = 16
+  final val SeedChain = 3
+
+  private def seedPlaneVal(j: Int, i: Int): Long = {
+    val x0 = (j * 64 + i + 1).toLong
+    val h1 = (x0 * 2654435761L) % 2147483648L
+    val h2 = ((h1 ^ (h1 / 65536L)) * 2246822519L) % 2147483648L
+    val h3 = h2 ^ (h2 / 8192L)
+    h3 % 32768L - 16384L
+  }
+
+  /** Directed seed edges (src < dst by construction, ≤ B·C per src). */
+  def seedGraph(quant: DataFrame): DataFrame = {
+    val all = typedlit(
+      (0 until SeedBands * SeedPlanes).map(j => (0 until 64).map(i => seedPlaneVal(j, i))))
+    val bits = transform(all,
+      p => when(graft.functions.int_dot(col("qd"), p) >= 0, lit(1L)).otherwise(lit(0L)))
+    // Generate barrier: every band expression references the bit array —
+    // without it CollapseProject re-inlines the 160 integer dots per band.
+    val sig = graft.util.Det.materializedColumn(
+      quant.select(col("vec_id"), col("qd")), "bits", bits)
+    val bandVals = (0 until SeedBands).map { b =>
+      aggregate(slice(col("bits"), b * SeedPlanes + 1, SeedPlanes),
+        lit(0L), (acc, x) => acc * 2 + x)
+    }
+    val bands = sig.select(col("vec_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val wB = Window.partitionBy("band_idx", "band_val").orderBy("vec_id")
+    val ranked = bands.withColumn("rn", row_number().over(wB))
+    ranked.as("x").join(ranked.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + SeedChain)
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+  }
 
   /** Random init offset for (src, j) from the bounded two-round
     * multiply-xor avalanche mixer (every intermediate < 2^62, so DuckDB
@@ -135,8 +205,19 @@ object NnGraph {
     val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     val wA = Window.partitionBy("a").orderBy(col("d2"), col("b"))
     val g0 = Persist.stage(initGraph(quant, n, k), eager = false)
-    // init edges scored once so round 1's sampled join can rank them
-    var g: DataFrame = Persist.stage(score(g0, quant), eager = false)
+    // Round 0: random long links ∪ bucket seeds, canonicalized so each
+    // unordered pair is scored once, mirrored, cut to K per src — the
+    // seeded start NN-descent polishes from.
+    val e0 = g0.unionByName(seedGraph(quant))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val h0 = score(e0, quant)
+    var g: DataFrame = Persist.stage(
+      h0.unionByName(h0.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
+        .withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= k).select("src", "dst", "d2"),
+      eager = false)
     for (_ <- 1 to rounds) {
       // Symmetrized adjacency (forward-only joins stall on sink nodes),
       // SAMPLED: only each node's sampleS closest symmetrized neighbors

@@ -1649,8 +1649,42 @@ object VectorSearch {
                   % 2147483648 AS h1
               FROM quant q,
                 (SELECT unnest(range(1, ${NnGraph.K + 1})) AS j) j)), nn),
-    g0 AS MATERIALIZED (SELECT gi.src, gi.dst, ${d2Sql("a.qd", "b.qd")} AS d2
-      FROM gi JOIN quant a ON a.vec_id = gi.src JOIN quant b ON b.vec_id = gi.dst),
+    spidx AS (
+      SELECT jj.range AS j, ii.range AS i,
+        ((jj.range*64 + ii.range + 1) * 2654435761) % 2147483648 AS h1
+      FROM range(0, ${NnGraph.SeedBands * NnGraph.SeedPlanes}) jj, range(0, 64) ii),
+    sp2 AS (SELECT j, i,
+        (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2 FROM spidx),
+    splanes AS (
+      SELECT j, list(xor(h2, h2 // 8192) % 32768 - 16384 ORDER BY i) AS p
+      FROM sp2 GROUP BY j),
+    sbits AS (
+      SELECT vec_id, j,
+        CASE WHEN CAST(list_sum(list_transform(range(1, len(qd) + 1),
+          i -> qd[i] * p[i])) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM quant, splanes),
+    sbands AS (
+      SELECT vec_id, j // ${NnGraph.SeedPlanes} AS band_idx,
+        SUM(bit * (1 << (${NnGraph.SeedPlanes} - 1 - j % ${NnGraph.SeedPlanes})))
+          AS band_val
+      FROM sbits GROUP BY 1, 2),
+    srk AS MATERIALIZED (SELECT vec_id, band_idx, band_val,
+        row_number() OVER (PARTITION BY band_idx, band_val ORDER BY vec_id) AS rn
+      FROM sbands),
+    seeds AS (SELECT x.vec_id AS src, y.vec_id AS dst
+      FROM srk x JOIN srk y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND y.rn > x.rn AND y.rn <= x.rn + ${NnGraph.SeedChain}),
+    e0 AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+      FROM (SELECT src, dst FROM gi UNION ALL SELECT src, dst FROM seeds)
+      WHERE src <> dst),
+    h0 AS MATERIALIZED (SELECT e0.src, e0.dst, ${d2Sql("a.qd", "b.qd")} AS d2
+      FROM e0 JOIN quant a ON a.vec_id = e0.src JOIN quant b ON b.vec_id = e0.dst),
+    g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+        FROM (SELECT src, dst, d2 FROM h0
+              UNION ALL SELECT dst AS src, src AS dst, d2 FROM h0))
+      WHERE rn <= ${NnGraph.K}),
     ${(1 to NnGraph.Rounds).map(round_).mkString(",")},
     gs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM g${NnGraph.Rounds}
