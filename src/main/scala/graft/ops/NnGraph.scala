@@ -71,13 +71,14 @@ object NnGraph {
     * independent: 8.3% of top-5 share the query's label ≈ the 10%
     * chance rate). That is the worst case every published ANN family
     * degrades on (high intrinsic dimensionality), so these constants
-    * are the honest budget for it, not free parameters: seeded
-    * rounds=3/S=24 reaches graph edge-recall 0.26 where UNSEEDED
-    * rounds=4/S=32 needed 5× the scored pairs for 0.315 (and 120 s vs
-    * 25 s build wall at sf1). Search over the seeded graph clears the
-    * 0.8 recall floor at 0.867 (entries=256, beam=96, hops=4); hop 5
-    * bought only +0.006 and was dropped. */
-  final val Rounds = 3
+    * are the honest budget for it, not free parameters: the seeded
+    * 2-round/S=32 build reaches search recall 0.859 where the UNSEEDED
+    * build needed 4 rounds at S=32 (120 s vs 22 s build wall at sf1)
+    * for 0.845. Rounds×S trades measured flat here (3×24 → 0.867,
+    * 2×32 → 0.859 — same total pair volume n·S²·R/2) — take the fewer
+    * rounds: each round is ~6 latency-bound shuffle stages at small SF,
+    * while a wider S only fattens one codegen'd score join. */
+  final val Rounds = 2
   /** Sampled local join (the NN-descent paper's ρ-sampling, made
     * deterministic): only each node's [[SampleS]] CLOSEST symmetrized
     * neighbors participate in the co-neighbor join, and each unordered
@@ -87,13 +88,13 @@ object NnGraph {
     * the convergence signal. The pair volume is n·S²/2 per round —
     * LINEAR in corpus size — and S is the quality/cost knob to raise
     * with intrinsic dimensionality. */
-  final val SampleS = 24
+  final val SampleS = 32
   /** Search: fixed entry nodes (vec_id < Entries), beam width, hops.
     * A hop is ~4 shuffle stages while entries and beam only fatten
     * existing joins, so hops is the expensive knob and the other two
     * are nearly free: at sf1, entries 64→256 and beam 64→96 moved
-    * recall 0.804→0.867 at the SAME hop count, and the 5th hop added
-    * only +0.006. On the isotropic corpus (see [[Rounds]]) wide-start +
+    * recall +0.06 at the SAME hop count, and a 5th hop bought only
+    * +0.006. On the isotropic corpus (see [[Rounds]]) wide-start +
     * descent beats deep navigation — there is no long-range cluster
     * gradient for extra hops to follow. */
   final val Entries = 256
@@ -223,6 +224,13 @@ object NnGraph {
       // SAMPLED: only each node's sampleS closest symmetrized neighbors
       // enter the co-neighbor join — the dominant convergence signal at
       // a fraction of the pair volume (see SampleS scaladoc).
+      // The distinct before the rank is LOAD-BEARING for quality, not
+      // just hygiene: a mutual pair appears in both directions and
+      // would otherwise burn two of the S sample slots on one
+      // neighbor — and mutual edges are exactly the closest ones, so
+      // every strong neighbor would halve the effective sample. The
+      // dedup-free variant measured recall@5 0.787 vs 0.867 at sf1 for
+      // one saved exchange per round.
       val slim = g.select(col("src").as("a"), col("dst").as("b"), col("d2"))
         .unionByName(g.select(col("dst").as("a"), col("src").as("b"), col("d2")))
         .distinct()
@@ -252,8 +260,12 @@ object NnGraph {
     * for the caller to cut. */
   def search(refined: DataFrame, init: DataFrame, quant: DataFrame, qs: DataFrame,
       entries: Int = Entries, beam: Int = Beam, hops: Int = Hops): DataFrame = {
-    val graph = refined.select("src", "dst")
-      .unionByName(init.select("src", "dst")).distinct()
+    // Staged once: every hop joins against this frame, and without the
+    // cut each hop's plan would re-run the union+distinct.
+    val graph = Persist.stage(
+      refined.select("src", "dst")
+        .unionByName(init.select("src", "dst")).distinct(),
+      eager = false)
     val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
     val ent = quant.filter(col("vec_id") < entries)
       .select(col("vec_id").as("c_id"), col("qd"))

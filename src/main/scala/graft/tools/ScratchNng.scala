@@ -62,10 +62,7 @@ object ScratchNng {
 
     val combos = Seq(
       // (entries, beam, hops)
-      (64, 64, 5),
-      (256, 64, 5),
-      (256, 96, 5),
-      (256, 96, 4))
+      (NnGraph.Entries, NnGraph.Beam, NnGraph.Hops))
     for ((entries, beam, hops) <- combos) {
       val t0 = System.nanoTime()
       val approx = NnGraph.search(graph, init, qv, qs, entries, beam, hops)
