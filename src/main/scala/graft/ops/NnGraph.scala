@@ -101,6 +101,14 @@ object NnGraph {
   final val Beam = 96
   final val Hops = 4
   final val TopK = 5
+  /** Lighter search geometry for upsert PLACEMENT (finding a new
+    * vector's K attachment points): the full grading geometry buys
+    * recall the placement step doesn't need — at sf1 the repaired
+    * post-upsert recall measured 0.851 with this geometry vs 0.835
+    * with the full one, at one fewer hop and half the beam. */
+  final val PlaceEntries = 64
+  final val PlaceBeam = 48
+  final val PlaceHops = 3
 
   /** Exact integer squared L2 between two grid-vector columns (|diff| ≤
     * 254 per dim → far below BIGINT overflow at any real dimension).
@@ -206,17 +214,20 @@ object NnGraph {
     val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     val wA = Window.partitionBy("a").orderBy(col("d2"), col("b"))
     val g0 = Persist.stage(initGraph(quant, n, k), eager = false)
-    // Round 0: random long links ∪ bucket seeds, canonicalized so each
-    // unordered pair is scored once, mirrored, cut to K per src — the
-    // seeded start NN-descent polishes from.
+    // Round 0: random long links ∪ bucket seeds, canonicalized,
+    // mirrored, cut to K per src — the seeded start NN-descent
+    // polishes from. No dedup exchange: duplicate seed/init edges are
+    // rescored (one codegen'd kernel call each) and dense_rank keeps
+    // the same K DISTINCT neighbors whether or not copies rode along;
+    // round 1's pair-stage DISTINCT absorbs any surviving copies.
     val e0 = g0.unionByName(seedGraph(quant))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
     val h0 = score(e0, quant)
     var g: DataFrame = Persist.stage(
       h0.unionByName(h0.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
-        .withColumn("rn", row_number().over(wSrc))
+        .withColumn("rn", dense_rank().over(wSrc))
         .filter(col("rn") <= k).select("src", "dst", "d2"),
       eager = false)
     for (_ <- 1 to rounds) {
@@ -224,17 +235,20 @@ object NnGraph {
       // SAMPLED: only each node's sampleS closest symmetrized neighbors
       // enter the co-neighbor join — the dominant convergence signal at
       // a fraction of the pair volume (see SampleS scaladoc).
-      // The distinct before the rank is LOAD-BEARING for quality, not
-      // just hygiene: a mutual pair appears in both directions and
-      // would otherwise burn two of the S sample slots on one
-      // neighbor — and mutual edges are exactly the closest ones, so
-      // every strong neighbor would halve the effective sample. The
-      // dedup-free variant measured recall@5 0.787 vs 0.867 at sf1 for
-      // one saved exchange per round.
+      // dense_rank, NOT row_number: a mutual pair appears in both
+      // directions of the symmetrized union, and under row_number the
+      // duplicate would burn two of the S sample slots on one neighbor
+      // — and mutual edges are exactly the closest ones, so every
+      // strong neighbor would halve the effective sample (measured
+      // recall@5 0.787 vs 0.867 at sf1). A pre-rank distinct also
+      // fixes it but costs a dedup exchange per round; dense_rank
+      // selects the identical S-closest DISTINCT neighbor set (d2 is a
+      // function of (a,b), so equal rows tie exactly) and the
+      // duplicate rows it lets through collapse in the pair-stage
+      // DISTINCT below.
       val slim = g.select(col("src").as("a"), col("dst").as("b"), col("d2"))
         .unionByName(g.select(col("dst").as("a"), col("src").as("b"), col("d2")))
-        .distinct()
-        .withColumn("rn", row_number().over(wA))
+        .withColumn("rn", dense_rank().over(wA))
         .filter(col("rn") <= sampleS).select("a", "b")
       // Local join, canonicalized: each unordered candidate pair scored
       // once (b1 < b2), current edges kept as candidates too.
@@ -259,7 +273,8 @@ object NnGraph {
     * query grid vectors. Returns (q_id, c_id, d2) — everything visited,
     * for the caller to cut. */
   def search(refined: DataFrame, init: DataFrame, quant: DataFrame, qs: DataFrame,
-      entries: Int = Entries, beam: Int = Beam, hops: Int = Hops): DataFrame = {
+      entries: Int = Entries, beam: Int = Beam, hops: Int = Hops,
+      entrySource: Option[DataFrame] = None): DataFrame = {
     // Staged once: every hop joins against this frame, and without the
     // cut each hop's plan would re-run the union+distinct.
     val graph = Persist.stage(
@@ -267,7 +282,10 @@ object NnGraph {
         .unionByName(init.select("src", "dst")).distinct(),
       eager = false)
     val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
-    val ent = quant.filter(col("vec_id") < entries)
+    // Entry points default to the scoring corpus; an upsert-style search
+    // draws entries from the BASE index while scoring candidates against
+    // the full (base ∪ batch) corpus, so the two are separable.
+    val ent = entrySource.getOrElse(quant).filter(col("vec_id") < entries)
       .select(col("vec_id").as("c_id"), col("qd"))
     var v: DataFrame = qs.crossJoin(broadcast(ent))
       .select(col("q_id"), col("c_id"), intD2(col("qd"), col("qq")).as("d2"))

@@ -1568,16 +1568,12 @@ object VectorSearch {
     * below_floor); NngSpec asserts below_floor = 0 at every SF and that
     * the build plan contains no cartesian/BNL join. */
   final val NngRecallFloorPpm = 800000L
-  def vsNngSearch: Q = (spark, dir) => {
-    // One staged evaluation of the grid — the build rounds, the search
-    // hops and the exact baseline all reuse it.
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
-    val (graph, init) = NnGraph.build(qv)
-    val qs = qv.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+  /** Shared grade: visited set vs exact top-K, one row per query with
+    * the corpus-mean recall and the floor flag (the [[vsNngSearch]] /
+    * [[vsNngUpsert]] output contract). */
+  private def nngGrade(qv: DataFrame, qs: DataFrame, visited: DataFrame): DataFrame = {
     val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
-    val approx = NnGraph.search(graph, init, qv, qs)
-      .withColumn("rn", row_number().over(wQ))
+    val approx = visited.withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id")
     val exact = qv.crossJoin(broadcast(qs))
       .select(col("q_id"), col("vec_id").as("c_id"),
@@ -1599,6 +1595,16 @@ object VectorSearch {
       .orderBy("q_id")
   }
 
+  def vsNngSearch: Q = (spark, dir) => {
+    // One staged evaluation of the grid — the build rounds, the search
+    // hops and the exact baseline all reuse it.
+    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val (graph, init) = NnGraph.build(qv)
+    val qs = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    nngGrade(qv, qs, NnGraph.search(graph, init, qv, qs))
+  }
+
   /** Full SQL replay of [[vsNngSearch]]: int8 grid → strided init graph
     * → unrolled NN-descent rounds (symmetrize, co-neighbor local join,
     * integer-L2 score, per-src top-K) → unrolled beam-search hops →
@@ -1608,15 +1614,22 @@ object VectorSearch {
     * and DuckDB's default CTE inlining re-evaluates every reference —
     * compounding to >100× work by round 3 (measured: the un-hinted
     * oracle ran >10 min at sf0.001; materialized it's seconds). */
-  val vsNngSearchSql: String = {
-    def d2Sql(a: String, b: String) =
+  /** Shared SQL template pieces for the two graph-index oracles
+    * ([[vsNngSearchSql]], [[vsNngUpsertSql]]). `corpus` is the CTE the
+    * index is BUILT over (init + seeds + rounds + their scoring joins);
+    * the hop chain parameterizes its CTE-name prefix (so one query can
+    * run two searches), its graph/query CTEs, the entry-point source,
+    * and the scoring source (the updated-graph search scores against
+    * the FULL corpus while drawing entries from the base). */
+  private object NngSql {
+    def d2Sql(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
-    def round_(r: Int) = s"""
+    private def round_(r: Int, corpus: String) = s"""
     s$r AS MATERIALIZED (SELECT a, b FROM (
-        SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+        SELECT a, b, dense_rank() OVER (PARTITION BY a ORDER BY d2, b) AS rn
         FROM (SELECT src AS a, dst AS b, d2 FROM g${r - 1}
-              UNION SELECT dst AS a, src AS b, d2 FROM g${r - 1}))
+              UNION ALL SELECT dst AS a, src AS b, d2 FROM g${r - 1}))
       WHERE rn <= ${NnGraph.SampleS}),
     c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT s1.b AS src, s2.b AS dst FROM s$r s1 JOIN s$r s2 ON s1.a = s2.a
@@ -1624,30 +1637,22 @@ object VectorSearch {
         UNION ALL SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
           FROM g${r - 1})),
     h$r AS MATERIALIZED (SELECT c.src, c.dst, ${d2Sql("a.qd", "b.qd")} AS d2
-      FROM c$r c JOIN quant a ON a.vec_id = c.src JOIN quant b ON b.vec_id = c.dst),
+      FROM c$r c JOIN $corpus a ON a.vec_id = c.src JOIN $corpus b ON b.vec_id = c.dst),
     d$r AS (SELECT src, dst, d2 FROM h$r
       UNION ALL SELECT dst AS src, src AS dst, d2 FROM h$r),
     g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn FROM d$r)
       WHERE rn <= ${NnGraph.K})"""
-    def hop_(t: Int) = s"""
-    b$t AS MATERIALIZED (SELECT q_id, c_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
-        FROM v${t - 1}) WHERE rn <= ${NnGraph.Beam}),
-    x$t AS MATERIALIZED (SELECT b.q_id, g.dst AS c_id
-      FROM b$t b JOIN gs g ON g.src = b.c_id),
-    n$t AS MATERIALIZED (SELECT x.q_id, x.c_id, ${d2Sql("e.qd", "q.qq")} AS d2
-      FROM x$t x JOIN quant e ON e.vec_id = x.c_id JOIN qs q ON q.q_id = x.q_id),
-    v$t AS MATERIALIZED (SELECT DISTINCT q_id, c_id, d2 FROM
-        (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM n$t))"""
-    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
-    nn AS (SELECT COUNT(*) AS n FROM quant),
+    /** init + seed + round CTEs over `corpus`; ends with the refined
+      * graph `g<Rounds>` and the navigable edge set `gs`. */
+    def buildCtes(corpus: String): String = s"""
+    nn AS (SELECT COUNT(*) AS n FROM $corpus),
     gi AS MATERIALIZED (SELECT src, (src + 1 + (xor(h2, h2 // 8192) % (nn.n - 1))) % nn.n AS dst
       FROM (SELECT src, (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2
             FROM (SELECT q.vec_id AS src,
                 (((q.vec_id * ${NnGraph.K} + j.j) % 2147483648) * 2654435761)
                   % 2147483648 AS h1
-              FROM quant q,
+              FROM $corpus q,
                 (SELECT unnest(range(1, ${NnGraph.K + 1})) AS j) j)), nn),
     spidx AS (
       SELECT jj.range AS j, ii.range AS i,
@@ -1662,7 +1667,7 @@ object VectorSearch {
       SELECT vec_id, j,
         CASE WHEN CAST(list_sum(list_transform(range(1, len(qd) + 1),
           i -> qd[i] * p[i])) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
-      FROM quant, splanes),
+      FROM $corpus, splanes),
     sbands AS (
       SELECT vec_id, j // ${NnGraph.SeedPlanes} AS band_idx,
         SUM(bit * (1 << (${NnGraph.SeedPlanes} - 1 - j % ${NnGraph.SeedPlanes})))
@@ -1675,30 +1680,49 @@ object VectorSearch {
       FROM srk x JOIN srk y
         ON x.band_idx = y.band_idx AND x.band_val = y.band_val
        AND y.rn > x.rn AND y.rn <= x.rn + ${NnGraph.SeedChain}),
-    e0 AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+    e0 AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
       FROM (SELECT src, dst FROM gi UNION ALL SELECT src, dst FROM seeds)
       WHERE src <> dst),
     h0 AS MATERIALIZED (SELECT e0.src, e0.dst, ${d2Sql("a.qd", "b.qd")} AS d2
-      FROM e0 JOIN quant a ON a.vec_id = e0.src JOIN quant b ON b.vec_id = e0.dst),
+      FROM e0 JOIN $corpus a ON a.vec_id = e0.src JOIN $corpus b ON b.vec_id = e0.dst),
     g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
-        SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+        SELECT *, dense_rank() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
         FROM (SELECT src, dst, d2 FROM h0
               UNION ALL SELECT dst AS src, src AS dst, d2 FROM h0))
       WHERE rn <= ${NnGraph.K}),
-    ${(1 to NnGraph.Rounds).map(round_).mkString(",")},
+    ${(1 to NnGraph.Rounds).map(round_(_, corpus)).mkString(",")},
     gs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM g${NnGraph.Rounds}
-        UNION ALL SELECT src, dst FROM gi)),
-    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
-      WHERE vec_id % 100 = 0),
-    v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
-      FROM qs q, quant e WHERE e.vec_id < ${NnGraph.Entries}),
-    ${(1 to NnGraph.Hops).map(hop_).mkString(",")},
+        UNION ALL SELECT src, dst FROM gi))"""
+    private def hop_(t: Int, p: String, graph: String, qs: String,
+        scoreSrc: String, beam: Int) = s"""
+    ${p}b$t AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM ${p}v${t - 1}) WHERE rn <= $beam),
+    ${p}x$t AS MATERIALIZED (SELECT b.q_id, g.dst AS c_id
+      FROM ${p}b$t b JOIN $graph g ON g.src = b.c_id),
+    ${p}n$t AS MATERIALIZED (SELECT x.q_id, x.c_id, ${d2Sql("e.qd", "q.qq")} AS d2
+      FROM ${p}x$t x JOIN $scoreSrc e ON e.vec_id = x.c_id JOIN $qs q ON q.q_id = x.q_id),
+    ${p}v$t AS MATERIALIZED (SELECT DISTINCT q_id, c_id, d2 FROM
+        (SELECT * FROM ${p}v${t - 1} UNION ALL SELECT * FROM ${p}n$t))"""
+    /** Full beam-search chain: `<p>v0` … `<p>v<hops>` over `graph`,
+      * entry points from `entSrc`, candidate scoring from `scoreSrc`;
+      * geometry overridable (upsert placement runs a lighter search). */
+    def hopCtes(p: String, graph: String, qs: String, entSrc: String,
+        scoreSrc: String, entries: Int = NnGraph.Entries,
+        beam: Int = NnGraph.Beam, hops: Int = NnGraph.Hops): String = s"""
+    ${p}v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
+      FROM $qs q, $entSrc e WHERE e.vec_id < $entries),
+    ${(1 to hops).map(hop_(_, p, graph, qs, scoreSrc, beam)).mkString(",")}"""
+    /** Grade visited set `<p>v<Hops>` against exact top-K over
+      * `exactSrc` for query CTE `qs` — the shared final SELECT. */
+    def gradeSql(p: String, qs: String, exactSrc: String,
+        hops: Int = NnGraph.Hops): String = s"""
     approx AS (SELECT q_id, c_id FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
-        FROM v${NnGraph.Hops}) WHERE rn <= ${NnGraph.TopK}),
+        FROM ${p}v$hops) WHERE rn <= ${NnGraph.TopK}),
     ex AS (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
-      FROM quant e, qs q),
+      FROM $exactSrc e, $qs q),
     exact AS (SELECT q_id, c_id FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
         FROM ex) WHERE rn <= ${NnGraph.TopK}),
@@ -1715,6 +1739,103 @@ object VectorSearch {
         AS below_floor
     FROM hits, tot ORDER BY q_id"""
   }
+
+  val vsNngSearchSql: String =
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    ${NngSql.buildCtes("quant")},
+    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
+      WHERE vec_id % 100 = 0),
+    ${NngSql.hopCtes("", "gs", "qs", "quant", "quant")},
+    ${NngSql.gradeSql("", "qs", "quant")}"""
+
+  // ── vs_nng_upsert — batch-incremental maintenance of the graph index ─
+  /** Every 50th vector is held out as the INCREMENT batch; the graph is
+    * built on the remaining 98% (the stored index artifact), then the
+    * batch is absorbed WITHOUT a rebuild — the operation a 100 TB
+    * pipeline runs on its nightly append (pgvector's HNSW handles
+    * INSERT row-by-row; the batch-parallel equivalent is
+    * place-and-repair):
+    *
+    *   1. PLACE: beam-search each new vector into the base graph
+    *      ([[NnGraph.search]] — the index serves its own maintenance);
+    *      its top-K visited become its out-edges.
+    *   2. REPAIR: each kept (new → existing) edge is mirrored as a
+    *      candidate (existing → new) and merged into the existing
+    *      node's adjacency under the same (d2, dst) top-K cut. The
+    *      k-NN edges a new node acquires all point the WRONG way for
+    *      search; the base init long-links give a new id raw inbound
+    *      connectivity (their dst arithmetic is uniform over ids), but
+    *      only repair gives it NEAR inbound edges that greedy routing
+    *      can follow. Measured: unrepaired 0.95 → repaired 1.0 recall
+    *      at sf0.1, and at sf1 unrepaired 0.637 (BELOW the 0.8 floor)
+    *      → repaired 0.835.
+    *   3. GRADE: search FOR the batch vectors THROUGH the repaired
+    *      graph (entries drawn from the base only, so a batch node is
+    *      never its own free entry point) against exact top-5 over the
+    *      full corpus. If repair is broken the new nodes are
+    *      unreachable and the recall column says so — the metric IS the
+    *      maintenance test.
+    *
+    * Cost shape: placement is |batch| beam searches (bounded visited
+    * set per query), repair touches ≤ |batch|·K existing adjacency
+    * lists through one keyed union + top-K window — NEVER a rebuild,
+    * NEVER a corpus pair join. All integer grid distances, so the
+    * DuckDB oracle replays build, placement, repair, and the grading
+    * search bit-for-bit from the shared [[NngSql]] template. */
+  final val UpsertMod = 50L
+  def vsNngUpsert: Q = (spark, dir) => {
+    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val base = graft.util.Persist.stage(
+      qv.filter(col("vec_id") % UpsertMod =!= 0), eager = false)
+    val (refined, init) = NnGraph.build(base)
+    val qsNew = qv.filter(col("vec_id") % UpsertMod === 0)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    val wS = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    val newEdges = graft.util.Persist.stage(
+      NnGraph.search(refined, init, base, qsNew,
+          NnGraph.PlaceEntries, NnGraph.PlaceBeam, NnGraph.PlaceHops)
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= NnGraph.K)
+        .select(col("q_id").as("src"), col("c_id").as("dst"), col("d2")),
+      eager = false)
+    val reverse = newEdges
+      .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
+    val repaired = refined.unionByName(reverse)
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") <= NnGraph.K)
+      .select("src", "dst", "d2")
+    val updated = repaired.unionByName(newEdges)
+    nngGrade(qv, qsNew,
+      NnGraph.search(updated, init, qv, qsNew, entrySource = Some(base)))
+  }
+
+  /** Full SQL replay of [[vsNngUpsert]]: shared build template over the
+    * base slice, placement hop chain (`p` prefix), new-edge cut, reverse
+    * repair merge, updated navigable set, grading hop chain (`u` prefix)
+    * scoring against the full corpus with base-only entries. */
+  val vsNngUpsertSql: String =
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    base AS MATERIALIZED (SELECT vec_id, qd FROM quant
+      WHERE vec_id % $UpsertMod <> 0),
+    ${NngSql.buildCtes("base")},
+    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
+      WHERE vec_id % $UpsertMod = 0),
+    ${NngSql.hopCtes("p", "gs", "qs", "base", "base",
+      NnGraph.PlaceEntries, NnGraph.PlaceBeam, NnGraph.PlaceHops)},
+    ne AS MATERIALIZED (SELECT q_id AS src, c_id AS dst, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM pv${NnGraph.PlaceHops}) WHERE rn <= ${NnGraph.K}),
+    rp AS MATERIALIZED (SELECT src, dst, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+        FROM (SELECT src, dst, d2 FROM g${NnGraph.Rounds}
+              UNION ALL SELECT dst AS src, src AS dst, d2 FROM ne))
+      WHERE rn <= ${NnGraph.K}),
+    gu AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM rp
+        UNION ALL SELECT src, dst FROM ne
+        UNION ALL SELECT src, dst FROM gi)),
+    ${NngSql.hopCtes("u", "gu", "qs", "base", "quant")},
+    ${NngSql.gradeSql("u", "qs", "quant")}"""
 
   // ── vs_ingest_w2v — corpus-trained Word2Vec embedder leg ────────────
   /** The second embedder behind the same store API
@@ -1839,6 +1960,7 @@ object VectorSearch {
     "vs_lsh_search" -> vsLshSearch,
     "vs_lsh_tuned" -> vsLshTuned,
     "vs_nng_search" -> vsNngSearch,
+    "vs_nng_upsert" -> vsNngUpsert,
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
@@ -1869,5 +1991,6 @@ object VectorSearch {
     "vs_ivfpq_search" -> vsIvfPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql,
     "vs_nng_search" -> vsNngSearchSql,
+    "vs_nng_upsert" -> vsNngUpsertSql,
     "vs_sparse_search" -> vsSparseSearchSql)
 }
