@@ -38,15 +38,26 @@ class CatalogSpec extends AnyFunSuite {
       s"registered but undocumented in SURVEY.md: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
-  test("every catalog row points at an existing source file") {
+  test("every catalog row points at the exact registration line") {
+    // Files grow every round, so file:line refs drift silently unless
+    // pinned: the row's line must be the key's FIRST `"key" ->` in the
+    // file (the queries-map entry; the oracleSql entry comes later).
+    val lineCache = scala.collection.mutable.Map.empty[String, Map[String, Int]]
+    def registrations(file: String): Map[String, Int] =
+      lineCache.getOrElseUpdate(file, {
+        val s = scala.io.Source.fromFile(file, "UTF-8")
+        val re = """"([a-z0-9_]+)" -> """.r.unanchored
+        try s.getLines().zipWithIndex.collect {
+          case (re(k), i) => k -> (i + 1)
+        }.toList.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+        finally s.close()
+      })
     for ((key, (file, line)) <- catalogRows) {
-      val f = new java.io.File(file)
-      assert(f.isFile, s"$key: $file does not exist")
-      val n = {
-        val s = scala.io.Source.fromFile(f, "UTF-8")
-        try s.getLines().size finally s.close()
-      }
-      assert(line <= n, s"$key: $file has $n lines, row says $line")
+      assert(new java.io.File(file).isFile, s"$key: $file does not exist")
+      val reg = registrations(file)
+      assert(reg.contains(key), s"$key: no registration found in $file")
+      assert(reg(key) == line,
+        s"$key: registered at $file:${reg(key)}, catalog row says $line")
     }
   }
 }
