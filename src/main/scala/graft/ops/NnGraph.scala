@@ -200,7 +200,7 @@ object NnGraph {
 
   /** Score an (src, dst) edge frame with exact grid distances — two
     * id-keyed hash joins against `quant`. */
-  private def score(edges: DataFrame, quant: DataFrame): DataFrame = edges
+  private[graft] def score(edges: DataFrame, quant: DataFrame): DataFrame = edges
     .join(quant.select(col("vec_id").as("src"), col("qd").as("aq")), "src")
     .join(quant.select(col("vec_id").as("dst"), col("qd").as("bq")), "dst")
     .select(col("src"), col("dst"), intD2(col("aq"), col("bq")).as("d2"))
