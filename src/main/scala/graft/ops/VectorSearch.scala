@@ -1847,10 +1847,32 @@ object VectorSearch {
     * each survivor s that pointed at a victim v with v's own surviving
     * out-neighbors: candidates s→w for every s→v→w, scored exactly and
     * merged into s's adjacency under the same (d2, dst) top-K cut —
-    * bounded at \\|victims\\|·K² candidate pairs, one keyed self-join,
-    * never a rebuild. dense_rank (not row_number) for the merge: a
-    * patch candidate may duplicate a surviving edge, and copies must
-    * not burn adjacency slots.
+    * one keyed self-join, never a rebuild. dense_rank (not row_number)
+    * for the merge: a patch candidate may duplicate a surviving edge,
+    * and copies must not burn adjacency slots.
+    *
+    * The candidate volume needs BOTH sides of the hop bounded. A
+    * victim's OUT-degree is ≤ K by the build's top-K cut, but its
+    * IN-degree is not bounded by anything — a popular vector sits in
+    * arbitrarily many adjacency lists, and at 10⁹ nodes a deleted hub
+    * fans the patch join out to its whole in-neighborhood (the classic
+    * skew blowup; round 10 shipped a \\|victims\\|·K² claim that was
+    * false for exactly this reason — measured 3458 > 3328 at sf0.01).
+    * So the victim side is CAPPED first: per victim, only its K
+    * NEAREST in-edges (row_number over (d2, src) on the s→v frame)
+    * propose patches ([[nngPatchCandidates]]). That makes the bound
+    * real — ≤ K in-edges × ≤ K out-edges per victim =
+    * \\|victims\\|·K² candidate pairs, by construction at any scale —
+    * and keeps the repair's nearest-neighbor character: the survivors
+    * closest to the hole are exactly the ones whose routing lost the
+    * most. Survivors beyond a victim's K closest in-neighbors keep
+    * their untouched edges and the init long links; measured sf1
+    * recall is IDENTICAL to the uncapped repair (0.885 both ways,
+    * 200 survivor queries) because a far in-neighbor's patched edge
+    * was never among its K best anyway — the cap drops exactly the
+    * candidates the top-K merge was discarding. At sf0.01 the capped
+    * frame is 2958 candidates under the 3328 bound where the uncapped
+    * one measured 3458 over it.
     *
     * Deletion cleanliness is BY CONSTRUCTION, not filtering after the
     * fact: the grading search scores candidates against the survivor
@@ -1858,10 +1880,9 @@ object VectorSearch {
     * row in either engine. Graded like the sibling ops: search for
     * survivor queries (vec_id % 100 = 5 — provably disjoint from the
     * victim set, odd vs multiples of 40) over the patched graph vs
-    * exact top-5 over survivors. Measured at sf1: 117k patch
-    * candidates (the \\|victims\\|·K² bound holds: 500·256 = 128k),
-    * patched recall 0.885 vs 0.879 naive edge-dropping — a 1-in-40
-    * delete barely dents this graph's routing. The patch earns its
+    * exact top-5 over survivors. Measured at sf1: patched recall
+    * 0.885 vs 0.879 naive edge-dropping — a 1-in-40 delete barely
+    * dents this graph's routing. The patch earns its
     * keep as the delete rate grows and survivor adjacency thins: at a
     * 1-in-4 delete (25% of the corpus) the gap is 9× wider, 0.887
     * patched vs 0.835 naive — the patch holds recall FLAT across a
@@ -1869,6 +1890,28 @@ object VectorSearch {
     * restores the degree bound (every survivor back to a full K
     * list); cleanliness + floor are what the spec pins. */
   final val DeleteMod = 40L
+
+  /** Patch candidates s→w for the delete repair, victim fan-in capped:
+    * per victim v, only its [[NnGraph.K]] nearest in-neighbors s (by
+    * (d2, src) on the surviving s→v edges) join against v's ≤ K
+    * surviving out-edges v→w — so the frame is ≤ \\|victims\\|·K² rows
+    * BY CONSTRUCTION (NngDeleteSpec measures it), independent of how
+    * popular a deleted vector was. Shared by [[vsNngDelete]], its SQL
+    * oracle (`vin` CTE) and the spec, so the bound the doc states is
+    * the code the query runs. */
+  def nngPatchCandidates(refined: DataFrame): DataFrame = {
+    def vic(c: Column): Column = c % DeleteMod === 0
+    val wV = Window.partitionBy("dst").orderBy(col("d2"), col("src"))
+    val vin = refined.filter(!vic(col("src")) && vic(col("dst")))
+      .withColumn("rn", row_number().over(wV)).filter(col("rn") <= NnGraph.K)
+      .select("src", "dst")
+    vin.as("a")
+      .join(refined.as("b").filter(vic(col("src")) && !vic(col("dst"))),
+        col("a.dst") === col("b.src"))
+      .filter(col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+  }
+
   def vsNngDelete: Q = (spark, dir) => {
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
     val (refined, init) = NnGraph.build(qv)
@@ -1876,10 +1919,7 @@ object VectorSearch {
       qv.filter(col("vec_id") % DeleteMod =!= 0), eager = false)
     def vic(c: Column): Column = c % DeleteMod === 0
     val keep = refined.filter(!vic(col("src")) && !vic(col("dst")))
-    val pc = refined.as("a").join(refined.as("b"), col("a.dst") === col("b.src"))
-      .filter(!vic(col("a.src")) && vic(col("a.dst")) && !vic(col("b.dst")) &&
-        col("a.src") =!= col("b.dst"))
-      .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+    val pc = nngPatchCandidates(refined)
     val wS = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     val patched = keep.unionByName(NnGraph.score(pc, sur))
       .withColumn("rn", dense_rank().over(wS)).filter(col("rn") <= NnGraph.K)
@@ -1891,9 +1931,11 @@ object VectorSearch {
   }
 
   /** Full SQL replay of [[vsNngDelete]]: shared build over the full
-    * corpus, survivor slice, patch-candidate self-join through the
-    * victims, dense_rank merge, filtered long links, grading hops
-    * (`d` prefix) entirely inside the survivor corpus. */
+    * corpus, survivor slice, victim fan-in cap (`vin` — the K nearest
+    * in-edges per victim, mirroring [[nngPatchCandidates]]),
+    * patch-candidate join through the victims, dense_rank merge,
+    * filtered long links, grading hops (`d` prefix) entirely inside
+    * the survivor corpus. */
   val vsNngDeleteSql: String =
     int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
     ${NngSql.buildCtes("quant")},
@@ -1901,10 +1943,14 @@ object VectorSearch {
       WHERE vec_id % $DeleteMod <> 0),
     keep AS (SELECT src, dst, d2 FROM g${NnGraph.Rounds}
       WHERE src % $DeleteMod <> 0 AND dst % $DeleteMod <> 0),
+    vin AS (SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY d2, src) AS rn
+        FROM g${NnGraph.Rounds}
+        WHERE src % $DeleteMod <> 0 AND dst % $DeleteMod = 0)
+      WHERE rn <= ${NnGraph.K}),
     pc AS (SELECT DISTINCT a.src AS src, b.dst AS dst
-      FROM g${NnGraph.Rounds} a JOIN g${NnGraph.Rounds} b ON a.dst = b.src
-      WHERE a.src % $DeleteMod <> 0 AND a.dst % $DeleteMod = 0
-        AND b.dst % $DeleteMod <> 0 AND a.src <> b.dst),
+      FROM vin a JOIN g${NnGraph.Rounds} b ON a.dst = b.src
+      WHERE b.dst % $DeleteMod <> 0 AND a.src <> b.dst),
     ps AS MATERIALIZED (SELECT pc.src, pc.dst, ${NngSql.d2Sql("a.qd", "b.qd")} AS d2
       FROM pc JOIN sur a ON a.vec_id = pc.src JOIN sur b ON b.vec_id = pc.dst),
     gp AS MATERIALIZED (SELECT src, dst, d2 FROM (

@@ -55,10 +55,12 @@ class NngDeleteSpec extends SparkSpec {
     val sur = qv.filter(!vic(col("vec_id")))
     val nVic = qv.filter(vic(col("vec_id"))).count()
     val keep = refined.filter(!vic(col("src")) && !vic(col("dst")))
-    val pc = refined.as("a").join(refined.as("b"), col("a.dst") === col("b.src"))
-      .filter(!vic(col("a.src")) && vic(col("a.dst")) && !vic(col("b.dst")) &&
-        col("a.src") =!= col("b.dst"))
-      .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+    // The production candidate frame (victim fan-in capped at K nearest
+    // in-edges): the |victims|*K^2 bound is by construction — K capped
+    // in-edges x <=K out-edges per victim. The UNCAPPED frame violates
+    // it (r10 measured 3458 > 3328 here: victim in-degree is unbounded),
+    // which is exactly the hub-delete skew blowup the cap exists for.
+    val pc = VectorSearch.nngPatchCandidates(refined)
     val nPc = pc.count()
     info(s"victims=$nVic patch_candidates=$nPc bound=${nVic * NnGraph.K * NnGraph.K}")
     assert(nPc <= nVic * NnGraph.K * NnGraph.K,
