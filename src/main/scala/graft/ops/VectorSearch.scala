@@ -1599,7 +1599,7 @@ object VectorSearch {
     // One staged evaluation of the grid — the build rounds, the search
     // hops and the exact baseline all reuse it.
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
-    val (graph, init) = NnGraph.build(qv)
+    val (graph, init) = NnGraph.buildShared(qv, s"$dir#full")
     val qs = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
     nngGrade(qv, qs, NnGraph.search(graph, init, qv, qs))
@@ -1787,7 +1787,7 @@ object VectorSearch {
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
     val base = graft.util.Persist.stage(
       qv.filter(col("vec_id") % UpsertMod =!= 0), eager = false)
-    val (refined, init) = NnGraph.build(base)
+    val (refined, init) = NnGraph.buildShared(base, s"$dir#base$UpsertMod")
     val qsNew = qv.filter(col("vec_id") % UpsertMod === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
     val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
@@ -1914,7 +1914,7 @@ object VectorSearch {
 
   def vsNngDelete: Q = (spark, dir) => {
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
-    val (refined, init) = NnGraph.build(qv)
+    val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
     val sur = graft.util.Persist.stage(
       qv.filter(col("vec_id") % DeleteMod =!= 0), eager = false)
     def vic(c: Column): Column = c % DeleteMod === 0
