@@ -109,6 +109,15 @@ object NnGraph {
   final val PlaceEntries = 64
   final val PlaceBeam = 48
   final val PlaceHops = 3
+  /** Widened geometry for filtered search ESCALATION
+    * ([[VectorSearch.vsNngFiltered]]): a query whose base-pass
+    * survivor pool is too thin re-searches deeper and wider — the
+    * batch form of pgvector 0.8's `hnsw.iterative_scan` (keep walking
+    * the graph until enough candidates pass the predicate). Beam 2×
+    * fattens every hop's frontier join; +2 hops extends reach — the
+    * expensive knob, spent only on the deficient-query subset. */
+  final val EscBeam = Beam * 2
+  final val EscHops = Hops + 2
 
   /** Exact integer squared L2 between two grid-vector columns (|diff| ≤
     * 254 per dim → far below BIGINT overflow at any real dimension).
