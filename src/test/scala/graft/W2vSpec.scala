@@ -55,6 +55,25 @@ class W2vSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9, s"norm $n"))
   }
 
+  test("sample-train posture: 1-in-4 training slice keeps topic retrieval") {
+    // The 100 TB posture: fit on every-4th doc (ids 0,4,8,... — both
+    // topics sampled), transform ALL docs. Retrieval quality must
+    // survive: every query's top-10 stays within its own topic block.
+    val store = VectorStore.ingestTextW2v(plantedDocs, "doc_id", "text",
+      dim = 16, seed = 7L, minCount = 1, maxIter = 2, sampleMod = 4L)
+    assert(store.df.filter(col("embedding").isNotNull).count() == 20L,
+      "transform must cover the FULL corpus, not just the training slice")
+    val queries = store.df.filter(col("vec_id").isin(0L, 10L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val top = store.searchAll(queries, "q_id", "qv", k = 10)
+      .select("q_id", "c_id").collect()
+    for (r <- top) {
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert((q < 10) == (c < 10),
+        s"sample-trained query $q retrieved cross-topic doc $c")
+    }
+  }
+
   test("vs_ingest_w2v registered query: one structural row per document") {
     val out = SparkEntry.queries("vs_ingest_w2v")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
