@@ -64,7 +64,11 @@ object Dedup {
       .select(col("doc_id"), poly_hash(col("s")).as("h"))
   }
 
-  def dedupMinhashLsh: Q = (spark, dir) => {
+  /** Per-doc (sig, hash-set) table + banded candidate pairs — factored
+    * so [[graft.Audits]] counts the EXACT candidate frame the query
+    * runs (the sweep's superlinear-drift telemetry), not a replica. */
+  private[graft] def minhashPerAndCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val hx = wordShingleHashes(Tables.documents(spark, dir).select("doc_id", "text"))
     // ONE aggregation computes both the 16-slot minhash signature
     // (graft.functions.MinhashSig — all minima in a single primitive
@@ -83,6 +87,10 @@ object Dedup {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+    (per, cand)
+  }
+  def dedupMinhashLsh: Q = (spark, dir) => {
+    val (per, cand) = minhashPerAndCandidates(spark, dir)
     // Exact Jaccard verified over the *hashed* shingle sets (long arrays —
     // set ops ~10× cheaper than over shingle strings; collisions affect
     // both engines identically so the oracle stays exact).
@@ -315,14 +323,19 @@ object Dedup {
       .select(col("doc_id"), col("ch").getItem(0).as("c0"), col("ch").getItem(1).as("c1"),
         col("ch").getItem(2).as("c2"), col("ch").getItem(3).as("c3"))
   }
-  def dedupSimhash: Q = (spark, dir) => {
-    val chunks = simhashChunksDf(spark, dir)
+  /** Chunk-pair bucketed candidates over a chunks frame (see
+    * [[minhashPerAndCandidates]] on why this is factored). */
+  private[graft] def simhashCandidates(chunks: DataFrame): DataFrame = {
     val expl = chunks.select(col("doc_id"),
       posexplode(array(ChunkPairs.map { case (i, j) =>
         col(s"c$i") * 65536L + col(s"c$j")
       }: _*)).as(Seq("pi", "pv")))
-    val cand = graft.util.Skew.cappedSelfPairs(expl, "doc_id",
-        Seq("pi", "pv"), SimhashBucketCap)
+    graft.util.Skew.cappedSelfPairs(expl, "doc_id",
+      Seq("pi", "pv"), SimhashBucketCap)
+  }
+  def dedupSimhash: Q = (spark, dir) => {
+    val chunks = simhashChunksDf(spark, dir)
+    val cand = simhashCandidates(chunks)
     val ham = (0 until 4).map(c =>
       bit_count(col(s"ac$c").bitwiseXOR(col(s"bc$c")))).reduce(_ + _).cast("long")
     cand
@@ -473,9 +486,27 @@ object Dedup {
     persistRound(materializedColumn(gm, "sig", sigCol)
       .select("doc_id", "lb", "grams", "sig"))
   }
-  def dedupNgramJaccard: Q = (spark, dir) => {
+  /** Signature table + RAW banded pair stream (pre-prefilter,
+    * pre-distinct) — the volume that must stay linear in corpus size
+    * (the r10 blocking-collapse bug was found by counting exactly this
+    * frame); factored so [[graft.Audits]] counts what the query runs. */
+  private[graft] def ngramRawPairs(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val mh = ngramSignatures(spark, dir)
     val keyed = ngramBandKeyed(mh)
+    val b = graft.util.Persist.stage(keyed, eager = false)
+    val ok = b.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NgramBucketCap).select("bk")
+    val kept = b.join(ok, "bk")
+    val raw = kept.as("x")
+      .join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") &&
+          !(col("x.cp") === 1L && col("y.cp") === 1L))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    (mh, raw)
+  }
+  def dedupNgramJaccard: Q = (spark, dir) => {
+    val (mh, raw) = ngramRawPairs(spark, dir)
     // Candidate stage: bucket-cap the band keys (degenerate-bucket
     // contract as in dedup_simhash — one boilerplate band key must not
     // emit b²/2 pairs on one reducer; the cap sits ~6× above the
@@ -506,10 +537,6 @@ object Dedup {
     // any LSH parameter it is probabilistic at the margin (P[pass |
     // j=0.8] ≈ 0.92/pair) — LshRecallSpec re-verifies the measured 100%
     // recall vs the exact all-pairs baseline.
-    val b = graft.util.Persist.stage(keyed, eager = false)
-    val ok = b.groupBy("bk").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= NgramBucketCap).select("bk")
-    val kept = b.join(ok, "bk")
     val fitsBroadcast = mh.count() <= NgramBroadcastDocLimit
     def fetch(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
     def sigCols(idName: String, p: String): DataFrame =
@@ -517,11 +544,7 @@ object Dedup {
         (0 until 16).map(i => col("sig").getItem(i).as(s"$p$i")): _*))
     val sigEq = (0 until 16)
       .map(i => (col(s"a$i") === col(s"b$i")).cast("long")).reduce(_ + _)
-    val pre = kept.as("x")
-      .join(kept.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") &&
-          !(col("x.cp") === 1L && col("y.cp") === 1L))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val pre = raw
       .join(sigCols("a_id", "a"), "a_id")
       .join(sigCols("b_id", "b"), "b_id")
       .filter(sigEq >= NgramSigFloor)
@@ -595,13 +618,19 @@ object Dedup {
     * [[graft.ops.VectorSearch.lshBandsForRecall]] (the registered
     * `vs_lsh_tuned` runs the 12-plane × 35-band solution for 90% recall
     * at sim 0.8) and pay the candidate blowup. */
+  /** LSH-banded candidate pairs over the embeddings table (see
+    * [[minhashPerAndCandidates]] on why this is factored). */
+  private[graft] def embeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bandsDf = VectorSearch.lshBands(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
+      Seq("band_idx", "band_val"), VectorSearch.LshBucketCap)
+  }
   def dedupEmbedding: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
       inner_product(col("embedding"), col("embedding")).as("nsq"))
-    val bandsDf = VectorSearch.lshBands(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
-    val cand = graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
-        Seq("band_idx", "band_val"), VectorSearch.LshBucketCap)
+    val cand = embeddingCandidates(spark, dir)
       .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"))
     val w = Window.partitionBy("dup_id").orderBy("keep_id")
     cand
