@@ -164,6 +164,19 @@ case class L1Distance(left: Expression, right: Expression) extends VectorBinaryE
 abstract class IntVectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // Analysis-time type check (the r10 advice): a non-integer array used
+  // to surface as an opaque ClassCastException at eval; now the plan
+  // fails analysis with the kernel's name and the offending types.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if Seq(l, r).forall(t => t == LongType || t == IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two integer arrays (array<int>/array<long>), " +
+            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
   protected def leftElem: DataType = left.dataType.asInstanceOf[ArrayType].elementType
   protected def rightElem: DataType = right.dataType.asInstanceOf[ArrayType].elementType
   protected def getLong(arr: ArrayData, et: DataType, i: Int): Long = et match {
@@ -171,6 +184,20 @@ abstract class IntVectorBinaryExpression extends BinaryExpression {
     case IntegerType => arr.getInt(i).toLong
     case other => throw new IllegalArgumentException(s"unsupported integer vector element $other")
   }
+  /** Equal-length guard shared by both eval paths: the loops run over
+    * the LEFT length, and codegen's getValue on a shorter right array
+    * reads past UnsafeArrayData bounds — silent garbage, not an error
+    * (the old aggregate/zip_with spelling null-padded instead). One
+    * comparison per row; never throws on the grid pipelines, which
+    * produce equal dims by construction. */
+  protected def requireSameLen(x: ArrayData, y: ArrayData): Unit =
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch ${x.numElements()} vs ${y.numElements()}")
+  protected def lenGuardCode(a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements())
+       |  throw new IllegalArgumentException("$prettyName: vector length mismatch "
+       |    + $a.numElements() + " vs " + $b.numElements());""".stripMargin
 }
 
 /** int_sq_l2(a, b) = Σ (aᵢ−bᵢ)² as BIGINT — exact squared L2. */
@@ -178,6 +205,7 @@ case class IntSquaredL2(left: Expression, right: Expression) extends IntVectorBi
   override def prettyName: String = "int_sq_l2"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    requireSameLen(x, y)
     var acc = 0L; var i = 0; val n = x.numElements()
     while (i < n) {
       val d = getLong(x, leftElem, i) - getLong(y, rightElem, i)
@@ -189,6 +217,7 @@ case class IntSquaredL2(left: Expression, right: Expression) extends IntVectorBi
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val Seq(i, n, acc, d) = Seq("i", "n", "acc", "d").map(ctx.freshName)
       s"""
+        |${lenGuardCode(a, b)}
         |int $n = $a.numElements();
         |long $acc = 0L;
         |for (int $i = 0; $i < $n; $i++) {
@@ -207,6 +236,7 @@ case class IntDot(left: Expression, right: Expression) extends IntVectorBinaryEx
   override def prettyName: String = "int_dot"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    requireSameLen(x, y)
     var acc = 0L; var i = 0; val n = x.numElements()
     while (i < n) { acc += getLong(x, leftElem, i) * getLong(y, rightElem, i); i += 1 }
     acc
@@ -215,6 +245,7 @@ case class IntDot(left: Expression, right: Expression) extends IntVectorBinaryEx
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val Seq(i, n, acc) = Seq("i", "n", "acc").map(ctx.freshName)
       s"""
+        |${lenGuardCode(a, b)}
         |int $n = $a.numElements();
         |long $acc = 0L;
         |for (int $i = 0; $i < $n; $i++) {

@@ -318,7 +318,10 @@ object Multimodal {
     while (pos + 8 <= blob.length) {
       val id = bb.getInt(pos)
       val size = bb.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= blob.length,
+      // Long arithmetic: a crafted size near Int.MaxValue would overflow
+      // an int sum negative, slip past the require, and surface later as
+      // IndexOutOfBounds instead of this loud contract error.
+      require(size >= 0 && pos.toLong + 8L + size <= blob.length,
         s"truncated chunk at $pos")
       if (id == 0x20746d66) { // "fmt "
         require(size >= 16, "short fmt chunk")

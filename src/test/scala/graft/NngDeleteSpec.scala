@@ -86,7 +86,10 @@ class NngDeleteSpec extends SparkSpec {
     assert(refilled > 0L, "no damaged survivor was refilled to a full K list")
   }
 
-  test("delete plan no cartesian/BNL — every join is keyed") {
+  // SCOPE: Persist.stage lineage cuts mean this covers the post-
+  // checkpoint tail; the staged-plan audit test in NngSpec covers the
+  // shared build's internal stages (r10 advice).
+  test("delete tail plan no cartesian/BNL") {
     val df = SparkEntry.queries("vs_nng_delete")(spark, sf)
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)

@@ -40,17 +40,42 @@ class NngSpec extends SparkSpec {
     assert(overK == 0L, s"$overK nodes over the degree cap")
   }
 
-  test("build+search plan no cartesian/BNL — every join is keyed") {
+  test("tail plan no cartesian/BNL") {
+    // SCOPE (r10 advice): Persist.stage localCheckpoints truncate
+    // lineage, so this final-frame plan covers only the post-checkpoint
+    // tail (the grade select). The build's internal joins are asserted
+    // by the staged-plan audit test below, which sees every stage.
     val df = SparkEntry.queries("vs_nng_search")(spark, sf)
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
       "NN-descent planned a cartesian product")
-    // the only BNL allowed is the bounded broadcast of the |Q|-row query
-    // set / Entries-row entry set; the corpus-sized frames never BNL.
-    // Since those are broadcast hash-joinable (equi-keys), assert none.
     assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
       "NN-descent planned a broadcast nested loop join")
+  }
+
+  test("EVERY staged build plan is keyed — audited through the lineage cuts") {
+    // The Persist plan audit records each staged frame's pre-AQE plan
+    // at construction time, BEFORE the checkpoint hides it — so this
+    // asserts the scaladoc's actual claim: no cartesian/BNL anywhere in
+    // the NN-descent build (init scoring, every polish round). The
+    // corpus frame is staged first, exactly as vsNngSearch does, so the
+    // audit scope is the build itself (int8Grid's own bounded
+    // 1-row-maxabs broadcast crossJoin is upstream of the cut and
+    // documented). Search/grade stages keep their bounded broadcast
+    // crossJoins (entries, exact baseline) and are NOT claimed BNL-free.
+    val qv = graft.util.Persist.stage(
+      VectorSearch.int8Grid(spark, sf), eager = false)
+    graft.util.Persist.beginPlanAudit()
+    try NnGraph.build(qv)
+    finally ()
+    val plans = graft.util.Persist.endPlanAudit()
+    assert(plans.nonEmpty, "audit captured no staged plans")
+    info(s"audited ${plans.size} staged build frames")
+    assert(!plans.exists(_.contains("CartesianProduct")),
+      "a staged build frame planned a cartesian product")
+    assert(!plans.exists(_.contains("BroadcastNestedLoopJoin")),
+      "a staged build frame planned a broadcast nested loop join")
   }
 
   test("init graph is mixer-random: no closed stride sublattice") {

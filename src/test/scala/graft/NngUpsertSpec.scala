@@ -110,7 +110,10 @@ class NngUpsertSpec extends SparkSpec {
     assert(inbound > 0L, "no reverse edge survived the repair merge")
   }
 
-  test("upsert plan no cartesian/BNL — every join is keyed") {
+  // SCOPE: Persist.stage lineage cuts mean this covers the post-
+  // checkpoint tail; the staged-plan audit test in NngSpec covers the
+  // shared build's internal stages (r10 advice).
+  test("upsert tail plan no cartesian/BNL") {
     val df = SparkEntry.queries("vs_nng_upsert")(spark, sf)
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)
