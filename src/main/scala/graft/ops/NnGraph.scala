@@ -281,43 +281,54 @@ object NnGraph {
         .withColumn("rn", dense_rank().over(wSrc))
         .filter(col("rn") <= k).select("src", "dst", "d2"),
       eager = false)
-    for (_ <- 1 to rounds) {
-      // Symmetrized adjacency (forward-only joins stall on sink nodes),
-      // SAMPLED: only each node's sampleS closest symmetrized neighbors
-      // enter the co-neighbor join — the dominant convergence signal at
-      // a fraction of the pair volume (see SampleS scaladoc).
-      // dense_rank, NOT row_number: a mutual pair appears in both
-      // directions of the symmetrized union, and under row_number the
-      // duplicate would burn two of the S sample slots on one neighbor
-      // — and mutual edges are exactly the closest ones, so every
-      // strong neighbor would halve the effective sample (measured
-      // recall@5 0.787 vs 0.867 at sf1). A pre-rank distinct also
-      // fixes it but costs a dedup exchange per round; dense_rank
-      // selects the identical S-closest DISTINCT neighbor set (d2 is a
-      // function of (a,b), so equal rows tie exactly) and the
-      // duplicate rows it lets through collapse in the pair-stage
-      // DISTINCT below.
-      val slim = g.select(col("src").as("a"), col("dst").as("b"), col("d2"))
-        .unionByName(g.select(col("dst").as("a"), col("src").as("b"), col("d2")))
-        .withColumn("rn", dense_rank().over(wA))
-        .filter(col("rn") <= sampleS).select("a", "b")
-      // Local join, canonicalized: each unordered candidate pair scored
-      // once (b1 < b2), current edges kept as candidates too.
-      val pairs = slim.as("s1").join(slim.as("s2"), "a")
-        .filter(col("s1.b") < col("s2.b"))
-        .select(col("s1.b").as("src"), col("s2.b").as("dst"))
-        .unionByName(g.select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst")))
-        .distinct()
-      val half = score(pairs, quant)
-      val scored = half.unionByName(
-        half.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
-      g = Persist.stage(
-        scored.withColumn("rn", row_number().over(wSrc))
-          .filter(col("rn") <= k).select("src", "dst", "d2"),
-        eager = false)
-    }
+    for (_ <- 1 to rounds) g = polishRound(g, quant, k, sampleS)
     (g, g0)
+  }
+
+  /** One NN-descent local-join round over an existing graph `g` —
+    * extracted from [[build]] (identical semantics; build's loop calls
+    * this) so graph MAINTENANCE ops can polish too:
+    * [[graft.ops.VectorSearch.vsNngMerge]] runs one round over the
+    * merged edge set to propagate cross-segment neighbors.
+    *
+    * Symmetrized adjacency (forward-only joins stall on sink nodes),
+    * SAMPLED: only each node's sampleS closest symmetrized neighbors
+    * enter the co-neighbor join — the dominant convergence signal at
+    * a fraction of the pair volume (see SampleS scaladoc).
+    * dense_rank, NOT row_number: a mutual pair appears in both
+    * directions of the symmetrized union, and under row_number the
+    * duplicate would burn two of the S sample slots on one neighbor
+    * — and mutual edges are exactly the closest ones, so every
+    * strong neighbor would halve the effective sample (measured
+    * recall@5 0.787 vs 0.867 at sf1). A pre-rank distinct also
+    * fixes it but costs a dedup exchange per round; dense_rank
+    * selects the identical S-closest DISTINCT neighbor set (d2 is a
+    * function of (a,b), so equal rows tie exactly) and the
+    * duplicate rows it lets through collapse in the pair-stage
+    * DISTINCT below. */
+  private[graft] def polishRound(g: DataFrame, quant: DataFrame,
+      k: Int = K, sampleS: Int = SampleS): DataFrame = {
+    val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    val wA = Window.partitionBy("a").orderBy(col("d2"), col("b"))
+    val slim = g.select(col("src").as("a"), col("dst").as("b"), col("d2"))
+      .unionByName(g.select(col("dst").as("a"), col("src").as("b"), col("d2")))
+      .withColumn("rn", dense_rank().over(wA))
+      .filter(col("rn") <= sampleS).select("a", "b")
+    // Local join, canonicalized: each unordered candidate pair scored
+    // once (b1 < b2), current edges kept as candidates too.
+    val pairs = slim.as("s1").join(slim.as("s2"), "a")
+      .filter(col("s1.b") < col("s2.b"))
+      .select(col("s1.b").as("src"), col("s2.b").as("dst"))
+      .unionByName(g.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")))
+      .distinct()
+    val half = score(pairs, quant)
+    val scored = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
+    Persist.stage(
+      scored.withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= k).select("src", "dst", "d2"),
+      eager = false)
   }
 
   /** Greedy beam search over refined ∪ init edges: `qs` = (q_id, qq)
