@@ -413,3 +413,106 @@ case class MisraGries(child: Expression, k: Int,
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(c: Expression): MisraGries = copy(child = c)
 }
+
+/** Bounded top-k-nearest aggregate: keeps the k smallest (d2, id) pairs
+  * (lexicographic — d2 first, id breaks ties, so the result is the
+  * EXACT `row_number() OVER (ORDER BY d2, id) <= k` set) in one max-heap
+  * buffer of ≤ k pairs per group. This is THE serving aggregate for an
+  * always-on search stream ([[graft.streaming.Streaming.vsSearchStream]]):
+  * per-group state is k pairs no matter how many corpus candidates flow
+  * through, it map-side combines, and merges are heap unions — so a
+  * streaming groupBy(q_id) over an unbounded candidate stream carries
+  * 16·k bytes of state per in-flight query, never a window sort.
+  * Emits array<struct<d2, c_id>> sorted ascending (rank order). */
+case class TopKMinPairs(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PriorityQueue[(Long, Long)]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def prettyName: String = "top_k_min_pairs"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d2", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_id", LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_min_pairs requires (BIGINT dist, BIGINT id), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  // Max-first lexicographic heap: peek() is the WORST kept pair.
+  private def cmp: Comparator[(Long, Long)] =
+    new Comparator[(Long, Long)] {
+      def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+  override def createAggregationBuffer(): PriorityQueue[(Long, Long)] =
+    new PriorityQueue[(Long, Long)](k, cmp)
+
+  private def insert(heap: PriorityQueue[(Long, Long)], v: (Long, Long)): Unit = {
+    if (heap.size() < k) { heap.add(v); () }
+    else {
+      val worst = heap.peek()
+      if (v._1 < worst._1 || (v._1 == worst._1 && v._2 < worst._2)) {
+        heap.poll(); heap.add(v); ()
+      }
+    }
+  }
+
+  override def update(heap: PriorityQueue[(Long, Long)], input: InternalRow): PriorityQueue[(Long, Long)] = {
+    val d = left.eval(input); val id = right.eval(input)
+    if (d != null && id != null)
+      insert(heap, (d.asInstanceOf[Long], id.asInstanceOf[Long]))
+    heap
+  }
+
+  override def merge(a: PriorityQueue[(Long, Long)], b: PriorityQueue[(Long, Long)]): PriorityQueue[(Long, Long)] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(heap: PriorityQueue[(Long, Long)]): Any = {
+    val arr = new Array[(Long, Long)](heap.size())
+    val it = heap.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr, cmp.reversed())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.map(p => InternalRow(p._1, p._2)): Array[Any])
+  }
+
+  override def serialize(heap: PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 16 * heap.size())
+    buf.putInt(heap.size())
+    val it = heap.iterator()
+    while (it.hasNext) { val p = it.next(); buf.putLong(p._1); buf.putLong(p._2) }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PriorityQueue[(Long, Long)] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val heap = createAggregationBuffer()
+    (0 until n).foreach(_ => heap.add((buf.getLong, buf.getLong)))
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKMinPairs =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKMinPairs =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKMinPairs =
+    copy(left = l, right = r)
+}

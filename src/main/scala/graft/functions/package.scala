@@ -29,6 +29,9 @@ package object functions {
   /** Aggregate: k-th smallest long with bounded (k-entry) state. */
   def kth_min(c: Column, k: Int): Column =
     col(KthMin(expr(c), k).toAggregateExpression())
+  /** Aggregate: k smallest (d2, id) pairs, bounded k-pair state. */
+  def top_k_min_pairs(d: Column, id: Column, k: Int): Column =
+    col(TopKMinPairs(expr(d), expr(id), k).toAggregateExpression())
   /** Aggregate: SimHash 4×16-bit chunk signature from token hashes. */
   def simhash_chunks(c: Column): Column =
     col(SimhashChunks(expr(c)).toAggregateExpression())

@@ -713,6 +713,16 @@ object VectorSearch {
     * (SQL twin: [[int8GridCtes]]). Generate barrier: encode stages
     * reference qd many times — without it CollapseProject re-inlines the
     * quantization transform into every reference. */
+  /** The grid scale int8Grid derives (corpus max |coordinate|), as a
+    * bounded driver scalar — a streaming leg quantizes incoming query
+    * vectors with this literal so its grid is bit-identical to the
+    * static corpus grid ([[graft.streaming.Streaming.vsSearchStream]]). */
+  private[graft] def gridMaxAbs(spark: SparkSession, dir: String): Double =
+    emb(spark, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .agg(max(array_max(transform(col("v"), x => abs(x)))))
+      .head().getDouble(0)
+
   private[graft] def int8Grid(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -724,7 +734,7 @@ object VectorSearch {
             .as("qd_raw")),
       "qd", col("qd_raw")).select("vec_id", "qd")
   }
-  private val int8GridCtes: String = s"""
+  private[graft] val int8GridCtes: String = s"""
     WITH e AS ($eSql),
     mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
     quant AS (SELECT vec_id,

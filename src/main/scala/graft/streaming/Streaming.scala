@@ -788,9 +788,81 @@ object Streaming {
       CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS sd2
     FROM g GROUP BY 1 ORDER BY user_id"""
 
+  // ── Streaming search serving (reference Search, always-on form) ─────
+  // Reference: src/main.rs:86-96 — Search embeds a query and returns the
+  // 10 nearest rows. This is its always-on form: queries ARRIVE AS A
+  // STREAM and are served against the static corpus, with the top-10
+  // computed by a bounded-state aggregate instead of a window sort.
+
+  final val SearchTopK = 10
+
+  /** Always-on Search: a stream of query vectors (every 100th embedding
+    * row) is quantized onto the corpus grid (the maxabs scale is a
+    * bounded driver scalar computed batch-side before the stream starts
+    * — same posture as [[ingestCentroids]]), joined stream-static
+    * against the int8 corpus, and cut to exact top-[[SearchTopK]] per
+    * query by [[graft.functions.TopKMinPairs]] — k pairs of state per
+    * in-flight query, no watermark, no window sort. At 100 TB the
+    * static side is served from the ANN index instead of the full scan
+    * (vs_nng_search); this leg proves the SERVING shape: bounded-state
+    * exact top-k over an unbounded query stream. */
+  def vsSearchStream(spark: SparkSession, dir: String): DataFrame = {
+    val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
+    val corpus = graft.ops.VectorSearch.int8Grid(spark, dir)
+      .select(col("vec_id").as("c_id"), col("qd"), lit(0L).as("jk"))
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 127.0 / lit(ma), 0).cast("long")).as("qq"),
+        lit(0L).as("jk"))
+      .join(corpus, "jk")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.int_sq_l2(col("qd"), col("qq")).as("d2"))
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs(col("d2"), col("c_id"), SearchTopK)
+        .as("top"))
+  }
+
+  /** Registered batch twin (`stream_search`): identical grid, identical
+    * candidate set, identical [[graft.functions.TopKMinPairs]] cut —
+    * so the driver-hashed query exercises the exact aggregate the
+    * stream serves with, and the spec proves stream ≡ batch. Output one
+    * row per (query, rank). */
+  def vsSearchServeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val qv = graft.ops.VectorSearch.int8Grid(spark, dir)
+    val qs = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    qv.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        graft.functions.int_sq_l2(col("qd"), col("qq")).as("d2"))
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs(col("d2"), col("c_id"), SearchTopK)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1L).as("rank"),
+        col("hit.c_id").as("c_id"), col("hit.d2").as("d2"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle: the aggregate's contract IS row_number() over (d2, c_id). */
+  val vsSearchServeSql: String =
+    graft.ops.VectorSearch.int8GridCtes + s""",
+    qs AS (SELECT vec_id AS q_id, qd AS qq FROM quant WHERE vec_id % 100 = 0),
+    sc AS (SELECT q.q_id, c.vec_id AS c_id,
+        CAST(list_sum(list_transform(range(1, len(c.qd) + 1),
+          i -> (c.qd[i] - q.qq[i]) * (c.qd[i] - q.qq[i]))) AS BIGINT) AS d2
+      FROM quant c, qs q)
+    SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, d2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+      FROM sc) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bot_detect" -> (botCadenceBatch _),
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
+    "stream_search" -> (vsSearchServeBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
@@ -802,6 +874,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "stream_bot_detect" -> botCadenceSql,
     "stream_vs_ingest" -> vsIngestAssignSql,
+    "stream_search" -> vsSearchServeSql,
     "stream_quantile" -> quantileSketchSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,

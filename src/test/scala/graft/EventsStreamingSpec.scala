@@ -319,4 +319,32 @@ class EventsStreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
     batch.foreach { case (id, _, _, chk) => assert(vsChk(id) == chk) }
   }
+
+  test("streaming search serving (bounded top-k state) equals batch twin") {
+    import org.apache.spark.sql.functions._
+    val q = Streaming.vsSearchStream(spark, sf).writeStream
+      .format("memory").queryName("stream_vss")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("stream_vss")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1L).as("rank"),
+        col("hit.c_id"), col("hit.d2"))
+      .collect().map(key).toSet
+    val batch = Streaming.vsSearchServeBatch(spark, sf).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming top-k serving diverged from the batch twin")
+    // The serving state is BOUNDED: one aggregate row per in-flight
+    // query (each holding <= SearchTopK pairs), never a window sort or
+    // a per-candidate state row. numRowsTotal == number of queries.
+    val nQueries = batch.map(_._1).size // Set projection -> distinct q_ids
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    assert(stateRows.nonEmpty, "no state operator progress reported")
+    info(s"state rows per micro-batch: ${stateRows.mkString(",")} for $nQueries queries")
+    assert(stateRows.max == nQueries.toLong,
+      s"state rows ${stateRows.max} != query count $nQueries — state is not bounded per query")
+  }
 }
