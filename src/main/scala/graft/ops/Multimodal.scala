@@ -367,6 +367,84 @@ object Multimodal {
       CAST(MAX(v) AS BIGINT) AS px_max, CAST(SUM(v * (i + 1)) AS BIGINT) AS px_wsum
     FROM px GROUP BY doc_id ORDER BY doc_id"""
 
+  // ── mm_image_resize — REAL decode → integer resize → codec round-trip ─
+  final val ResizeF = 2
+
+  /** Integer 2×2 box downsample of a decoded single-band raster:
+    * out(x, y) = ⌊(v(2x,2y) + v(2x+1,2y) + v(2x,2y+1) + v(2x+1,2y+1))/4⌋.
+    * Box (average-pool) resize with EXACT integer arithmetic — the
+    * resize kernel a SQL engine replays bit-for-bit, where Graphics2D's
+    * bilinear/bicubic float paths are implementation-defined and would
+    * break the oracle. The real imaging work is real: decode the PNG,
+    * sample the raster, build the downsampled image, RE-ENCODE it
+    * through the codec, decode it AGAIN for the emitted stats — any
+    * deviation anywhere in the decode→resize→encode→decode chain
+    * (wrong sample position, wrong raster order, lossy round-trip)
+    * breaks the hash. */
+  private[graft] def resizeBox(img: java.awt.image.BufferedImage,
+      f: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth / f, img.getHeight / f)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster; val dst = out.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var acc = 0; var dy = 0
+        while (dy < f) {
+          var dx = 0
+          while (dx < f) { acc += src.getSample(x * f + dx, y * f + dy, 0); dx += 1 }
+          dy += 1
+        }
+        dst.setSample(x, y, 0, acc / (f * f))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The resize leg the brief lists alongside decode / feature-extract /
+    * frame-sample: per blob, a full decode → integer box downsample
+    * ([[resizeBox]]) → PNG re-encode → second decode, emitting the
+    * resized raster's statistics ([[pngRasterStats]] — the shared pixel
+    * fold). Batched mapPartitions, map-only, blobs never leave their
+    * partition; the PNG in flight shrinks 4× (the point of resizing in
+    * a training pipeline: normalize resolution BEFORE the shuffle). */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(imageStatsSchema)
+    mmImages(spark, dir).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+        val in = new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+        val img = try javax.imageio.ImageIO.read(in) finally in.close()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(resizeBox(img, ResizeF), "png", bos)
+        val (w, h, sum, mn, mx, wsum) = pngRasterStats(bos.toByteArray)
+        Row(r.getLong(0), w.toLong, h.toLong, sum, mn, mx, wsum)
+      })
+    }(encoder).orderBy("doc_id")
+  }
+
+  /** Oracle: replay the source-pixel formula, average each 2×2 block
+    * with integer division, and fold the downsampled raster in row-major
+    * order — codec-free arithmetic equal to the double round-trip. */
+  val mmImageResizeSql: String = s"""
+    WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+    px AS (SELECT doc_id, p.range % $ImgW AS x, p.range // $ImgW AS y,
+        (doc_id * 31 + len * 17 + (p.range % $ImgW) * 7 + (p.range // $ImgW) * 13) % 256 AS v
+      FROM d, range(0, ${ImgW * ImgH}) p),
+    rs AS (SELECT doc_id, x // $ResizeF AS rx, y // $ResizeF AS ry,
+        CAST(SUM(v) AS BIGINT) // ${ResizeF * ResizeF} AS v
+      FROM px GROUP BY 1, 2, 3)
+    SELECT doc_id,
+      CAST(${ImgW / ResizeF} AS BIGINT) AS width,
+      CAST(${ImgH / ResizeF} AS BIGINT) AS height,
+      CAST(SUM(v) AS BIGINT) AS px_sum, CAST(MIN(v) AS BIGINT) AS px_min,
+      CAST(MAX(v) AS BIGINT) AS px_max,
+      CAST(SUM(v * (ry * ${ImgW / ResizeF} + rx + 1)) AS BIGINT) AS px_wsum
+    FROM rs GROUP BY doc_id ORDER BY doc_id"""
+
   // ── mm_audio_decode — REAL audio decode over a binary WAV column ────
   final val AudioRateHz = 8000f
   final val AudioMaxSamples = 512
@@ -712,6 +790,7 @@ object Multimodal {
     "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_image_decode" -> (mmImageDecode _),
+    "mm_image_resize" -> (mmImageResize _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _))
   val oracles: Map[String, String] = Map(
@@ -720,5 +799,6 @@ object Multimodal {
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_image_decode" -> mmImageDecodeSql,
+    "mm_image_resize" -> mmImageResizeSql,
     "mm_audio_decode" -> mmAudioDecodeSql)
 }

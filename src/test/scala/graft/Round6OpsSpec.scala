@@ -577,6 +577,35 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_image_resize: codec round-trip preserves the exact integer box average") {
+    // Decode every source PNG driver-side, box-average it in plain
+    // Scala, and require the operator's emitted stats (which pass
+    // through a REAL encode->decode round trip of the resized image)
+    // to match exactly — proving both the resize arithmetic and that
+    // the PNG round-trip is lossless for the 8-bit gray raster.
+    val got = graft.ops.Multimodal.mmImageResize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("width"), r.getAs[Long]("height"),
+        r.getAs[Long]("px_sum"), r.getAs[Long]("px_wsum"))).toMap
+    val f = graft.ops.Multimodal.ResizeF
+    val w = graft.ops.Multimodal.ImgW / f
+    assert(got.nonEmpty)
+    graft.ops.Multimodal.mmImages(spark, sf).collect().foreach { r =>
+      val id = r.getLong(0)
+      val in = new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+      val img = try javax.imageio.ImageIO.read(in) finally in.close()
+      val ras = img.getRaster
+      var sum = 0L; var wsum = 0L
+      for (ry <- 0 until w; rx <- 0 until w) {
+        var acc = 0
+        for (dy <- 0 until f; dx <- 0 until f)
+          acc += ras.getSample(rx * f + dx, ry * f + dy, 0)
+        val v = (acc / (f * f)).toLong
+        sum += v; wsum += v * (ry.toLong * w + rx + 1)
+      }
+      assert(got(id) == (w.toLong, w.toLong, sum, wsum), s"doc $id")
+    }
+  }
+
   test("q23_bloom_semijoin: bloom prefilter is lossless and actually prunes") {
     val row = Relational.q23BloomSemijoin(spark, sf).collect().head
     // exact replay: plain semi-join
