@@ -1992,6 +1992,183 @@ object VectorSearch {
     ${NngSql.hopCtes("d", "gd", "qs", "sur", "sur")},
     ${NngSql.gradeSql("d", "qs", "sur")}"""
 
+  // ── vs_search_planned — selectivity-adaptive filtered-search planner ─
+  /** The PLAN CHOICE a real vector store makes per filtered query —
+    * pgvector's planner decides seq-scan vs index-scan from table
+    * stats; qdrant/weaviate flip to full-scan below a payload
+    * cardinality threshold. This operator makes that decision a
+    * first-class, oracle-replayable query: three predicates of very
+    * different selectivity are each ROUTED from one statistic (the
+    * filtered-corpus cardinality \|pass\| — the number a planner reads
+    * from index metadata) and graded against exact filtered top-5.
+    *
+    * The routing rule is formula-derived, not tuned: the graph arm
+    * scores ≈ entries + hops·beam·K candidates per query no matter how
+    * selective the predicate is, while the brute arm scores exactly
+    * \|pass\| — so whenever \|pass\| ≤ that visited budget
+    * ([[PlanBruteCutoff]] = 6400 with the registered geometry), the
+    * exact scan is CHEAPER than the approximate walk and strictly
+    * better (recall 1). Above it, the graph arm wins and inherits
+    * [[vsNngFiltered]]'s count + coverage escalation rules unchanged.
+    * At the oracle SFs every predicate honestly routes to brute (500-
+    * 2000-row corpora are below any sane index threshold — forcing the
+    * index there would be engineering-for-the-test); at sf1 the fat
+    * predicate (10k passing vectors) crosses the cutoff and routes to
+    * the graph (PlannedSpec drives both arms at sf0.01 by shrinking
+    * the cutoff parameter, and the audit shows the sf1 split).
+    *
+    * Output: one row per (pred, q_id) with the chosen plan tag and the
+    * integer grade — the plan decision is IN the hashed result, so a
+    * routing regression cannot hide. */
+  final val PlanBruteCutoff: Long =
+    NnGraph.Entries + NnGraph.Hops.toLong * NnGraph.Beam * NnGraph.K
+  /** (tag, pass-frame) per planner predicate, shared with the SQL. */
+  private def plannerPreds(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    def passOf(f: DataFrame => DataFrame): DataFrame =
+      f(e.join(d, col("vec_id") === col("doc_id"))).select("vec_id")
+    Seq(
+      "p1_thin" -> passOf(_.filter(col("label") === 7 && col("lang") === "de")),
+      "p2_tiny" -> passOf(_.filter(col("label") === 9 && col("lang") === "zh" &&
+        col("vec_id") % 4 === 1)),
+      "p3_fat" -> passOf(_.filter(col("label") >= 5)))
+  }
+  def vsSearchPlanned: Q = (spark, dir) =>
+    vsSearchPlannedWith(spark, dir, PlanBruteCutoff)
+  private[graft] def vsSearchPlannedWith(
+      spark: SparkSession, dir: String, cutoff: Long): DataFrame = {
+    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val qs = qv.filter(col("vec_id") % 100 === 9)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    val wQ = Window.partitionBy("pred", "q_id").orderBy(col("d2"), col("c_id"))
+    // Exact filtered top-5 — the grading truth for every arm, and the
+    // brute arm's own result.
+    def exactTop(fcorp: DataFrame): DataFrame = fcorp.crossJoin(broadcast(qs))
+      .select(col("pred"), col("q_id"), col("vec_id").as("c_id"),
+        NnGraph.intD2(col("qd"), col("qq")).as("d2"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= NnGraph.TopK).select("pred", "q_id", "c_id")
+    // Graph machinery constructed lazily: a run where every predicate
+    // routes to brute (the oracle SFs) never builds the index.
+    lazy val graphParts = {
+      val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
+      val base = graft.util.Persist.stage(
+        NnGraph.search(refined, init, qv, qs), eager = false)
+      (refined, init, base)
+    }
+    val arms = plannerPreds(spark, dir).map { case (tag, pass) =>
+      val fcorp = graft.util.Persist.stage(
+        qv.join(pass, "vec_id").withColumn("pred", lit(tag)), eager = false)
+      val nPass = fcorp.count()
+      val exact = exactTop(fcorp)
+      val (plan, approx) =
+        if (nPass <= cutoff) ("brute", exact)
+        else {
+          val (refined, init, base) = graphParts
+          val baseSurv = graft.util.Persist.stage(
+            base.join(fcorp.select(col("vec_id").as("c_id")), "c_id")
+              .select("q_id", "c_id", "d2"),
+            eager = false)
+          val coverageOk: Column =
+            if (nPass <= FilterCoverageCap) col("n_surv") * 2L >= nPass
+            else lit(true)
+          val sufficient = baseSurv.groupBy("q_id")
+            .agg(countDistinct("c_id").as("n_surv"))
+            .filter(col("n_surv") >= FilterMinSurvivors && coverageOk)
+            .select("q_id")
+          val deficient = qs.join(sufficient, Seq("q_id"), "left_anti")
+          val escSurv = NnGraph.search(refined, init, qv, deficient,
+              NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops)
+            .join(fcorp.select(col("vec_id").as("c_id")), "c_id")
+            .select("q_id", "c_id", "d2")
+          val surv = baseSurv.unionByName(escSurv).distinct()
+            .withColumn("pred", lit(tag))
+          ("graph", surv
+            .withColumn("rn", row_number().over(wQ))
+            .filter(col("rn") <= NnGraph.TopK).select("pred", "q_id", "c_id"))
+        }
+      exact.join(approx.withColumn("hit", lit(1L)),
+          Seq("pred", "q_id", "c_id"), "left")
+        .groupBy("pred", "q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("plan", lit(plan))
+        .withColumn("n_pass", lit(nPass))
+    }
+    arms.reduce(_ unionByName _)
+      .select("pred", "plan", "n_pass", "q_id", "n_exact", "n_hits")
+      .orderBy("pred", "q_id")
+  }
+
+  /** Full SQL replay of [[vsSearchPlanned]]: three predicate slices +
+    * their `np` cardinality scalars, exact filtered top-5 per predicate
+    * (`ex<i>` — the brute arm AND the grading truth), the shared build
+    * + base hop chain, per-predicate guarded graph arms (survivor
+    * census, deficient slice, escalation chain `w<i>`), and a per-
+    * predicate grade whose `plan` column is the routing decision —
+    * CASE on the same `np` vs [[PlanBruteCutoff]] the Scala side
+    * routes on, so a routing divergence breaks the hash. */
+  val vsSearchPlannedSql: String = {
+    val preds = Seq(
+      ("p1_thin", "label = 7 AND lang = 'de'"),
+      ("p2_tiny", "label = 9 AND lang = 'zh' AND vec_id % 4 = 1"),
+      ("p3_fat", "label >= 5"))
+    val perPred = preds.zipWithIndex.map { case ((tag, cond), ix) =>
+      val i = ix + 1
+      s"""
+    pass$i AS (SELECT vec_id FROM ep WHERE $cond),
+    np$i AS (SELECT COUNT(*) AS np FROM pass$i),
+    fc$i AS MATERIALIZED (SELECT q.vec_id, q.qd FROM quant q
+      JOIN pass$i p ON p.vec_id = q.vec_id),
+    ex$i AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+          ${NngSql.d2Sql("c.qd", "q.qq")} AS d2,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY ${NngSql.d2Sql("c.qd", "q.qq")}, c.vec_id) AS rn
+        FROM fc$i c, qs q) WHERE rn <= ${NnGraph.TopK}),
+    bs$i AS (SELECT v.q_id, v.c_id, v.d2 FROM fv${NnGraph.Hops} v
+      JOIN pass$i p ON p.vec_id = v.c_id, np$i np
+      WHERE np.np > $PlanBruteCutoff),
+    ns$i AS (SELECT q_id, COUNT(DISTINCT c_id) AS n_surv FROM bs$i GROUP BY q_id),
+    q2$i AS MATERIALIZED (SELECT q.q_id, q.qq FROM qs q
+      LEFT JOIN ns$i ns ON ns.q_id = q.q_id, np$i np
+      WHERE np.np > $PlanBruteCutoff
+        AND (COALESCE(ns.n_surv, 0) < $FilterMinSurvivors
+             OR (np.np <= $FilterCoverageCap
+                 AND 2 * COALESCE(ns.n_surv, 0) < np.np))),
+    ${NngSql.hopCtes(s"w$i", "gs", s"q2$i", "quant", "quant",
+        NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops)},
+    ws$i AS (SELECT v.q_id, v.c_id, v.d2 FROM w${i}v${NnGraph.EscHops} v
+      JOIN pass$i p ON p.vec_id = v.c_id),
+    ga$i AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, d2,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM (SELECT DISTINCT q_id, c_id, d2 FROM
+          (SELECT * FROM bs$i UNION ALL SELECT * FROM ws$i)))
+      WHERE rn <= ${NnGraph.TopK}),
+    gr$i AS (SELECT '$tag' AS pred,
+        CASE WHEN np.np <= $PlanBruteCutoff THEN 'brute' ELSE 'graph' END AS plan,
+        np.np AS n_pass, x.q_id,
+        COUNT(*) AS n_exact,
+        CAST(SUM(CASE WHEN np.np <= $PlanBruteCutoff THEN 1
+                      WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ex$i x LEFT JOIN ga$i a ON a.q_id = x.q_id AND a.c_id = x.c_id, np$i np
+      GROUP BY 1, 2, 3, x.q_id)"""
+    }.mkString(",")
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
+      WHERE vec_id % 100 = 9),
+    ep AS (SELECT e2.vec_id, e2.label, d.lang FROM embeddings e2
+      JOIN documents d ON e2.vec_id = d.doc_id),
+    ${NngSql.buildCtes("quant")},
+    ${NngSql.hopCtes("f", "gs", "qs", "quant", "quant")},
+    $perPred
+    SELECT pred, plan, n_pass, q_id, n_exact, n_hits
+    FROM (SELECT * FROM gr1 UNION ALL SELECT * FROM gr2 UNION ALL SELECT * FROM gr3)
+    ORDER BY pred, q_id"""
+  }
+
   // ── vs_nng_merge — segment-merge of two graph indexes ───────────────
   /** Merge two independently-built graph indexes WITHOUT a rebuild —
     * the segment/shard consolidation a production vector store runs
@@ -2360,6 +2537,7 @@ object VectorSearch {
     "vs_nng_delete" -> vsNngDelete,
     "vs_nng_filtered" -> vsNngFiltered,
     "vs_nng_merge" -> vsNngMerge,
+    "vs_search_planned" -> vsSearchPlanned,
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
@@ -2394,5 +2572,6 @@ object VectorSearch {
     "vs_nng_delete" -> vsNngDeleteSql,
     "vs_nng_filtered" -> vsNngFilteredSql,
     "vs_nng_merge" -> vsNngMergeSql,
+    "vs_search_planned" -> vsSearchPlannedSql,
     "vs_sparse_search" -> vsSparseSearchSql)
 }
