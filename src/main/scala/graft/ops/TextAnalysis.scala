@@ -542,6 +542,95 @@ object TextAnalysis {
   private[ops] def shinglesSql(n: Int): String =
     s"list_transform(range(1, len(toks)-${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))"
 
+  // ── text_corpus_overlap — θ-sketch overlap estimate, train vs test ──
+  /** Sketch-algebra contamination ESTIMATE between the train and test
+    * splits — the 100 TB complement of [[textDecontaminate]]'s exact
+    * broadcast probe: when the held-out set is itself huge, you first
+    * ask "how much do these corpora overlap AT ALL" from two bounded
+    * sketches before paying for exact per-document attribution. The
+    * KMV/θ-sketch set algebra (Beyer et al. SIGMOD'07; the Theta
+    * framework of Dasgupta et al.): per split, the [[OverlapK]]
+    * smallest DISTINCT 8-token-shingle hashes ([[graft.functions.KthMin]]
+    * — bounded-heap state, map-side combined); θ = min of the two
+    * k-th order statistics; every hash below θ is an EXACT member
+    * sample of its split (everything smaller than the k-th smallest is
+    * in the sketch), so intersection/union counts below θ are exact
+    * set operations on the samples and estimate Jaccard and
+    * \|A∩B\| (· M/θ inclusion scaling) without ever comparing the
+    * corpora directly. All integer: counts are BIGINT, ratios are
+    * floor-div ppm (`div` ≡ DuckDB `//` on non-negatives), the scale
+    * factor M/θ is one BIGINT multiply-divide. Sketches of two 50 TB
+    * slices are 2·K longs — the merge is free; the only corpus-scale
+    * work is the shingle distinct, the same pass every dedup op pays.
+    * Splits reuse [[textTrainSplit]]'s avalanche bucket (train = 0-7,
+    * test = 9; the val bucket is excluded). */
+  /** 4096 (not the KMV default 64): the planted corpora's true
+    * cross-split shingle Jaccard is ~0.1-1% (measured exactly: 16 of
+    * 20151 at sf0.01, 2093 of 203k at sf0.1), and a k-sample resolves
+    * J only down to ~1/\|sample\| — K=256 read 0 at both SFs. 4096
+    * longs is still a trivially bounded, mergeable sketch. */
+  final val OverlapK = 4096
+  def textCorpusOverlap: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val bucket = (col("doc_id") % 1000000007L * 2654435761L % 1000000007L) % 10
+    val docs = materializedColumn(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "toks", toksCol)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) >= DecontShingle)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket >= 9, "test"))
+      .filter(col("split").isNotNull)
+    val hx = docs.select(col("split"), explode(decontShingles).as("s"))
+      .select(col("split"), poly_hash(col("s")).as("h")).distinct()
+    val theta = hx.groupBy("split")
+      .agg(kth_min(col("h"), OverlapK).as("hk"))
+      .agg(min(coalesce(col("hk"), lit(graft.util.TextUtil.HashMod)))
+        .as("theta"))
+    val below = hx.crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+    below.groupBy("h", "theta").agg(
+        max(when(col("split") === "train", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("in_b"))
+      .groupBy("theta").agg(
+        sum("in_a").as("n_train_sample"),
+        sum("in_b").as("n_test_sample"),
+        sum(col("in_a") * col("in_b")).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .select(col("theta"), col("n_train_sample"), col("n_test_sample"),
+        col("n_inter"), col("n_union"),
+        expr("1000000 * n_inter div greatest(n_union, 1)").as("jaccard_ppm"),
+        expr(s"n_inter * ${graft.util.TextUtil.HashMod} div theta").as("est_inter"))
+  }
+  val textCorpusOverlapSql: String = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $DecontShingle),
+    sp AS (SELECT CASE WHEN b < 8 THEN 'train' ELSE 'test' END AS split, toks
+      FROM (SELECT toks,
+              (doc_id % 1000000007 * 2654435761 % 1000000007) % 10 AS b FROM tt)
+      WHERE b < 8 OR b >= 9),
+    sh AS (SELECT DISTINCT split, ${graft.util.TextUtil.polySql("s")} AS h
+      FROM (SELECT split, unnest(${shinglesSql(DecontShingle)}) AS s FROM sp)),
+    rk AS (SELECT split, h,
+        row_number() OVER (PARTITION BY split ORDER BY h) AS rn FROM sh),
+    kth AS (SELECT split, MAX(CASE WHEN rn = $OverlapK THEN h END) AS hk
+      FROM rk GROUP BY split),
+    th AS (SELECT MIN(COALESCE(hk, ${graft.util.TextUtil.HashMod})) AS theta FROM kth),
+    below AS (SELECT split, h FROM sh, th WHERE h < theta),
+    pv AS (SELECT h,
+        MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_a,
+        MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_b
+      FROM below GROUP BY h)
+    SELECT th.theta,
+      CAST(SUM(in_a) AS BIGINT) AS n_train_sample,
+      CAST(SUM(in_b) AS BIGINT) AS n_test_sample,
+      CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+      COUNT(*) AS n_union,
+      CAST(1000000 * SUM(in_a * in_b) // GREATEST(COUNT(*), 1) AS BIGINT)
+        AS jaccard_ppm,
+      CAST(SUM(in_a * in_b) * ${graft.util.TextUtil.HashMod} // th.theta AS BIGINT)
+        AS est_inter
+    FROM pv, th GROUP BY th.theta"""
+
   def textDecontaminate: Q = (spark, dir) => {
     graft.functions.register(spark)
     val docs = materializedColumn(
@@ -878,6 +967,7 @@ object TextAnalysis {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_kmv_sketch" -> textKmvSketch,
+    "text_corpus_overlap" -> textCorpusOverlap,
     "text_hll_sketch" -> textHllSketch)
 
   val oracles: Map[String, String] = Map(
@@ -899,5 +989,6 @@ object TextAnalysis {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_kmv_sketch" -> textKmvSketchSql,
+    "text_corpus_overlap" -> textCorpusOverlapSql,
     "text_hll_sketch" -> textHllSketchSql)
 }

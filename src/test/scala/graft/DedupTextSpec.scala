@@ -227,4 +227,42 @@ class DedupTextSpec extends SparkSpec {
     assert(d0.isDefined)
     assert(d0.get.getAs[Long]("n_match") == rows.map(_.getAs[Long]("n_match")).max)
   }
+
+  test("text_corpus_overlap: θ-sample estimates track the exact cross-split overlap") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("text_corpus_overlap")(spark, sf).collect().head
+    // structural invariants of the θ-sketch algebra
+    val (nA, nB, nI, nU) = (row.getAs[Long]("n_train_sample"),
+      row.getAs[Long]("n_test_sample"), row.getAs[Long]("n_inter"),
+      row.getAs[Long]("n_union"))
+    assert(row.getAs[Long]("theta") > 0L)
+    assert(nI <= math.min(nA, nB) && nU == nA + nB - nI)
+    // exact ground truth, computed the slow way (full distinct-set join)
+    val bucket = (col("doc_id") % 1000000007L * 2654435761L % 1000000007L) % 10
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .withColumn("toks",
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0))
+      .filter(size(col("toks")) >= graft.ops.TextAnalysis.DecontShingle)
+      .withColumn("split", when(bucket < 8, "train").when(bucket >= 9, "test"))
+      .filter(col("split").isNotNull)
+    val sh = docs.select(col("split"), explode(transform(
+        sequence(lit(0), size(col("toks")) - graft.ops.TextAnalysis.DecontShingle),
+        i => array_join(slice(col("toks"), i + 1,
+          lit(graft.ops.TextAnalysis.DecontShingle)), " "))).as("s"))
+      .distinct()
+    val a = sh.filter(col("split") === "train").select("s")
+    val b = sh.filter(col("split") === "test").select("s")
+    val exactInter = a.join(b, "s").count()
+    val exactUnion = a.count() + b.count() - exactInter
+    val truePpm = 1000000L * exactInter / exactUnion
+    info(s"exact inter=$exactInter union=$exactUnion ppm=$truePpm; " +
+      s"sketch est_inter=${row.getAs[Long]("est_inter")} ppm=${row.getAs[Long]("jaccard_ppm")}")
+    // the K=4096 sample must land within 2x of truth on this corpus
+    val est = row.getAs[Long]("est_inter")
+    assert(est * 2 >= exactInter && est <= exactInter * 2,
+      s"est_inter $est vs exact $exactInter out of 2x band")
+    val ppm = row.getAs[Long]("jaccard_ppm")
+    assert(ppm * 2 >= truePpm && ppm <= truePpm * 2,
+      s"jaccard_ppm $ppm vs exact $truePpm out of 2x band")
+  }
 }
