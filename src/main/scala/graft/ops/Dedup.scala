@@ -600,28 +600,31 @@ object Dedup {
 
   // ── dedup_embedding — embedding-cosine near-dup keep/drop decision ───
   /** Cosine near-dup keep/drop: each duplicate maps to its lowest-id
-    * retained neighbor. Candidate pairs come from the parameterized
-    * random-hyperplane LSH band join ([[graft.ops.VectorSearch.lshBands]],
-    * 16-bit band values — bucket count grows with content) behind the
-    * degenerate-bucket cap ([[graft.util.Skew.cappedSelfPairs]]), then
-    * verify with the exact kernel — no O(n²) join anywhere in the plan.
-    * The oracle regenerates the identical bands (bit-identical mixer
-    * planes); the exact all-pairs baseline is
-    * [[graft.ops.VectorSearch.vsRangeSearch]]'s oracle.
+    * retained neighbor. Candidate pairs come from the n-ADAPTIVE
+    * random-hyperplane LSH band join (round 12 —
+    * [[graft.ops.VectorSearch.lshBandsAdaptive]]: band width grows with
+    * log₂(corpus) so the random-collision floor stays linear in n; band
+    * count holds ≥0.9 recall of sim ≥ 0.9 pairs at every size) behind
+    * the degenerate-bucket cap ([[graft.util.Skew.cappedSelfPairs]]),
+    * then verify with the exact kernel — no O(n²) join anywhere in the
+    * plan. The oracle regenerates the identical bands (bit-identical
+    * mixer planes) AND the identical geometry (the shared integer
+    * (r, b) table, picked from its own COUNT(*)); the exact all-pairs
+    * baseline is [[graft.ops.VectorSearch.vsRangeSearch]]'s oracle.
     *
-    * Effective similarity regime: the 0.4 filter below is a VERIFY
-    * floor, not a recall target — 16-plane bands pass a sim≈0.4 pair
-    * with only ~1% probability, so in practice only near-identical
-    * pairs (sim ≳ 0.8) surface; see LshRecallSpec for the measured
-    * banded-vs-exact recall. For an engineered recall target, derive the
-    * geometry from the S-curve with
-    * [[graft.ops.VectorSearch.lshBandsForRecall]] (the registered
-    * `vs_lsh_tuned` runs the 12-plane × 35-band solution for 90% recall
-    * at sim 0.8) and pay the candidate blowup. */
+    * The 0.4 filter below is a VERIFY floor, not a recall target: the
+    * S-curve guarantee covers the near-dup regime (sim ≥ 0.9); lower-sim
+    * pairs surface only when bands happen to agree. The measured audit
+    * story (see [[graft.Audits]]): candidates that FAIL this verify are
+    * the random floor the adaptive geometry bounds per-row; candidates
+    * that pass track the corpus's true planted near-dup mass, which in
+    * the synthetic sf1 corpus itself grows quadratically (10-copy
+    * perturbation groups) — no geometry can shrink that without losing
+    * recall. */
   /** LSH-banded candidate pairs over the embeddings table (see
     * [[minhashPerAndCandidates]] on why this is factored). */
   private[graft] def embeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val bandsDf = VectorSearch.lshBands(
+    val bandsDf = VectorSearch.lshBandsAdaptive(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding")
     graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
@@ -648,7 +651,7 @@ object Dedup {
   }
   val dedupEmbeddingSql: String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    ${VectorSearch.lshBandsSql("e", "vec_id")},
+    ${VectorSearch.lshBandsAdaptiveSql("e", "vec_id")},
     ${VectorSearch.lshCandSql("vec_id", "keep_id", "dup_id")},
     p AS (SELECT keep_id, dup_id,
         round(list_inner_product(a.v, b.v)

@@ -1216,19 +1216,21 @@ object VectorSearch {
   }
 
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
-  /** Parameterized random-hyperplane LSH: planesPerBand·bands hyperplanes,
-    * each band value a planesPerBand-bit integer — the default 16-bit × 16
-    * bands gives a 2¹⁶·16 key space whose occupied-bucket count grows with
-    * corpus content (a 4-bit band's fixed 16 buckets is all-pairs in
-    * disguise at corpus scale). Candidate pairs share a band bucket, then
-    * verify with the exact kernel: the only join is a hash join on
-    * (band_idx, band_val) — never O(n²). This is the scale path for
+  /** Random-hyperplane LSH at the n-ADAPTIVE geometry (round 12 — see
+    * [[lshAdaptiveGeometry]]): band width r grows with log₂(corpus), so
+    * the random-collision floor stays linear in n; band count b holds
+    * the S-curve recall guarantee (≥0.9 recall of sim ≥ 0.9 pairs) at
+    * every size. Candidate pairs share a band bucket, then verify with
+    * the exact kernel: the only join is a hash join on (band_idx,
+    * band_val) — never O(n²). This is the scale path for
     * [[vsRangeSearch]]. Hyperplane values come from an integer
     * multiply-xor avalanche mixer mapped to [-0.5, 0.5) with power-of-two
     * division, so every coordinate is exactly representable and the SQL
     * oracle regenerates bit-identical planes (see [[planeVal]] for why
-    * not a plain LCG). Recall note: wide bands target true near-dups (sim ≳ 0.8);
-    * on this corpus (pair sims ≈ 0.5) they are intentionally selective. */
+    * not a plain LCG); the oracle re-derives the geometry from its own
+    * COUNT(*) via the shared integer table. The fixed 16×16 constants
+    * below remain the [[lshBands]] defaults for callers that pin their
+    * own geometry (specs, the tuned variant). */
   final val LshPlanesPerBand = 16
   final val LshBands = 16
   /** Degenerate-bucket cap for LSH candidate generation (see
@@ -1279,6 +1281,67 @@ object VectorSearch {
   final val LshTunedPlanesPerBand = 12
   val LshTunedBands: Int =
     lshBandsForRecall(LshTargetRecall, LshDesignSim, LshTunedPlanesPerBand)
+
+  /** n-ADAPTIVE band geometry (round 12). A FIXED geometry has a
+    * corpus-size-independent per-band random collision rate 2^−r, so
+    * expected RANDOM candidates n²·b/2^(r+1) grow quadratically — the
+    * r11 sweep telemetry measured exactly that curve shape on the fixed
+    * 16×16 join. The fix is the classic LSH trade: hold the S-curve
+    * recall at a design point (here ≥[[LshAdaptTargetRecall]] recall of
+    * sim ≥ [[LshAdaptDesignSim]] pairs, b(r) = [[lshBandsForRecall]])
+    * and DERIVE the band width from corpus size — the smallest r whose
+    * expected random collisions per row n·b(r)/2^(r+1) stay ≤
+    * [[LshAdaptCandsPerRow]], i.e. r ≈ log₂(n·b/C). Each corpus
+    * doubling widens bands by ~one bit, so the random floor stays
+    * LINEAR in n (constant per row) instead of quadratic; the price is
+    * the ρ-exponent one (more bands → more map-side hashing: b grows
+    * from 12 at n=500 to 37 at n=20k to 329 at the r=32 table end,
+    * ~700k rows — beyond that, extend the table and pay more planes;
+    * constant TOTAL random collisions would need r ≈ 2·log₂n and an
+    * exponentially-growing b, which is why no LSH system does it).
+    * The pick rule is integer-exact (n·b ≤ C·2^(r+1), all BIGINT) and
+    * the (r, b) table — the ONLY place the float S-curve solve happens
+    * — is interpolated into the SQL oracle as literals, so DuckDB
+    * re-derives the identical geometry from its own COUNT(*) with no
+    * transcendental replay.
+    *
+    * What adaptivity can and cannot buy here, measured sf0.1→sf1: the
+    * r11 "quadratic candidates" (946→98,033 for 10× rows) are ~97% TRUE
+    * pairs — the exact sim≥0.4 pair count is 920→95,212 (103×) because
+    * the synthetic sf1 corpus carries quadratically-growing planted
+    * near-dup GROUPS (10 perturbed copies per base vector → C(10,2)
+    * pairs per group). No geometry can make the candidate set grow
+    * slower than the true-pair mass it must recall; what the adaptive
+    * pick bounds is the EXCESS (candidates that fail the verify) — the
+    * random floor — and that is what the sweep audit now measures
+    * per-row (see [[graft.Audits]]). */
+  final val LshAdaptDesignSim = 0.9
+  final val LshAdaptTargetRecall = 0.9
+  /** Expected random band collisions per corpus row the adaptive pick
+    * tolerates — the C in r ≈ log₂(n·b/C). */
+  final val LshAdaptCandsPerRow = 2L
+  final val LshAdaptMinPlanes = 8
+  final val LshAdaptMaxPlanes = 32
+  /** (band width r → band count b) solved once from the S-curve; shared
+    * verbatim by both engines. */
+  val lshAdaptGeo: Seq[(Int, Int)] =
+    (LshAdaptMinPlanes to LshAdaptMaxPlanes).map(r =>
+      (r, lshBandsForRecall(LshAdaptTargetRecall, LshAdaptDesignSim, r)))
+  /** Smallest tabled r with n·b(r) ≤ C·2^(r+1); table max if the corpus
+    * outgrows the table (document + extend rather than silently over-
+    * collide: the getOrElse is the explicit operating ceiling). */
+  def lshAdaptiveGeometry(n: Long): (Int, Int) =
+    lshAdaptGeo.find { case (r, b) =>
+      n * b <= LshAdaptCandsPerRow * (1L << (r + 1)) }.getOrElse(lshAdaptGeo.last)
+
+  /** [[lshBands]] at the n-adaptive geometry. The count() is a bounded
+    * column-pruned scan made once per query — an index-build-time
+    * decision, not per-row work. */
+  private[graft] def lshBandsAdaptive(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val (r, b) = lshAdaptiveGeometry(df.count())
+    lshBands(df, idCol, vecCol, planesPerBand = r, bands = b)
+  }
 
   /** Plane coordinate (j = plane, i = dim) from a two-round multiply-xor
     * avalanche mixer, mapped to [-0.5, 0.5). Every step stays under 2^63
@@ -1340,6 +1403,45 @@ object VectorSearch {
         SUM(bit * (1 << ($planesPerBand - 1 - j % $planesPerBand))) AS band_val
       FROM bits GROUP BY 1, 2)"""
 
+  /** SQL mirror of [[lshBandsAdaptive]] (same `bands` output shape as
+    * [[lshBandsSql]]): DuckDB re-derives (r, b) from its own COUNT(*)
+    * over `src` via the interpolated integer (r, b) table. Planes are
+    * generated to the table max and filtered to r·b — DuckDB's range()
+    * takes constants only — and every shift is explicitly BIGINT (the
+    * fixed-geometry mirror's bare `1 <<` would overflow INT32 at the
+    * table's widest bands). */
+  private[graft] def lshBandsAdaptiveSql(src: String, idCol: String): String = {
+    val geoVals = lshAdaptGeo.map { case (r, b) => s"($r,$b)" }.mkString(",")
+    val maxPlanes = lshAdaptGeo.map { case (r, b) => r * b }.max
+    val (rMax, bMax) = lshAdaptGeo.last
+    s"""
+    geo0 AS (SELECT * FROM (VALUES $geoVals) t(r, b)),
+    nn AS (SELECT COUNT(*) AS n FROM $src),
+    geopick AS (SELECT r, b FROM geo0, nn
+      WHERE n * b <= $LshAdaptCandsPerRow * (CAST(1 AS BIGINT) << (r + 1))
+      ORDER BY r LIMIT 1),
+    geo AS (SELECT coalesce((SELECT r FROM geopick), $rMax) AS r,
+                   coalesce((SELECT b FROM geopick), $bMax) AS b),
+    pidx AS (
+      SELECT jj.range AS j, ii.range AS i,
+        ((jj.range*64 + ii.range + 1) * 2654435761) % 2147483648 AS h1
+      FROM range(0, $maxPlanes) jj, range(0, 64) ii, geo
+      WHERE jj.range < geo.r * geo.b),
+    p2 AS (SELECT j, i,
+        (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2 FROM pidx),
+    planes AS (
+      SELECT j, list(xor(h2, h2 // 8192) / 2147483648.0 - 0.5 ORDER BY i) AS p
+      FROM p2 GROUP BY j),
+    bits AS (
+      SELECT $idCol, j,
+        CASE WHEN ${dotSql("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM $src, planes),
+    bands AS (
+      SELECT $idCol, j // geo.r AS band_idx,
+        SUM(bit * (CAST(1 AS BIGINT) << (geo.r - 1 - j % geo.r))) AS band_val
+      FROM bits, geo GROUP BY 1, 2)"""
+  }
+
   /** SQL mirror of [[graft.util.Skew.cappedSelfPairs]] over the `bands`
     * CTE: bucket-size HAVING filter, then the pair join on surviving
     * buckets. Column names for the pair output are parameterized so
@@ -1356,7 +1458,7 @@ object VectorSearch {
 
   def vsLshSearch: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val bandsDf = lshBands(e, "vec_id", "embedding")
+    val bandsDf = lshBandsAdaptive(e, "vec_id", "embedding")
     val cand = graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
       Seq("band_idx", "band_val"), LshBucketCap)
     cand
@@ -1369,7 +1471,7 @@ object VectorSearch {
   }
   val vsLshSearchSql = s"""
     WITH e AS ($eSql),
-    ${lshBandsSql("e", "vec_id")},
+    ${lshBandsAdaptiveSql("e", "vec_id")},
     ${lshCandSql("vec_id", "a_id", "b_id")}
     SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
     FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id

@@ -19,27 +19,48 @@ class LshRecallSpec extends SparkSpec {
     rows.map(r => (r.getAs[Long](a), r.getAs[Long](b))).toSet
 
   test("embedding LSH recall vs the exact baseline tracks the S-curve prediction") {
-    // The 16-plane default is intentionally selective at the corpus's
-    // sim≈0.5 regime — recall of exact >=0.4 pairs is LOW, but with
-    // honest (uncorrelated) planes it must be low BY THE CURVE: measured
-    // recall stays within tolerance of the mean per-pair
-    // (1-(1-p^16)^16) prediction, never zeroes out, and every banded
-    // survivor is a true >=0.4 pair.
+    // vs_lsh_search runs the n-ADAPTIVE geometry (r12): per corpus, the
+    // pick rule chooses (r, b), the S-curve guarantees >=0.9 recall of
+    // sim>=0.9 pairs, and recall of the full exact >=0.4 set must track
+    // the mean per-pair (1-(1-p^r)^b) prediction at each pair's ACTUAL
+    // sim — never zero out — with every banded survivor a true pair.
     for (dir <- Seq(sf01, sf1)) {
       val exactRows = VectorSearch.vsRangeSearch(spark, dir).collect()
       val exact = pairs(exactRows, "a_id", "b_id")
+      val n = Tables.embeddings(spark, dir).count()
+      val (r, b) = VectorSearch.lshAdaptiveGeometry(n)
       val banded = pairs(VectorSearch.vsLshSearch(spark, dir).collect(), "a_id", "b_id")
       assert(exact.nonEmpty, s"$dir: exact baseline is empty — vacuous recall")
       assert(banded.nonEmpty, s"$dir: banded output is empty — recall zeroed")
       assert(banded.subsetOf(exact), s"$dir: banded pair failed the exact filter")
       val recall = banded.size.toDouble / exact.size
-      val predicted = exactRows.map(r => VectorSearch.lshPredictedRecall(
-        r.getAs[Double]("sim"), VectorSearch.LshPlanesPerBand, VectorSearch.LshBands))
-        .sum / exact.size
-      info(f"$dir: banded recall ${banded.size}/${exact.size} = $recall%.3f (predicted $predicted%.3f)")
+      val predicted = exactRows.map(row => VectorSearch.lshPredictedRecall(
+        row.getAs[Double]("sim"), r, b)).sum / exact.size
+      info(f"$dir: n=$n geometry ${r}x$b banded recall ${banded.size}/${exact.size} = $recall%.3f (predicted $predicted%.3f)")
       assert(math.abs(recall - predicted) <= 0.06,
-        f"$dir: recall $recall%.3f off the S-curve prediction $predicted%.3f")
+        f"$dir: recall $recall%.3f off the S-curve prediction $predicted%.3f at ${r}x$b")
     }
+  }
+
+  test("adaptive geometry pick: recall held, random floor bounded, width monotone in n") {
+    import VectorSearch._
+    var lastR = 0
+    for (exp <- 4 to 40) {
+      val n = 1L << exp
+      val (r, b) = lshAdaptiveGeometry(n)
+      // The recall guarantee never moves: b solves the S-curve at r.
+      assert(lshPredictedRecall(LshAdaptDesignSim, r, b) >= LshAdaptTargetRecall,
+        s"n=$n geometry ${r}x$b misses the design recall")
+      // The random floor stays constant per row while the table covers n.
+      if (r < LshAdaptMaxPlanes)
+        assert(n * b <= LshAdaptCandsPerRow * (1L << (r + 1)),
+          s"n=$n geometry ${r}x$b exceeds the per-row collision budget")
+      assert(r >= lastR, s"band width must be monotone in n: $lastR -> $r")
+      lastR = r
+    }
+    // The registered corpora land where the scaladoc says they do.
+    info(s"n=500 -> ${lshAdaptiveGeometry(500)}, n=2000 -> ${lshAdaptiveGeometry(2000)}, " +
+      s"n=20000 -> ${lshAdaptiveGeometry(20000)}")
   }
 
   test("narrower bands raise candidate recall (the knob for a 0.4-recall requirement)") {
