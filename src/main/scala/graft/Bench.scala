@@ -124,20 +124,36 @@ object Bench {
     }.mkString("{", ",", "}")
     // Candidate-volume telemetry (graft.Audits): counted AFTER the timed
     // sweep, emitted in the detail JSON so a superlinear candidate drift
-    // shows up in one sweep diff. A failed audit records -1, never kills
-    // the bench. Disable with SPARK_GRAFT_BENCH_AUDITS=0.
-    val auditJson =
-      if (sys.env.get("SPARK_GRAFT_BENCH_AUDITS").contains("0")) "{}"
-      else Audits.audits.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val v = try fn(spark, sfDir) catch { case e: Throwable =>
-          System.err.println(s"[bench] audit $name failed: ${e.getMessage}"); -1L
-        }
-        "\"" + name + "\":" + v
-      }.mkString("{", ",", "}")
+    // shows up in one sweep diff. Round 12: each audit carries a
+    // per-row alarm bound — a breach prints a loud stderr line and
+    // lands in the JSON (per-audit "alarm" + top-level "audit_alarms"),
+    // so a blocking collapse fails VISIBLY in the sweep output instead
+    // of waiting for a human to diff counts. A failed audit records -1,
+    // never kills the bench. Disable with SPARK_GRAFT_BENCH_AUDITS=0.
+    val auditResults: Seq[(String, Long, Long, Boolean)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_AUDITS").contains("0")) Seq.empty
+      else Audits.audits.toSeq.sortBy(_._1).map { case (name, a) =>
+        val (v, rows) = try (a.count(spark, sfDir), a.rows(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] audit $name failed: ${e.getMessage}")
+            (-1L, 1L)
+          }
+        val alarm = v >= 0 && Audits.breached(a, v, rows)
+        if (alarm) System.err.println(
+          f"[bench] AUDIT ALARM $name: $v candidates over $rows rows = " +
+          f"${v.toDouble / math.max(rows, 1L)}%.2f/row exceeds bound ${a.maxPerRow}%.2f " +
+          "- a blocking key has likely collapsed (see graft.Audits)")
+        (name, v, rows, alarm)
+      }
+    val auditJson = auditResults.map { case (name, v, rows, alarm) =>
+      "\"" + name + s"""\":{"count":$v,"rows":$rows,"alarm":$alarm}"""
+    }.mkString("{", ",", "}")
+    val alarmJson = auditResults.filter(_._4).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"audits":$auditJson,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

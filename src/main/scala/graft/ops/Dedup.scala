@@ -437,7 +437,13 @@ object Dedup {
   /** Per-doc gram set + 16-minhash signature frame (doc_id, lb, grams,
     * sig) — the persisted signature table both the band join and the
     * verify joins read. */
-  private[graft] def ngramSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** `mixed = false` reproduces the r10 blocking-collapse bug (no
+    * avalanche mix → all 16 permutation argmins image the same global
+    * min gram → band keys collapse to length∧min-gram) — spec-only, so
+    * AuditAlarmSpec can prove the telemetry alarm trips on exactly the
+    * historical failure. Production callers never pass it. */
+  private[graft] def ngramSignatures(spark: SparkSession, dir: String,
+      mixed: Boolean = true): DataFrame = {
     graft.functions.register(spark)
     // Grams are poly_hashed to longs: set ops over long arrays are ~10×
     // cheaper than string arrays and deterministic on both engines.
@@ -479,7 +485,7 @@ object Dedup {
       val x2 = (x1.bitwiseXOR(idiv(x1, 65536L)) * 2246822519L) % 2147483648L
       x2.bitwiseXOR(idiv(x2, 8192L))
     })
-    val gm = materializedColumn(g, "mixed", mixCol)
+    val gm = materializedColumn(g, "mixed", if (mixed) mixCol else col("grams"))
     val sigCol = transform(sequence(lit(0), lit(15)), k =>
       array_min(transform(col("mixed"),
         m => (m * (k * 2 + 1) + lit(1000003L) * k) % lit(M))))
@@ -491,8 +497,12 @@ object Dedup {
     * (the r10 blocking-collapse bug was found by counting exactly this
     * frame); factored so [[graft.Audits]] counts what the query runs. */
   private[graft] def ngramRawPairs(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val mh = ngramSignatures(spark, dir)
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ngramRawPairsFrom(ngramSignatures(spark, dir))
+  /** The raw banded join from a given signature frame — factored so
+    * AuditAlarmSpec can run the production join shape over the
+    * deliberately-collapsed (unmixed) signatures. */
+  private[graft] def ngramRawPairsFrom(mh: DataFrame): (DataFrame, DataFrame) = {
     val keyed = ngramBandKeyed(mh)
     val b = graft.util.Persist.stage(keyed, eager = false)
     val ok = b.groupBy("bk").agg(count(lit(1)).as("n"))
@@ -630,19 +640,26 @@ object Dedup {
     graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
       Seq("band_idx", "band_val"), VectorSearch.LshBucketCap)
   }
-  def dedupEmbedding: Q = (spark, dir) => {
+  /** Exact-cosine-scored candidate pairs (keep_id, dup_id, sim) — the
+    * verify stage's input, factored so [[graft.Audits]] can count the
+    * EXCESS (sim < 0.4 failures, the random band-collision floor the
+    * adaptive geometry bounds) on the exact frame the query runs. */
+  private[graft] def embeddingScoredCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
       inner_product(col("embedding"), col("embedding")).as("nsq"))
-    val cand = embeddingCandidates(spark, dir)
+    embeddingCandidates(spark, dir)
       .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"))
-    val w = Window.partitionBy("dup_id").orderBy("keep_id")
-    cand
       .join(e.select(col("vec_id").as("keep_id"), col("embedding").as("va"),
         col("nsq").as("na")), "keep_id")
       .join(e.select(col("vec_id").as("dup_id"), col("embedding").as("vb"),
         col("nsq").as("nb")), "dup_id")
       .select(col("keep_id"), col("dup_id"),
         r6(inner_product(col("va"), col("vb")) / sqrt(col("na") * col("nb"))).as("sim"))
+  }
+  def dedupEmbedding: Q = (spark, dir) => {
+    val w = Window.partitionBy("dup_id").orderBy("keep_id")
+    embeddingScoredCandidates(spark, dir)
       .filter(col("sim") >= 0.4)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
