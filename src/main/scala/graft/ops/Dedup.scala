@@ -67,18 +67,25 @@ object Dedup {
   /** Per-doc (sig, hash-set) table + banded candidate pairs — factored
     * so [[graft.Audits]] counts the EXACT candidate frame the query
     * runs (the sweep's superlinear-drift telemetry), not a replica. */
-  private[graft] def minhashPerAndCandidates(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val hx = wordShingleHashes(Tables.documents(spark, dir).select("doc_id", "text"))
-    // ONE aggregation computes both the 16-slot minhash signature
-    // (graft.functions.MinhashSig — all minima in a single primitive
-    // buffer) and the distinct hash set the verify stage needs; the
-    // per-doc frame is materialized once so the band explode and both
-    // verify joins read it back instead of re-running the shingle→hash
-    // pipeline and a second groupBy (r2 computed that subtree 3×).
-    val per = persistRound(hx.groupBy("doc_id")
+  /** Per-doc (sig, hs) minhash signature table over any (doc_id, text)
+    * frame — ONE aggregation computes both the 16-slot minhash
+    * signature (graft.functions.MinhashSig — all minima in a single
+    * primitive buffer) and the distinct hash set the verify stage
+    * needs; the per-doc frame is materialized once so band explodes
+    * and verify joins read it back instead of re-running the
+    * shingle→hash pipeline and a second groupBy (r2 computed that
+    * subtree 3×). Factored (r12) so
+    * [[TextAnalysis.textFuzzyDecontaminate]] can band-join ACROSS the
+    * train/eval split from the same signatures. */
+  private[ops] def minhashPer(docsRaw: DataFrame): DataFrame = {
+    val hx = wordShingleHashes(docsRaw)
+    persistRound(hx.groupBy("doc_id")
         .agg(minhash_sig(col("h"), 16).as("sig"), collect_set(col("h")).as("hs")),
       eager = false)
+  }
+  private[graft] def minhashPerAndCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val per = minhashPer(Tables.documents(spark, dir).select("doc_id", "text"))
     val bandKeys = (0 until 4).map { b =>
       concat_ws(":", lit(b) +: (0 until 4).map(j => col("sig").getItem(4 * b + j)): _*)
     }
@@ -114,16 +121,22 @@ object Dedup {
     sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tt),
     shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"""
-  private val minhashCtes = shinglePrefixCtes + s""",
+  /** Shingle→hash→16-minhash→hash-set CTE chain WITHOUT a banding rule
+    * (ends with `mh` and `hsets`) — shared by [[dedupMinhashLsh]]'s
+    * 4-wide self-join bands and
+    * [[TextAnalysis.textFuzzyDecontaminate]]'s 2-wide cross-split
+    * bands. */
+  private[ops] val minhashSigCtes: String = shinglePrefixCtes + s""",
     hx AS (SELECT doc_id, ${polySql("s")} AS h FROM shx),
     ks AS (SELECT range AS k FROM range(0, 16)),
     mh AS (SELECT doc_id, k, MIN((h * (2*k+1) + 1000003*k) % $M) AS mh
            FROM hx, ks GROUP BY 1, 2),
+    hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hx GROUP BY doc_id)"""
+  private val minhashCtes = minhashSigCtes + s""",
     bands AS (SELECT doc_id, (k // 4) || ':' || string_agg(mh::VARCHAR, ':' ORDER BY k) AS bk
               FROM mh GROUP BY doc_id, k // 4),
     cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
              FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
-    hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hx GROUP BY doc_id),
     jj AS (SELECT a_id, b_id,
              round(len(list_intersect(a.hs, b.hs))::DOUBLE
                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard

@@ -16,8 +16,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * k broadcast-literal centroids, stays in codegen) + one aggregation
   * keyed by (cell, dim) with map-side combine. Centroids (k×dim doubles)
   * live on the driver between iterations — the classic Spark k-means
-  * shape. Deterministic: init = first k vectors by id, ties broken by
-  * centroid id, fixed iteration count.
+  * shape. Deterministic AND corpus-order-free (r12): init = the k
+  * vectors with the smallest [[graft.util.Det.hashCoin]] rank of their
+  * id — at 100 TB "the first k ids" is whatever the oldest ingest batch
+  * wrote, possibly one skewed source; the hash-coin rank picks a
+  * layout-independent pseudo-random seed set with the same determinism
+  * and a TakeOrderedAndProject plan (distributed partial top-k, no
+  * global sort). Ties broken by centroid id, fixed iteration count.
   */
 object IvfIndex {
   final case class Model(centroids: IndexedSeq[(Int, IndexedSeq[Double])]) {
@@ -38,11 +43,12 @@ object IvfIndex {
         lit(cid).as("cid"))
     }: _*).getField("cid")
 
-  /** Train with deterministic init (first k rows by id) + `iters` Lloyd
-    * rounds (mean of assigned vectors, cosine geometry on raw vectors). */
+  /** Train with deterministic order-free init (hash-coin rank, see
+    * object scaladoc) + `iters` Lloyd rounds (mean of assigned vectors,
+    * cosine geometry on raw vectors). */
   def fit(vectors: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    var model = Model(base.orderBy("id").limit(k).collect().zipWithIndex
+    var model = Model(seedRows(base, k).zipWithIndex
       .map { case (r, i) => (i, toDouble(r.get(1))) }.toIndexedSeq)
     for (_ <- 0 until iters) {
       val assigned = base.withColumn("cell", cellOf(col("v"), model))
@@ -90,6 +96,12 @@ object IvfIndex {
       struct(intD2(q, cv).as("d2"), lit(cid).as("cid"))
     }: _*).getField("cid")
 
+  /** The k seed rows under the hash-coin rank (ties by id) — one
+    * bounded TakeOrderedAndProject collect, shared by [[fit]] and
+    * [[fitInt]]. */
+  private def seedRows(base: DataFrame, k: Int): Array[org.apache.spark.sql.Row] =
+    base.orderBy(graft.util.Det.hashCoin(col("id")), col("id")).limit(k).collect()
+
   /** Round-half-up of s/n for any sign of s, in pure integer arithmetic:
     * shift by 127n so the numerator is non-negative (grid values are in
     * [-127,127]), where truncating and floor division agree on every
@@ -97,15 +109,17 @@ object IvfIndex {
   private def roundDiv(s: Long, n: Long): Long =
     (2L * (s + 127L * n) + n) / (2L * n) - 127L
 
-  /** Integer Lloyd: deterministic init (first k rows by id, already
-    * quantized to the int8 grid) + `iters` rounds of integer-L2
+  /** Integer Lloyd: deterministic order-free init (hash-coin rank over
+    * ids, vectors already quantized to the int8 grid; the
+    * vs_ivf_trained oracle's c0 CTE ranks by the same mixer) + `iters`
+    * rounds of integer-L2
     * assignment and BIGINT sum/count centroid updates with fixed
     * round-half-up division. Same Spark shape as [[fit]] (map-only assign
     * + one (cell,dim)-keyed aggregation per round; k×dim rows to the
     * driver) but every number is exact — the whole trainer replays in SQL. */
   def fitInt(vectors: DataFrame, idCol: String, qCol: String, k: Int, iters: Int): IntModel = {
     val base = vectors.select(col(idCol).as("id"), col(qCol).as("q"))
-    var model = IntModel(base.orderBy("id").limit(k).collect().zipWithIndex
+    var model = IntModel(seedRows(base, k).zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).toIndexedSeq) }.toIndexedSeq)
     for (_ <- 0 until iters) {
       val sums = base.withColumn("cell", intCellOf(col("q"), model))

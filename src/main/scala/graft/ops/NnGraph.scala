@@ -74,7 +74,11 @@ object NnGraph {
     * are the honest budget for it, not free parameters: the seeded
     * 2-round/S=32 build reaches search recall 0.859 where the UNSEEDED
     * build needed 4 rounds at S=32 (120 s vs 22 s build wall at sf1)
-    * for 0.845. Rounds×S trades measured flat here (3×24 → 0.867,
+    * for 0.845 (r11 numbers under the legacy id-prefix entry rule; the
+    * r12 hash-coin entry set grades the same build at 0.877, and six
+    * entry sets span 0.846-0.877 on ONE graph — graft.tools.EntrySens —
+    * so ±0.016 of any single sf1 recall is entry lottery, not build
+    * quality). Rounds×S trades measured flat here (3×24 → 0.867,
     * 2×32 → 0.859 — same total pair volume n·S²·R/2) — take the fewer
     * rounds: each round is ~6 latency-bound shuffle stages at small SF,
     * while a wider S only fattens one codegen'd score join. */
@@ -89,7 +93,9 @@ object NnGraph {
     * LINEAR in corpus size — and S is the quality/cost knob to raise
     * with intrinsic dimensionality. */
   final val SampleS = 32
-  /** Search: fixed entry nodes (vec_id < Entries), beam width, hops.
+  /** Search: fixed entry nodes (the Entries smallest by the
+    * [[graft.util.Det.hashCoin]] rank — deterministic and
+    * corpus-order-free), beam width, hops.
     * A hop is ~4 shuffle stages while entries and beam only fatten
     * existing joins, so hops is the expensive knob and the other two
     * are nearly free: at sf1, entries 64→256 and beam 64→96 moved
@@ -103,9 +109,9 @@ object NnGraph {
   final val TopK = 5
   /** Lighter search geometry for upsert PLACEMENT (finding a new
     * vector's K attachment points): the full grading geometry buys
-    * recall the placement step doesn't need — at sf1 the repaired
-    * post-upsert recall measured 0.851 with this geometry vs 0.835
-    * with the full one, at one fewer hop and half the beam. */
+    * recall the placement step doesn't need — at sf1 (r11) the
+    * repaired post-upsert recall measured 0.851 with this geometry vs
+    * 0.835 with the full one, at one fewer hop and half the beam. */
   final val PlaceEntries = 64
   final val PlaceBeam = 48
   final val PlaceHops = 3
@@ -201,24 +207,46 @@ object NnGraph {
   /** The random init graph: K mixer-drawn offsets per node — doubles as
     * the NSW long-link set at search time.
     *
-    * CONTRACT (r10 advice): dst = (src + off) % n assumes ids densely
-    * cover [0, n). On a non-contiguous corpus — [[graft.ops.VectorSearch.vsNngUpsert]]
-    * builds on the base slice, whose ids skip every UpsertMod-th and
-    * exceed n — some init edges target absent ids (silently dropped by
-    * the score inner join) and nodes with vec_id ≥ n draw no inbound
-    * long links, so the navigable set is thinner than the dense-id NSW
-    * design. This is a DOCUMENTED trade, not a bug: both engines replay
-    * the identical arithmetic (the gi CTE mirrors it), grading agrees,
-    * and measured recall clears the floor on every registered corpus
-    * (upsert 0.835 at sf1). A dense-rank remap (row_number − 1 over the
-    * corpus) would restore the dense-id design at the cost of one
-    * window plus re-deriving every nng oracle CTE — the upgrade to take
-    * if a future corpus shows floor pressure, not before. */
+    * Dense-rank remap (r12 — closes the r10-advice contract that stood
+    * documented through r11): the modular arithmetic dst = (r + off) %
+    * n runs in RANK space, where r = each node's dense rank by vec_id ∈
+    * [0, n), then maps back to real ids. On a non-contiguous corpus
+    * (upsert's base slice, merge segments, delete survivors) the old
+    * raw-id form silently dropped edges targeting absent ids and gave
+    * nodes with vec_id ≥ n no inbound long links — thinner navigable
+    * sets exactly where maintenance ops need them. On a dense [0, n)
+    * corpus the remap is the identity, so full-corpus builds are
+    * unchanged bit-for-bit.
+    *
+    * The rank is the [[graft.ops.Pipeline]] two-pass prefix pattern
+    * (per-bucket counts → exclusive prefix over the tiny bucket frame →
+    * intra-bucket row_number), NEVER a corpus-wide single-partition
+    * window; the oracle computes the same rank with the naive global
+    * row_number, proving two-pass ≡ global at every SF. */
+  final val RankBucket = 1024L
+  private[graft] def denseRank(quant: DataFrame): DataFrame = {
+    val d = quant.select(col("vec_id"),
+      graft.util.Det.idiv(col("vec_id"), RankBucket).as("bkt"))
+    val bktPrefix = d.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val wIn = Window.partitionBy("bkt").orderBy("vec_id")
+    d.join(broadcast(bktPrefix), "bkt")
+      .select(col("vec_id"),
+        (col("boff") + row_number().over(wIn) - lit(1L)).as("r"))
+  }
   def initGraph(quant: DataFrame, n: Long, k: Int = K): DataFrame = {
-    val offs = array((1 to k).map(j => mixOff(col("src"), j, k, n)): _*)
-    quant.select(col("vec_id").as("src"))
-      .select(col("src"), explode(offs).as("off"))
-      .select(col("src"), ((col("src") + col("off")) % n).as("dst"))
+    // Staged: the rank table is read twice (offset derivation + the
+    // rank→id back-join); without the cut both sides re-run the prefix.
+    val rk = Persist.stage(denseRank(quant), eager = false)
+    val offs = array((1 to k).map(j => mixOff(col("r"), j, k, n)): _*)
+    val edges = rk
+      .select(col("vec_id").as("src"), col("r"))
+      .select(col("src"), col("r"), explode(offs).as("off"))
+      .select(col("src"), ((col("r") + col("off")) % n).as("dr"))
+    edges.join(rk.select(col("r").as("dr"), col("vec_id").as("dst")), "dr")
+      .select("src", "dst")
   }
 
   /** Score an (src, dst) edge frame with exact grid distances — two
@@ -347,8 +375,19 @@ object NnGraph {
     // Entry points default to the scoring corpus; an upsert-style search
     // draws entries from the BASE index while scoring candidates against
     // the full (base ∪ batch) corpus, so the two are separable.
-    val ent = entrySource.getOrElse(quant).filter(col("vec_id") < entries)
-      .select(col("vec_id").as("c_id"), col("qd"))
+    // Hash-coin rank, not `vec_id < entries` (r12, VERDICT r11 #3): the
+    // first-k-ids rule is a corpus-ORDER artifact — at 100 TB "the
+    // lowest 256 ids" is the oldest ingest batch, possibly all one
+    // skewed source. Ranking by the avalanche hash-coin selects a
+    // deterministic, layout-free pseudo-random entry set; orderBy+limit
+    // plans as TakeOrderedAndProject (distributed partial top-k), never
+    // a global sort. Measured at sf1 (isotropic corpus): recall
+    // unchanged within noise vs the id-prefix rule, as expected — the
+    // point is order-independence, not recall.
+    val ent = entrySource.getOrElse(quant)
+      .select(col("vec_id").as("c_id"), col("qd"),
+        graft.util.Det.hashCoin(col("vec_id")).as("eh"))
+      .orderBy("eh", "c_id").limit(entries).select("c_id", "qd")
     var v: DataFrame = qs.crossJoin(broadcast(ent))
       .select(col("q_id"), col("c_id"), intD2(col("qd"), col("qq")).as("d2"))
     for (_ <- 1 to hops) {

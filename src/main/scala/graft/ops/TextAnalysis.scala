@@ -537,7 +537,7 @@ object TextAnalysis {
   private[ops] def shinglesOf(n: Int): Column = transform(
     sequence(lit(0), size(col("toks")) - n),
     i => array_join(slice(col("toks"), i + 1, lit(n)), " "))
-  private[ops] def decontShingles: Column = shinglesOf(DecontShingle)
+  private[graft] def decontShingles: Column = shinglesOf(DecontShingle)
   /** DuckDB fragment mirroring [[shinglesOf]] over a `toks` column. */
   private[ops] def shinglesSql(n: Int): String =
     s"list_transform(range(1, len(toks)-${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))"
@@ -670,6 +670,72 @@ object TextAnalysis {
           WHERE c.doc_id % 20 <> 0 GROUP BY 1)
     SELECT doc_id, n_hits, n_shingles, round(n_hits / n_shingles, 6) AS hit_ratio
     FROM j WHERE n_hits > 0 ORDER BY doc_id"""
+
+  // ── text_fuzzy_decontaminate — NEAR-duplicate eval contamination ────
+  /** Fuzzy benchmark decontamination (r12): [[textDecontaminate]] flags
+    * EXACT 8-token shingle overlap with the eval probe set, but real
+    * contamination is usually PARAPHRASED — a benchmark row with every
+    * 8th word substituted shares zero 8-grams and sails through the
+    * exact probe (FuzzyDecontSpec plants exactly that pair and proves
+    * the exact scan misses it). This op catches the near-duplicate
+    * regime with the [[Dedup]] minhash machinery joined ACROSS the
+    * split boundary: per-doc word-3-shingle 16-slot minhash signatures
+    * ([[Dedup.minhashPer]] — the same signature table dedup_minhash_lsh
+    * banding reads), banded 2-wide × 8 (not dedup's 4-wide × 4: the
+    * paraphrase regime lives at Jaccard ~0.4-0.6, where 2-slot bands
+    * catch with 1−(1−J²)⁸ ≈ 0.75-0.95 while 4-slot bands drop to
+    * ~0.1-0.4), then corpus-side band keys hash-join PROBE-side band
+    * keys only — train rows never self-join, so the candidate volume is
+    * |corpus ∩ probe-colliding|, not a corpus pair explosion — and
+    * exact hashed-shingle Jaccard ≥ 0.4 verifies. Scale: the probe set
+    * is benchmark-sized; both sides of the band join shuffle on band
+    * keys only; the signature table is the one dedup already persists.
+    * Output: every (corpus doc, probe doc, jaccard) contamination pair. */
+  final val FuzzyDecontThreshold = 0.4
+  def textFuzzyDecontaminate: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    fuzzyDecontPairs(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+  }
+  /** The cross-split banded join over any (doc_id, text) frame — split
+    * out so FuzzyDecontSpec can drive it with a planted paraphrased
+    * probe twin. Probe set = doc_id % 20 == 0 ([[textDecontaminate]]'s
+    * convention). */
+  private[graft] def fuzzyDecontPairs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val per = Dedup.minhashPer(docs)
+    val bandKeys = (0 until 8).map { b =>
+      concat_ws(":", lit(b) +: (0 until 2).map(j => col("sig").getItem(2 * b + j)): _*)
+    }
+    val bands = per.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = bands.filter(col("doc_id") % 20 =!= 0)
+      .join(bands.filter(col("doc_id") % 20 === 0)
+        .select(col("bk"), col("doc_id").as("probe_id")), "bk")
+      .select(col("doc_id"), col("probe_id")).distinct()
+    cand
+      .join(per.select(col("doc_id"), col("hs").as("hc")), "doc_id")
+      .join(per.select(col("doc_id").as("probe_id"), col("hs").as("hp")), "probe_id")
+      .withColumn("inter", size(array_intersect(col("hc"), col("hp"))).cast("double"))
+      .select(col("doc_id"), col("probe_id"),
+        r6(col("inter") / (size(col("hc")) + size(col("hp")) - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= FuzzyDecontThreshold)
+      .orderBy("doc_id", "probe_id")
+  }
+  val textFuzzyDecontaminateSql: String = Dedup.minhashSigCtes + s""",
+    fb AS (SELECT doc_id, (k // 2) || ':' || string_agg(mh::VARCHAR, ':' ORDER BY k) AS bk
+           FROM mh GROUP BY doc_id, k // 2),
+    pc AS (SELECT DISTINCT c.doc_id, p.doc_id AS probe_id
+           FROM fb c JOIN fb p ON c.bk = p.bk
+           WHERE p.doc_id % 20 = 0 AND c.doc_id % 20 <> 0),
+    fj AS (SELECT pc.doc_id, pc.probe_id,
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+           FROM pc JOIN hsets a ON a.doc_id = pc.doc_id
+                   JOIN hsets b ON b.doc_id = pc.probe_id)
+    SELECT doc_id, probe_id, jaccard FROM fj
+    WHERE jaccard >= $FuzzyDecontThreshold
+    ORDER BY doc_id, probe_id"""
 
   // ── text_boilerplate — corpus-frequent shingle detection ─────────────
   /** Boilerplate detection (the RefinedWeb/CCNet-style cleanup step that
@@ -968,9 +1034,11 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprint,
     "text_kmv_sketch" -> textKmvSketch,
     "text_corpus_overlap" -> textCorpusOverlap,
-    "text_hll_sketch" -> textHllSketch)
+    "text_hll_sketch" -> textHllSketch,
+    "text_fuzzy_decontaminate" -> textFuzzyDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "text_fuzzy_decontaminate" -> textFuzzyDecontaminateSql,
     "text_gopher_quality" -> textGopherQualitySql,
     "text_tfidf" -> textTfidfSql,
     "text_redact" -> textRedactSql,

@@ -1062,7 +1062,7 @@ object VectorSearch {
 
   /** End-to-end trained IVF, fully SQL-oracle-able: the trainer is
     * [[IvfIndex.fitInt]] — integer Lloyd (k=8, 2 rounds, deterministic
-    * first-k init) on the int8 quantization grid, where every assignment
+    * hash-coin-seeded init) on the int8 quantization grid, where every assignment
     * (integer L2, ties to smaller cid) and every centroid update (BIGINT
     * sum/count, fixed round-half-up division) is exact arithmetic the
     * DuckDB oracle replays with unrolled per-iteration CTEs (the
@@ -1134,7 +1134,7 @@ object VectorSearch {
   }
 
   /** Full SQL replay of [[vsIvfTrained]]: quantize → unrolled integer
-    * Lloyd (init c0 = first-8 grid vectors; per round: integer-L2 argmin
+    * Lloyd (init c0 = the 8 grid vectors of smallest hash-coin rank; per round: integer-L2 argmin
     * assignment, BIGINT per-(cell,dim) sums, round-half-up centroid
     * update with empty cells keeping their centroid) → final assignment →
     * nprobe=3 probe → exact-cosine rerank → recall grade. Every centroid
@@ -1165,8 +1165,10 @@ object VectorSearch {
     qv AS (SELECT vec_id,
         list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
       FROM e, mx),
-    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
-      FROM qv ORDER BY vec_id LIMIT 8),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qv ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
     ${round_(1, "c0", "c1")},
     ${round_(2, "c1", "c2")},
     df AS (SELECT t.vec_id, c.cid,
@@ -1800,13 +1802,17 @@ object VectorSearch {
       * prefixes every CTE so two independent builds coexist. */
     def buildCtes(corpus: String, p: String = ""): String = s"""
     ${p}nn AS (SELECT COUNT(*) AS n FROM $corpus),
-    ${p}gi AS MATERIALIZED (SELECT src, (src + 1 + (xor(h2, h2 // 8192) % (nn.n - 1))) % nn.n AS dst
-      FROM (SELECT src, (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2
-            FROM (SELECT q.vec_id AS src,
-                (((q.vec_id * ${NnGraph.K} + j.j) % 2147483648) * 2654435761)
-                  % 2147483648 AS h1
-              FROM $corpus q,
-                (SELECT unnest(range(1, ${NnGraph.K + 1})) AS j) j)), ${p}nn nn),
+    ${p}rk AS MATERIALIZED (SELECT vec_id,
+        row_number() OVER (ORDER BY vec_id) - 1 AS r FROM $corpus),
+    ${p}gi AS MATERIALIZED (SELECT rs.src, rd.vec_id AS dst
+      FROM (SELECT src, r, (r + 1 + (xor(h2, h2 // 8192) % (nn.n - 1))) % nn.n AS dr
+        FROM (SELECT src, r, (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2
+              FROM (SELECT q.vec_id AS src, q.r,
+                  (((q.r * ${NnGraph.K} + j.j) % 2147483648) * 2654435761)
+                    % 2147483648 AS h1
+                FROM ${p}rk q,
+                  (SELECT unnest(range(1, ${NnGraph.K + 1})) AS j) j)), ${p}nn nn) rs
+      JOIN ${p}rk rd ON rd.r = rs.dr),
     ${seedCtes(corpus, p)},
     ${p}e0 AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
       FROM (SELECT src, dst FROM ${p}gi UNION ALL SELECT src, dst FROM ${p}seeds)
@@ -1839,8 +1845,12 @@ object VectorSearch {
     def hopCtes(p: String, graph: String, qs: String, entSrc: String,
         scoreSrc: String, entries: Int = NnGraph.Entries,
         beam: Int = NnGraph.Beam, hops: Int = NnGraph.Hops): String = s"""
+    ${p}ent AS (SELECT vec_id, qd FROM (
+        SELECT vec_id, qd, row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) AS rn
+        FROM $entSrc) WHERE rn <= $entries),
     ${p}v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS c_id, ${d2Sql("e.qd", "q.qq")} AS d2
-      FROM $qs q, $entSrc e WHERE e.vec_id < $entries),
+      FROM $qs q, ${p}ent e),
     ${(1 to hops).map(hop_(_, p, graph, qs, scoreSrc, beam)).mkString(",")}"""
     /** Grade visited set `<p>v<Hops>` against exact top-K over
       * `exactSrc` for query CTE `qs` — the shared final SELECT. */
@@ -1896,7 +1906,10 @@ object VectorSearch {
     *      only repair gives it NEAR inbound edges that greedy routing
     *      can follow. Measured: unrepaired 0.95 → repaired 1.0 recall
     *      at sf0.1, and at sf1 unrepaired 0.637 (BELOW the 0.8 floor)
-    *      → repaired 0.835.
+    *      → repaired 0.835 (r11, legacy entry rule; the r12 registered
+    *      grade is 0.851 with hash-coin entries + the dense-rank init
+    *      remap — the repair mechanism numbers above predate both and
+    *      the gap they demonstrate is entry-rule-independent).
     *   3. GRADE: search FOR the batch vectors THROUGH the repaired
     *      graph (entries drawn from the base only, so a batch node is
     *      never its own free entry point) against exact top-5 over the
@@ -1995,7 +2008,7 @@ object VectorSearch {
     * closest to the hole are exactly the ones whose routing lost the
     * most. Survivors beyond a victim's K closest in-neighbors keep
     * their untouched edges and the init long links; measured sf1
-    * recall is IDENTICAL to the uncapped repair (0.885 both ways,
+    * recall is IDENTICAL to the uncapped repair (r11: 0.885 both ways,
     * 200 survivor queries) because a far in-neighbor's patched edge
     * was never among its K best anyway — the cap drops exactly the
     * candidates the top-K merge was discarding. At sf0.01 the capped
@@ -2008,13 +2021,13 @@ object VectorSearch {
     * row in either engine. Graded like the sibling ops: search for
     * survivor queries (vec_id % 100 = 5 — provably disjoint from the
     * victim set, odd vs multiples of 40) over the patched graph vs
-    * exact top-5 over survivors. Measured at sf1: patched recall
-    * 0.885 vs 0.879 naive edge-dropping — a 1-in-40 delete barely
-    * dents this graph's routing. The patch earns its
-    * keep as the delete rate grows and survivor adjacency thins: at a
-    * 1-in-4 delete (25% of the corpus) the gap is 9× wider, 0.887
-    * patched vs 0.835 naive — the patch holds recall FLAT across a
-    * 10× delete-rate increase while naive dropping decays. It also
+    * exact top-5 over survivors. Measured at sf1 (r12, hash-coin
+    * entries): patched recall 0.869 vs 0.866 naive edge-dropping — a
+    * 1-in-40 delete barely dents this graph's routing. The patch earns
+    * its keep as the delete rate grows and survivor adjacency thins:
+    * at a 1-in-4 delete (25% of the corpus) the gap is 17× wider,
+    * 0.899 patched vs 0.848 naive — the patch holds recall FLAT across
+    * a 10× delete-rate increase while naive dropping decays. It also
     * restores the degree bound (every survivor back to a full K
     * list); cleanliness + floor are what the spec pins. */
   final val DeleteMod = 40L
@@ -2300,11 +2313,20 @@ object VectorSearch {
     *
     * Graded like the siblings: queries (vec_id % 100 = 7) over the
     * merged graph (long links = BOTH segments' init edges) vs exact
-    * top-5 over the union corpus. Measured at sf1 (NngMergeAudit):
-    * merged recall 0.883 vs 0.859 for the from-scratch build — the
-    * merge WINS, because the union carries two segments' k-NN edges
-    * plus both init long-link sets, a richer navigable set than one
-    * build produces. Cost: with the segment indexes in hand (the
+    * top-5 over the union corpus. Measured at sf1: r12 merged recall
+    * 0.871 vs 0.877 from-scratch — inside the ±0.016 entry-set band
+    * (EntrySens: six entry sets on ONE graph span 0.846-0.877), so
+    * merge ≈ rebuild on quality, never a cliff (r11, legacy entries,
+    * read 0.883 vs 0.859 — the ordering flips within the band; the
+    * union's two edge sets + two init-link sets keep it competitive).
+    * UNBALANCED consolidation (the production shape — big base + small
+    * fresh segment, graft.tools.MergeSkew at a 19:1 split): overall
+    * 0.883, small-segment queries 0.876 vs big-segment 0.887, 82,038
+    * cross-seed pairs — the chain-link cross-seed budget needs no
+    * per-segment floor at 19:1 because chain linking is per-BUCKET:
+    * every co-bucket small-segment member gets its [[NnGraph.SeedChain]]
+    * cross links regardless of segment share. Cost: with the segment
+    * indexes in hand (the
     * deployment's stored artifacts; [[NnGraph.buildShared]] memoizes
     * them within a session) consolidation runs 33 s at sf1 vs 88 s
     * for rebuild-including-build — the merge stage itself is one
@@ -2421,7 +2443,8 @@ object VectorSearch {
     * n_exact < 5 grade); at sf0.1 the 20 queries split across the
     * count threshold (pool 16-21 of 21 passing vectors, 12 of 20
     * escalate); at sf1 all 200 escalate via the coverage rule
-    * (0.605 → 0.800 recall, the measurement above). Survivor pool is counted on DISTINCT candidates
+    * (0.605 → 0.800 recall, the r11 measurement above; r12 with
+    * hash-coin entries grades 0.818). Survivor pool is counted on DISTINCT candidates
     * (the visited set can hold a candidate once per discovery path).
     * Graded like the siblings: survivors' top-5 vs exact top-5 over
     * the predicate-filtered corpus ([[nngGrade]] — n_exact adapts

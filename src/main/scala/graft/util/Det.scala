@@ -34,6 +34,32 @@ object Det {
     * `functions.shiftleft` overload only takes a literal Int). */
   def shl(a: Column, b: Column): Column = call_function("shiftleft", a, b)
 
+  /** Avalanche hash-coin over an integer id — the ORDER-FREE
+    * deterministic sampling rank for "pick a representative subset"
+    * decisions (nng entry points, IVF seeds): rank by this then cut,
+    * and the selected set depends only on id VALUES, never on corpus
+    * layout — unlike `vec_id < k` or `orderBy(id).limit(k)`, which
+    * select whatever the ingest happened to write first (at 100 TB
+    * "the first k ids" is an arbitrary, possibly one-source slice).
+    * Same bounded two-round multiply-xor mixer as the LSH planes
+    * (every intermediate < 2^62, so DuckDB BIGINT replays it
+    * bit-for-bit); the input is salted (id·31 + 7) so the stream is
+    * distinct from the init-offset mixer's (src·K + j) domain. */
+  def hashCoin(id: Column): Column = {
+    val x0 = (id * 31L + 7L) % 2147483648L
+    val h1 = (x0 * 2654435761L) % 2147483648L
+    val h2 = (h1.bitwiseXOR(shiftright(h1, 16)) * 2246822519L) % 2147483648L
+    h2.bitwiseXOR(shiftright(h2, 13))
+  }
+
+  /** SQL mirror of [[hashCoin]] as one scalar expression (`expr` is
+    * textually repeated — fine on the id-sized frames this ranks). */
+  def hashCoinSql(expr: String): String = {
+    val h1 = s"((((($expr) * 31 + 7) % 2147483648) * 2654435761) % 2147483648)"
+    val h2 = s"((xor($h1, $h1 // 65536) * 2246822519) % 2147483648)"
+    s"xor($h2, $h2 // 8192)"
+  }
+
   /** Optimizer barrier for an expensive computed column that downstream
     * code references many times (esp. inside higher-order-function
     * lambdas). CollapseProject inlines plain `Project` aliases into every
