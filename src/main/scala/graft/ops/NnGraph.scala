@@ -271,17 +271,36 @@ object NnGraph {
   // in the bench/verify/test JVMs that session lives for the JVM anyway,
   // and a graph is n·K edge rows — index-sized, not corpus-sized).
   private val builtMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+    (org.apache.spark.sql.SparkSession, String), (Long, DataFrame, DataFrame)]()
 
   /** [[build]] with plan-level reuse: the first caller per (session,
     * `tag`) builds; subsequent callers get the SAME staged (refined,
     * init) frames — the "query the stored index" shape a deployment
     * has, instead of every lifecycle query re-constructing the index.
-    * `tag` must uniquely name the corpus slice (dir + filter). */
+    * `tag` must uniquely name the corpus slice (dir + filter).
+    *
+    * r12 advice hardening: eviction drops only entries whose session
+    * has STOPPED (the old `ne sess` rule let two live sessions in one
+    * JVM thrash each other's caches), and every hit re-checks the
+    * corpus ROW COUNT against the count recorded at build time — a
+    * caller passing a different slice under an existing tag now fails
+    * loudly instead of silently searching the wrong index. The count
+    * is one bounded job per access on the staged (in-memory) corpus;
+    * it catches slice mixups, not adversarial same-cardinality swaps
+    * — the tag convention remains the contract, the count is the
+    * tripwire. */
   def buildShared(quant: DataFrame, tag: String): (DataFrame, DataFrame) = {
     val sess = quant.sparkSession
-    builtMemo.keySet.removeIf(_._1 ne sess)
-    builtMemo.computeIfAbsent((sess, tag), _ => build(quant))
+    builtMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val (n0, refined, init) = builtMemo.computeIfAbsent((sess, tag), _ => {
+      val (r, i) = build(quant)
+      (quant.count(), r, i)
+    })
+    val n = quant.count()
+    require(n == n0,
+      s"buildShared tag '$tag' reused with a different corpus ($n rows vs $n0 at build) - " +
+      "tags must uniquely name the corpus slice")
+    (refined, init)
   }
 
   /** NN-descent over `quant` (vec_id, qd): returns the directed k-NN

@@ -717,11 +717,21 @@ object VectorSearch {
     * bounded driver scalar — a streaming leg quantizes incoming query
     * vectors with this literal so its grid is bit-identical to the
     * static corpus grid ([[graft.streaming.Streaming.vsSearchStream]]). */
-  private[graft] def gridMaxAbs(spark: SparkSession, dir: String): Double =
-    emb(spark, dir)
+  private[graft] def gridMaxAbs(spark: SparkSession, dir: String): Double = {
+    val row = emb(spark, dir)
       .select(col("embedding").cast("array<double>").as("v"))
       .agg(max(array_max(transform(col("v"), x => abs(x)))))
-      .head().getDouble(0)
+      .head()
+    // Loud contract (r12 advice): an empty/all-null table reached
+    // head().getDouble as an opaque NPE, and an all-zero corpus made
+    // the streaming quantization divide by zero downstream.
+    require(!row.isNullAt(0),
+      s"embeddings at $dir are empty or all-null - no quantization grid can be derived")
+    val m = row.getDouble(0)
+    require(m > 0.0,
+      s"embeddings at $dir are all zero (maxabs=$m) - the quantization grid would divide by zero")
+    m
+  }
 
   private[graft] def int8Grid(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

@@ -26,23 +26,35 @@ object Persist {
   // at construction, no execution triggered) is flattened and its node
   // names recorded, so a spec can assert shape across ALL stages of a
   // build, not just the tail. Off by default: zero cost outside specs.
-  private val auditBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  @volatile private var auditing = false
-  private[graft] def beginPlanAudit(): Unit = { auditBuf.clear(); auditing = true }
-  /** Stop auditing and return every staged plan's node names
-    * ("NodeClass@stageIdx" per node, one entry per staged frame). */
+  // THREAD-scoped (r12 advice): the buffer was global mutable state, so
+  // any other thread staging frames mid-audit (a running streaming
+  // query's micro-batch) recorded foreign plans into the audit and
+  // could fail it spuriously; a ThreadLocal scopes the recording to the
+  // thread that called beginPlanAudit — stage() is invoked on the
+  // thread CONSTRUCTING the DataFrame, which for an audited build is
+  // the auditing thread itself. endPlanAudit also clears the state, so
+  // calling it from a finally makes a throwing build unable to leave
+  // auditing switched on.
+  private val auditBuf = new ThreadLocal[java.util.ArrayDeque[String]]()
+  private[graft] def beginPlanAudit(): Unit =
+    auditBuf.set(new java.util.ArrayDeque[String]())
+  /** Stop auditing and return every staged plan's node names (one
+    * comma-joined entry per staged frame). Safe to call twice — the
+    * second call returns empty; put one in a `finally`. */
   private[graft] def endPlanAudit(): Seq[String] = {
-    auditing = false
-    import scala.jdk.CollectionConverters._
-    auditBuf.asScala.toSeq
+    val b = auditBuf.get()
+    auditBuf.remove()
+    if (b == null) Seq.empty
+    else { import scala.jdk.CollectionConverters._; b.asScala.toSeq }
   }
   private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] =
     p +: p.children.flatMap(flatten)
 
   def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
-    if (auditing)
-      auditBuf.add(flatten(df.queryExecution.sparkPlan)
+    val buf = auditBuf.get()
+    if (buf != null)
+      buf.add(flatten(df.queryExecution.sparkPlan)
         .map(_.getClass.getSimpleName).mkString(","))
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(eager)

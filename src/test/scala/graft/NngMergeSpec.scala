@@ -89,7 +89,10 @@ class NngMergeSpec extends SparkSpec {
     val ca = graft.util.Persist.stage(qv.filter(!inB(col("vec_id"))), eager = false)
     val cb = graft.util.Persist.stage(qv.filter(inB(col("vec_id"))), eager = false)
     graft.util.Persist.beginPlanAudit()
-    try {
+    // endPlanAudit lives in the finally (r12 advice) so a throwing
+    // merge can't leave auditing on; success keeps the first call's
+    // plans and the second is a documented no-op.
+    val audited = try {
       val (ga, _) = NnGraph.build(ca)
       val (gb, _) = NnGraph.build(cb)
       val cross = NnGraph.seedGraph(qv).filter(inB(col("src")) =!= inB(col("dst")))
@@ -102,8 +105,9 @@ class NngMergeSpec extends SparkSpec {
           .select("src", "dst", "d2"),
         eager = false)
       NnGraph.polishRound(mg0, qv)
-    } finally ()
-    val plans = graft.util.Persist.endPlanAudit()
+      graft.util.Persist.endPlanAudit()
+    } finally graft.util.Persist.endPlanAudit()
+    val plans = audited
     assert(plans.nonEmpty)
     info(s"audited ${plans.size} staged merge frames")
     assert(!plans.exists(_.contains("CartesianProduct")),

@@ -67,9 +67,12 @@ class NngSpec extends SparkSpec {
     val qv = graft.util.Persist.stage(
       VectorSearch.int8Grid(spark, sf), eager = false)
     graft.util.Persist.beginPlanAudit()
-    try NnGraph.build(qv)
-    finally ()
-    val plans = graft.util.Persist.endPlanAudit()
+    // endPlanAudit in the finally (r12 advice): a throwing build must
+    // not leave the audit switched on for every later stage; the
+    // success path's second end() is a documented no-op.
+    val plans =
+      try { NnGraph.build(qv); graft.util.Persist.endPlanAudit() }
+      finally graft.util.Persist.endPlanAudit()
     assert(plans.nonEmpty, "audit captured no staged plans")
     info(s"audited ${plans.size} staged build frames")
     assert(!plans.exists(_.contains("CartesianProduct")),
