@@ -859,10 +859,153 @@ object Streaming {
       SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
       FROM sc) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
 
+  // ── Streaming search served FROM THE INDEX (r12, VERDICT r11 #5) ────
+  // stream_search proves the bounded-state SERVING shape but scores
+  // every query against the FULL corpus — at 100 TB the static side
+  // must be the ANN index. This leg is that composition: the integer
+  // IVF codebook (the vs_ivf_trained trainer — k=8, 2 Lloyd rounds,
+  // hash-coin seeds) is trained batch-side BEFORE the stream starts,
+  // its 8×64 longs broadcast into the stream as literals (the
+  // ingestCentroids posture); the cell-ASSIGNMENT table — the stored
+  // index artifact — is staged once; each streaming query quantizes
+  // onto the grid (driver-scalar maxabs), picks its nprobe nearest
+  // cells statelessly from the broadcast centroids, and stream-static
+  // hash-joins ON CELL against the assignment table, so a micro-batch
+  // scores ~nprobe/k of the corpus instead of all of it. The
+  // TopKMinPairs cut is unchanged — k pairs of state per in-flight
+  // query. Recall vs the exact serving twin is pinned by
+  // EventsStreamingSpec (measured, see SearchIvfRecallFloorPpm).
+
+  final val SearchNprobe = graft.ops.VectorSearch.IvfTrainedNprobe
+  /** Measured recall@10 of the nprobe=3-of-8 indexed serve vs the exact
+    * twin at sf0.01/sf0.1 (see EventsStreamingSpec), with margin. */
+  final val SearchIvfRecallFloorPpm = 600000L
+
+  /** The trained model + staged assignment table both legs share. */
+  private def searchIvfIndex(spark: SparkSession, dir: String)
+      : (graft.ops.IvfIndex.IntModel, DataFrame) = {
+    val qv = graft.util.Persist.stage(
+      graft.ops.VectorSearch.int8Grid(spark, dir), eager = false)
+    val model = graft.ops.IvfIndex.fitInt(qv, "vec_id", "qd", k = 8, iters = 2)
+    val assigned = graft.util.Persist.stage(
+      qv.select(col("vec_id").as("c_id"),
+        graft.ops.IvfIndex.intCellOf(col("qd"), model).as("cell"), col("qd")),
+      eager = false)
+    (model, assigned)
+  }
+  private def probeCells(model: graft.ops.IvfIndex.IntModel): Column = {
+    val structs = model.centroids.map { case (cid, cv) =>
+      struct(graft.ops.IvfIndex.intD2(col("qq"), cv).as("d2"),
+        lit(cid.toLong).as("cid"))
+    }
+    slice(array_sort(array(structs: _*)), 1, SearchNprobe)
+  }
+
+  /** Always-on indexed Search: query stream → grid quantize → stateless
+    * nprobe cell pick (broadcast centroid literals) → stream-static
+    * join on cell → exact rescore → bounded TopKMinPairs cut. */
+  def vsSearchIvfStream(spark: SparkSession, dir: String): DataFrame = {
+    val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
+    val (model, assigned) = searchIvfIndex(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 127.0 / lit(ma), 0).cast("long")).as("qq"))
+      .select(col("q_id"), col("qq"), explode(probeCells(model)).as("p"))
+      .select(col("q_id"), col("qq"), col("p.cid").as("cell"))
+      .join(assigned, "cell")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.int_sq_l2(col("qd"), col("qq")).as("d2"))
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs(col("d2"), col("c_id"), SearchTopK)
+        .as("top"))
+  }
+
+  /** Registered batch twin (`stream_search_ivf`): identical trainer,
+    * identical assignment, identical probe pick and cut — the full
+    * index-serving pipeline under the driver's DuckDB hash gate (the
+    * oracle replays the Lloyd trainer the way vs_ivf_trained's does,
+    * then the probe join). */
+  def vsSearchIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (model, assigned) = searchIvfIndex(spark, dir)
+    val qs = graft.ops.VectorSearch.int8Grid(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    qs.select(col("q_id"), col("qq"), explode(probeCells(model)).as("p"))
+      .select(col("q_id"), col("qq"), col("p.cid").as("cell"))
+      .join(assigned, "cell")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.int_sq_l2(col("qd"), col("qq")).as("d2"))
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs(col("d2"), col("c_id"), SearchTopK)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1L).as("rank"),
+        col("hit.c_id").as("c_id"), col("hit.d2").as("d2"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Full SQL replay: quantize → hash-coin-seeded integer Lloyd (2
+    * unrolled rounds, the vs_ivf_trained technique) → cell assignment →
+    * per-query nprobe cell pick → cell join → exact rescore → top-k. */
+  val vsSearchIvfSql: String = {
+    def round_(i: Int, cin: String, cout: String) = s"""
+    svd$i AS (SELECT t.vec_id, t.qd, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.qd) + 1),
+          d -> (t.qd[d] - c.c[d]) * (t.qd[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM quant t, $cin c),
+    sva$i AS (SELECT vec_id, qd, cid FROM (
+        SELECT vec_id, qd, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM svd$i)
+      WHERE rn = 1),
+    svs$i AS (SELECT cid, dd.d AS dim, CAST(SUM(qd[dd.d]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM sva$i, (SELECT unnest(range(1, 65)) AS d) dd GROUP BY cid, dd.d),
+    svu$i AS (SELECT cid,
+        list((2 * (s + 127 * n) + n) // (2 * n) - 127 ORDER BY dim) AS c
+      FROM svs$i GROUP BY cid),
+    $cout AS (SELECT $cin.cid, COALESCE(svu$i.c, $cin.c) AS c
+      FROM $cin LEFT JOIN svu$i ON $cin.cid = svu$i.cid)"""
+    graft.ops.VectorSearch.int8GridCtes + s""",
+    svc0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, qd AS c
+      FROM quant ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "svc0", "svc1")},
+    ${round_(2, "svc1", "svc2")},
+    svdf AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.qd) + 1),
+          d -> (t.qd[d] - c.c[d]) * (t.qd[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM quant t, svc2 c),
+    svaf AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM svdf)
+      WHERE rn = 1),
+    svqs AS (SELECT vec_id AS q_id, qd AS qq FROM quant WHERE vec_id % 100 = 0),
+    svpr AS (SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cid AS cell,
+          row_number() OVER (PARTITION BY q.q_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(q.qq) + 1),
+              d -> (q.qq[d] - c.c[d]) * (q.qq[d] - c.c[d]))) AS BIGINT), c.cid) AS rn
+        FROM svqs q, svc2 c) WHERE rn <= $SearchNprobe),
+    svsc AS (SELECT q.q_id, a.c_id,
+        CAST(list_sum(list_transform(range(1, len(c.qd) + 1),
+          i -> (c.qd[i] - q.qq[i]) * (c.qd[i] - q.qq[i]))) AS BIGINT) AS d2
+      FROM svpr p JOIN svqs q ON q.q_id = p.q_id
+      JOIN svaf a ON a.cell = p.cell
+      JOIN quant c ON c.vec_id = a.c_id)
+    SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, d2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+      FROM svsc) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bot_detect" -> (botCadenceBatch _),
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_search" -> (vsSearchServeBatch _),
+    "stream_search_ivf" -> (vsSearchIvfBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
@@ -875,6 +1018,7 @@ object Streaming {
     "stream_bot_detect" -> botCadenceSql,
     "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_search" -> vsSearchServeSql,
+    "stream_search_ivf" -> vsSearchIvfSql,
     "stream_quantile" -> quantileSketchSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,
