@@ -81,6 +81,16 @@ object Audits {
       ops.Dedup.embeddingScoredCandidates(s, d)
         .filter(org.apache.spark.sql.functions.col("sim") < 0.4).count(),
       vecRows, 7.0),
+    // Bucket-cap engagement (r12): at large n a blocking collapse can
+    // manifest as DROPPED oversized buckets (silent recall loss) rather
+    // than pair volume — the volume alarms above cannot see that. The
+    // caps are sized to be unreachable on healthy corpora (spec-proved
+    // equal to the uncapped join at test SFs), so ANY engaged cap is an
+    // alarm: maxPerRow = 0.
+    "dedup_ngram_jaccard.capped_buckets" -> Audit((s, d) =>
+      ops.Dedup.ngramCappedBuckets(s, d), docRows, 0.0),
+    "dedup_embedding.capped_buckets" -> Audit((s, d) =>
+      ops.Dedup.embeddingCappedBuckets(s, d), vecRows, 0.0),
     // Delete-repair patch candidates: bounded at |victims|*K^2 by the
     // victim fan-in cap — this count is the standing proof.
     "vs_nng_delete.patch_candidates" -> Audit((s, d) => {

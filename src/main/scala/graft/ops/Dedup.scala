@@ -528,6 +528,23 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     (mh, raw)
   }
+  /** Count of band buckets the [[NgramBucketCap]] EXCLUDES — zero on
+    * every healthy corpus (the cap sits ~6× above the largest measured
+    * sf1 bucket); any nonzero value means blocking has degenerated far
+    * enough that candidates are being silently DROPPED (recall loss,
+    * invisible to the pair-volume alarms). Audited per sweep with a
+    * zero-tolerance bound. */
+  private[graft] def ngramCappedBuckets(spark: SparkSession, dir: String): Long =
+    ngramBandKeyed(ngramSignatures(spark, dir))
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > NgramBucketCap).count()
+  /** Same zero-tolerance audit for the embedding-LSH bucket cap. */
+  private[graft] def embeddingCappedBuckets(spark: SparkSession, dir: String): Long =
+    VectorSearch.lshBandsAdaptive(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+      .filter(col("n") > VectorSearch.LshBucketCap).count()
   def dedupNgramJaccard: Q = (spark, dir) => {
     val (mh, raw) = ngramRawPairs(spark, dir)
     // Candidate stage: bucket-cap the band keys (degenerate-bucket
