@@ -81,6 +81,11 @@ object Audits {
       ops.Dedup.embeddingScoredCandidates(s, d)
         .filter(org.apache.spark.sql.functions.col("sim") < 0.4).count(),
       vecRows, 7.0),
+    // Tuned-design-point banded pairs (r12 made it n-adaptive too —
+    // the fixed 12×35 measured ~2M candidates at sf1, n²·35/2^13;
+    // adaptive reads 5,393 → 90,334 = 2.70 → 4.52/row).
+    "vs_lsh_tuned.candidates" -> Audit((s, d) =>
+      ops.VectorSearch.lshTunedCandidates(s, d).count(), vecRows, 10.0),
     // Bucket-cap engagement (r12): at large n a blocking collapse can
     // manifest as DROPPED oversized buckets (silent recall loss) rather
     // than pair volume — the volume alarms above cannot see that. The

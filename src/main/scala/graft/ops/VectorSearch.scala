@@ -1339,19 +1339,30 @@ object VectorSearch {
   val lshAdaptGeo: Seq[(Int, Int)] =
     (LshAdaptMinPlanes to LshAdaptMaxPlanes).map(r =>
       (r, lshBandsForRecall(LshAdaptTargetRecall, LshAdaptDesignSim, r)))
+  /** The TUNED design point's adaptive table (0.9 recall at sim 0.8 —
+    * [[LshDesignSim]]/[[LshTargetRecall]]). Lower design sim makes the
+    * ρ trade steeper — b(r) runs 14 @ r=8 → 563 @ r=24 — so the table
+    * stops at r=24: beyond ~2·2^25/563 ≈ 119k vectors the geometry
+    * saturates and the random floor resumes growing; that OPERATING
+    * CEILING is deliberate and documented (SURVEY §4) — the audit
+    * alarm, not silent hashing explosion, is the guard past it. */
+  val lshTunedGeo: Seq[(Int, Int)] =
+    (LshAdaptMinPlanes to 24).map(r =>
+      (r, lshBandsForRecall(LshTargetRecall, LshDesignSim, r)))
   /** Smallest tabled r with n·b(r) ≤ C·2^(r+1); table max if the corpus
     * outgrows the table (document + extend rather than silently over-
     * collide: the getOrElse is the explicit operating ceiling). */
-  def lshAdaptiveGeometry(n: Long): (Int, Int) =
-    lshAdaptGeo.find { case (r, b) =>
-      n * b <= LshAdaptCandsPerRow * (1L << (r + 1)) }.getOrElse(lshAdaptGeo.last)
+  def lshAdaptiveGeometry(n: Long, geo: Seq[(Int, Int)] = lshAdaptGeo,
+      candsPerRow: Long = LshAdaptCandsPerRow): (Int, Int) =
+    geo.find { case (r, b) =>
+      n * b <= candsPerRow * (1L << (r + 1)) }.getOrElse(geo.last)
 
   /** [[lshBands]] at the n-adaptive geometry. The count() is a bounded
     * column-pruned scan made once per query — an index-build-time
     * decision, not per-row work. */
   private[graft] def lshBandsAdaptive(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val (r, b) = lshAdaptiveGeometry(df.count())
+      vecCol: String, geo: Seq[(Int, Int)] = lshAdaptGeo): DataFrame = {
+    val (r, b) = lshAdaptiveGeometry(df.count(), geo)
     lshBands(df, idCol, vecCol, planesPerBand = r, bands = b)
   }
 
@@ -1422,10 +1433,11 @@ object VectorSearch {
     * takes constants only — and every shift is explicitly BIGINT (the
     * fixed-geometry mirror's bare `1 <<` would overflow INT32 at the
     * table's widest bands). */
-  private[graft] def lshBandsAdaptiveSql(src: String, idCol: String): String = {
-    val geoVals = lshAdaptGeo.map { case (r, b) => s"($r,$b)" }.mkString(",")
-    val maxPlanes = lshAdaptGeo.map { case (r, b) => r * b }.max
-    val (rMax, bMax) = lshAdaptGeo.last
+  private[graft] def lshBandsAdaptiveSql(src: String, idCol: String,
+      geo: Seq[(Int, Int)] = lshAdaptGeo): String = {
+    val geoVals = geo.map { case (r, b) => s"($r,$b)" }.mkString(",")
+    val maxPlanes = geo.map { case (r, b) => r * b }.max
+    val (rMax, bMax) = geo.last
     s"""
     geo0 AS (SELECT * FROM (VALUES $geoVals) t(r, b)),
     nn AS (SELECT COUNT(*) AS n FROM $src),
@@ -1490,20 +1502,32 @@ object VectorSearch {
     WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
     ORDER BY a_id, b_id"""
 
-  /** [[vsLshSearch]] at the ENGINEERED near-dup geometry: 12-plane bands ×
-    * [[LshTunedBands]] (=35) bands, derived from the (1−(1−p^r)^b) curve
-    * for 90% recall at sim 0.8 rather than hand-picked. Same bucketed
-    * shape (hash join on band keys behind the degenerate-bucket cap, exact
-    * cosine verify) — only the geometry changes, trading more candidates
-    * for the recall guarantee a real near-dup pass needs. On this corpus
-    * (pair sims ≤ ~0.55) predicted recall of the ≥0.4 set is ~0.3-0.5;
-    * LshRecallSpec pins prediction-vs-measurement at both geometries. */
+  /** [[vsLshSearch]] at the ENGINEERED near-dup design point — 90%
+    * recall of sim ≥ 0.8 pairs, the guarantee a real near-dup pass
+    * needs — with the geometry picked from [[lshTunedGeo]], the
+    * n-adaptive table solved for THIS design point (r12; the r11 fixed
+    * 12×35 carried the same quadratic random floor the default
+    * geometry did — at sf1's 20k vectors it generated ~2M candidates,
+    * n²·35/2^13). Lower design sim makes the adaptive trade steeper:
+    * at sf0.1 the pick is 16×89 (1,424 planes/row), at sf1 21×282
+    * (5,922) — the hashing cost is linear and is THE price of holding
+    * 0.9@0.8 with a bounded floor (the LSH ρ exponent); the table's
+    * r=24 end is a documented operating ceiling (~119k vectors). Same
+    * bucketed shape (band-key hash join behind the degenerate-bucket
+    * cap, exact cosine verify). LshRecallSpec pins
+    * prediction-vs-measurement at two pinned geometries and the
+    * design-point guarantee on planted pairs. */
+  /** Banded candidate pairs at the tuned design point — factored so
+    * [[graft.Audits]] counts the exact frame the query runs. */
+  private[graft] def lshTunedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
+      geo = lshTunedGeo)
+    graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
+      Seq("band_idx", "band_val"), LshBucketCap)
+  }
   def vsLshTuned: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val bandsDf = lshBands(e, "vec_id", "embedding",
-      planesPerBand = LshTunedPlanesPerBand, bands = LshTunedBands)
-    val cand = graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
-      Seq("band_idx", "band_val"), LshBucketCap)
+    val cand = lshTunedCandidates(spark, dir)
     cand
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
@@ -1514,7 +1538,7 @@ object VectorSearch {
   }
   val vsLshTunedSql = s"""
     WITH e AS ($eSql),
-    ${lshBandsSql("e", "vec_id", planesPerBand = LshTunedPlanesPerBand, bands = LshTunedBands)},
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo)},
     ${lshCandSql("vec_id", "a_id", "b_id")}
     SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
     FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
