@@ -331,3 +331,73 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** ALL random-hyperplane LSH band values in ONE fused pass (r12): for
+  * each of `bands`·`planesPerBand` planes, the sign of the plane dot
+  * product becomes one bit, and each band folds its `planesPerBand`
+  * bits MSB-first into a long key — bit-identically to the previous
+  * spelling (`transform(planesLit, p -> inner_product(v, p) >= 0)` +
+  * per-band `aggregate(slice(...))`), which was a CodegenFallback
+  * higher-order function evaluated per PLANE per row: at the adaptive
+  * tuned geometry's 5,943 planes the interpretation overhead made
+  * vs_lsh_tuned the slowest query in the sf1 sweep (20.5 s). Here the
+  * whole signature is one JIT/codegen primitive loop over a flat
+  * `double[]` plane matrix (shipped once per stage via
+  * addReferenceObj, same bytes the literal carried before).
+  * Accumulation order per plane is index 0..n-1 like [[InnerProduct]],
+  * so the DuckDB oracle's per-plane list_inner_product sign replay is
+  * unchanged. */
+case class LshBandVals(child: Expression, planesFlat: Array[Double],
+    dims: Int, planesPerBand: Int, bands: Int)
+    extends UnaryExpression {
+  require(planesFlat.length == dims * planesPerBand * bands,
+    s"plane matrix ${planesFlat.length} != $dims*$planesPerBand*$bands")
+  override def prettyName: String = "lsh_band_vals"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dims)
+    val out = new Array[Long](bands)
+    var j = 0; var b = 0
+    while (b < bands) {
+      var acc = 0L; var s = 0
+      while (s < planesPerBand) {
+        var dot = 0.0; var i = 0; val base = j * dims
+        while (i < n) {
+          dot += VectorKernel.get(x, elem, i) * planesFlat(base + i); i += 1
+        }
+        acc = acc * 2 + (if (dot >= 0) 1L else 0L)
+        s += 1; j += 1
+      }
+      out(b) = acc; b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("lshPlanes", planesFlat, "double[]")
+      val Seq(n, out, j, b, acc, s, dot, i, base) =
+        Seq("n", "out", "j", "b", "acc", "s", "dot", "i", "base").map(ctx.freshName)
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $dims);
+        |long[] $out = new long[$bands];
+        |int $j = 0;
+        |for (int $b = 0; $b < $bands; $b++) {
+        |  long $acc = 0L;
+        |  for (int $s = 0; $s < $planesPerBand; $s++, $j++) {
+        |    double $dot = 0.0;
+        |    int $base = $j * $dims;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      $dot += (double) ${CodeGenerator.getValue(a, elem, i)} * $planes[$base + $i];
+        |    }
+        |    $acc = $acc * 2 + ($dot >= 0 ? 1L : 0L);
+        |  }
+        |  $out[$b] = $acc;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

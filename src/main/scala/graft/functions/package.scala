@@ -36,6 +36,10 @@ package object functions {
   def simhash_chunks(c: Column): Column =
     col(SimhashChunks(expr(c)).toAggregateExpression())
   /** Aggregate: K permuted MinHash minima from shingle hashes. */
+  /** All LSH band values in one fused kernel pass (see [[LshBandVals]]). */
+  def lsh_band_vals(v: Column, planesFlat: Array[Double], dims: Int,
+      planesPerBand: Int, bands: Int): Column =
+    col(LshBandVals(expr(v), planesFlat, dims, planesPerBand, bands))
   def minhash_sig(c: Column, k: Int): Column =
     col(MinhashSig(expr(c), k).toAggregateExpression())
   /** Aggregate: 64-slot hashing-trick signed count vector. */

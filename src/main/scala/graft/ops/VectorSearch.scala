@@ -1386,22 +1386,34 @@ object VectorSearch {
     (0 until n).map(j => (0 until 64).map(i => planeVal(j, i)))
 
   /** (id, band_idx, band_val) LSH signature frame for a vector column.
-    * One pass computes all plane signs into a materialized bit array
-    * (Generate barrier — CollapseProject would otherwise inline the
-    * 256-dot-product transform into every band expression), then each
-    * band folds its planesPerBand bits into one integer key. */
+    * The whole signature — every plane sign and every MSB-first band
+    * fold — is ONE [[graft.functions.LshBandVals]] kernel call per row
+    * (r12: the previous transform-over-plane-literal spelling was a
+    * CodegenFallback HOF interpreted per plane; at the adaptive tuned
+    * geometry's 5,943 planes it made vs_lsh_tuned the sf1 sweep's
+    * slowest query at 20.5 s; the kernel outputs are bit-identical so
+    * every oracle hash is unchanged). posexplode
+    * evaluates the kernel once per row — no extra barrier needed. */
   private[graft] def lshBands(df: DataFrame, idCol: String, vecCol: String,
       planesPerBand: Int = LshPlanesPerBand, bands: Int = LshBands): DataFrame = {
-    val all = typedlit(planes(planesPerBand * bands))
-    val bits = transform(all,
-      p => when(inner_product(col(vecCol), p) >= 0, lit(1L)).otherwise(lit(0L)))
-    val sig = materializedColumn(df.select(col(idCol), col(vecCol)), "bits", bits)
-    val bandVals = (0 until bands).map { b =>
-      aggregate(slice(col("bits"), b * planesPerBand + 1, planesPerBand),
-        lit(0L), (acc, x) => acc * 2 + x)
-    }
-    sig.select(col(idCol),
-      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val nPlanes = planesPerBand * bands
+    val flat = planes(nPlanes).flatten.toArray
+    val src0 = df.select(col(idCol), col(vecCol))
+    // Wide geometries are COMPUTE-bound per row (the tuned sf1 pick is
+    // ~380k mult-adds/row) while the scan feeding them is a handful of
+    // small parquet files that maxPartitionBytes — which sizes splits
+    // by BYTES, blind to per-row CPU — coalesces onto 1-2 input
+    // partitions: measured at sf1, the hashing ran near
+    // single-threaded (vs_lsh_tuned 11-14 s). Spread it explicitly;
+    // the exchanged payload is only the narrow (id, vec) projection
+    // (5 MB at sf1), and per-row outputs are partition-independent so
+    // every oracle hash is unchanged.
+    val src = if (nPlanes >= 1024)
+      src0.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else src0
+    src.select(col(idCol),
+      posexplode(graft.functions.lsh_band_vals(col(vecCol), flat, 64,
+        planesPerBand, bands)).as(Seq("band_idx", "band_val")))
   }
 
   /** SQL mirror of [[lshBands]] (CTEs `planes`/`bits`/`bands`); `src` must
