@@ -1001,11 +1001,88 @@ object Streaming {
       FROM svsc) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
   }
 
+  // ── Streaming decontamination gate (always-on ingest filter) ───────
+  // text_fuzzy_decontaminate is the BATCH sweep; the pipeline's other
+  // posture is the always-on gate — documents arrive as a stream and
+  // each is checked against the benchmark probe set BEFORE it enters
+  // the training corpus. Zero streaming state: the per-row word-3-
+  // shingle 16-slot minhash signature is a map-only column fold (an
+  // affine min over a SET equals the min over its multiset, so the
+  // per-row fold produces bit-identically the signature
+  // Dedup.minhashPer's aggregate computes — the batch-twin spec proves
+  // it by output equality), band keys become an 8-element array, and
+  // the probe side — benchmark-sized by definition — is a staged,
+  // broadcast stream-static join on arrays_overlap(bands), then the
+  // exact hashed-shingle Jaccard verify. One output row per
+  // (streamed doc × flagged probe); no distinct, no watermark.
+
+  /** Per-row (map-only, state-free) signature frame: (doc_id, hx
+    * DISTINCT shingle hashes, bands 8 × 2-slot band keys) — the
+    * streaming-compatible twin of [[graft.ops.Dedup.minhashPer]] +
+    * the 2×8 banding of
+    * [[graft.ops.TextAnalysis.textFuzzyDecontaminate]]. */
+  private[graft] def fuzzySigFrame(docs: DataFrame): DataFrame = {
+    val t = materializedColumn(
+        docs.select(col("doc_id"), col("text")), "toks", graft.util.TextUtil.toksCol)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = materializedColumn(t, "hx",
+        array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => graft.functions.poly_hash(concat(col("toks")(i), lit(" "),
+            col("toks")(i + 1), lit(" "), col("toks")(i + 2))))))
+      .select(col("doc_id"), col("hx"))
+    val sig = transform(sequence(lit(0), lit(15)), k =>
+      array_min(transform(col("hx"),
+        h => (h * (k * 2 + 1) + lit(1000003L) * k) % lit(1000000007L))))
+    val withSig = materializedColumn(sh, "sig", sig)
+    val bandKeys = (0 until 8).map { b =>
+      concat_ws(":", lit(b) +: (0 until 2).map(j => col("sig").getItem(2 * b + j)): _*)
+    }
+    withSig.select(col("doc_id"), col("hx"), array(bandKeys: _*).as("bands"))
+  }
+  /** Staged probe-side signature table (doc_id % 20 == 0 — the
+    * textDecontaminate convention), built batch-side before the stream
+    * starts: the stored gate artifact. */
+  private def fuzzyProbeFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Persist.stage(
+      fuzzySigFrame(graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 20 === 0)), eager = false)
+      .select(col("doc_id").as("probe_id"), col("hx").as("hp"),
+        col("bands").as("pbands"))
+  private def fuzzyGate(corpus: DataFrame, probes: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(probes), arrays_overlap(col("bands"), col("pbands")))
+      .withColumn("inter",
+        size(array_intersect(col("hx"), col("hp"))).cast("double"))
+      .select(col("doc_id"), col("probe_id"),
+        r6(col("inter") / (size(col("hx")) + size(col("hp")) - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= graft.ops.TextAnalysis.FuzzyDecontThreshold)
+
+  /** Always-on gate: streaming docs → map-only signature → broadcast
+    * probe join → verify. Append mode, zero state operators. */
+  def decontStream(spark: SparkSession, dir: String): DataFrame =
+    fuzzyGate(fuzzySigFrame(readDocuments(spark, dir)),
+      fuzzyProbeFrame(spark, dir))
+
+  /** Registered batch twin (`stream_decontaminate`): the identical
+    * gate over the batch table. Its output EQUALS
+    * text_fuzzy_decontaminate's (spec-asserted) — same candidates
+    * (arrays_overlap ≡ the exploded band-key join ∘ distinct), same
+    * verify — through the stream-shaped plan (per-row signatures +
+    * bounded broadcast, no corpus-side aggregation at all), so the
+    * oracle is shared. */
+  def decontGateBatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyGate(fuzzySigFrame(graft.Tables.documents(spark, dir)),
+      fuzzyProbeFrame(spark, dir))
+      .orderBy("doc_id", "probe_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bot_detect" -> (botCadenceBatch _),
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_search" -> (vsSearchServeBatch _),
     "stream_search_ivf" -> (vsSearchIvfBatch _),
+    "stream_decontaminate" -> (decontGateBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
@@ -1019,6 +1096,8 @@ object Streaming {
     "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_search" -> vsSearchServeSql,
     "stream_search_ivf" -> vsSearchIvfSql,
+    // Output ≡ text_fuzzy_decontaminate by construction — same oracle.
+    "stream_decontaminate" -> graft.ops.TextAnalysis.textFuzzyDecontaminateSql,
     "stream_quantile" -> quantileSketchSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,

@@ -394,4 +394,34 @@ class EventsStreamingSpec extends SparkSpec {
     assert(worstProbed < corpus,
       "nprobe cell join probes the whole corpus — the index buys nothing")
   }
+
+  test("streaming decontamination gate: stream ≡ batch ≡ the batch sweep, zero state") {
+    import org.apache.spark.sql.functions._
+    val q = Streaming.decontStream(spark, sf).writeStream
+      .format("memory").queryName("stream_decont")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getAs[Long]("doc_id"), r.getAs[Long]("probe_id"),
+      r.getAs[Double]("jaccard"))
+    val streamed = spark.table("stream_decont").collect().map(key).toSet
+    val batch = Streaming.queries("stream_decontaminate")(spark, sf)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty, "no flagged pairs at this SF — vacuous")
+    assert(streamed == batch, "streaming gate diverged from the batch twin")
+    // The gate's per-row-signature + broadcast plan must reproduce the
+    // batch sweep (aggregate signature table + exploded band join)
+    // EXACTLY — that equality is what lets them share one oracle.
+    val sweep = graft.ops.TextAnalysis.queries("text_fuzzy_decontaminate")(spark, sf)
+      .collect().map(key).toSet
+    assert(batch == sweep,
+      s"gate != sweep: only-gate ${(batch -- sweep).take(3)}, only-sweep ${(sweep -- batch).take(3)}")
+    // Stateless: an ingest gate must carry no state stores.
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty)
+    assert(progresses.forall(_.stateOperators.isEmpty),
+      "decontamination gate must run with zero state-store operators")
+    info(s"${batch.size} flagged pairs, stream ≡ batch ≡ sweep")
+  }
 }
