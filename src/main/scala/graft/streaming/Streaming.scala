@@ -1012,9 +1012,10 @@ object Streaming {
   // Dedup.minhashPer's aggregate computes — the batch-twin spec proves
   // it by output equality), band keys become an 8-element array, and
   // the probe side — benchmark-sized by definition — is a staged,
-  // broadcast stream-static join on arrays_overlap(bands), then the
-  // exact hashed-shingle Jaccard verify. One output row per
-  // (streamed doc × flagged probe); no distinct, no watermark.
+  // broadcast stream-static EQUI join on exploded band keys with a
+  // stateless first-matching-band dedup, then the exact hashed-shingle
+  // Jaccard verify. One output row per (streamed doc × flagged
+  // probe); no distinct, no watermark.
 
   /** Per-row (map-only, state-free) signature frame: (doc_id, hx
     * DISTINCT shingle hashes, bands 8 × 2-slot band keys) — the
@@ -1049,15 +1050,35 @@ object Streaming {
         .filter(col("doc_id") % 20 === 0)), eager = false)
       .select(col("doc_id").as("probe_id"), col("hx").as("hp"),
         col("bands").as("pbands"))
-  private def fuzzyGate(corpus: DataFrame, probes: DataFrame): DataFrame =
-    corpus.filter(col("doc_id") % 20 =!= 0)
-      .join(broadcast(probes), arrays_overlap(col("bands"), col("pbands")))
+  /** The gate join. EQUI join on exploded band keys — the first cut
+    * used `arrays_overlap(bands, pbands)` as the join condition, which
+    * plans as a broadcast NESTED LOOP: every streamed doc scans EVERY
+    * probe (measured 220 s at sf1's 50k docs × 2.5k probes — the exact
+    * per-pair-scan shape the rest of the repo engineers away). A hash
+    * join on band keys touches only real collisions; the (doc, probe)
+    * pair dedup that the batch sweep does with DISTINCT is done
+    * STATELESSLY here — a joined row survives only when its band index
+    * is the FIRST index at which the two signatures agree, a per-row
+    * zip_with over the two carried band arrays — so each flagged pair
+    * emits exactly once with no streaming state. */
+  private def fuzzyGate(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val c = corpus.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("hx"), col("bands"),
+        posexplode(col("bands")).as(Seq("bi", "bk")))
+    val p = probes
+      .select(col("probe_id"), col("hp"), col("pbands"),
+        explode(col("pbands")).as("bk"))
+    c.join(broadcast(p), "bk")
+      .filter(col("bi") + 1L ===
+        array_position(zip_with(col("bands"), col("pbands"),
+          (a, b) => a === b), lit(true)))
       .withColumn("inter",
         size(array_intersect(col("hx"), col("hp"))).cast("double"))
       .select(col("doc_id"), col("probe_id"),
         r6(col("inter") / (size(col("hx")) + size(col("hp")) - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= graft.ops.TextAnalysis.FuzzyDecontThreshold)
+  }
 
   /** Always-on gate: streaming docs → map-only signature → broadcast
     * probe join → verify. Append mode, zero state operators. */
@@ -1068,7 +1089,7 @@ object Streaming {
   /** Registered batch twin (`stream_decontaminate`): the identical
     * gate over the batch table. Its output EQUALS
     * text_fuzzy_decontaminate's (spec-asserted) — same candidates
-    * (arrays_overlap ≡ the exploded band-key join ∘ distinct), same
+    * (first-match band rule ≡ the exploded band-key join ∘ distinct), same
     * verify — through the stream-shaped plan (per-row signatures +
     * bounded broadcast, no corpus-side aggregation at all), so the
     * oracle is shared. */
