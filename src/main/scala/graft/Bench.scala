@@ -89,6 +89,11 @@ object Bench {
       }
     }
 
+    // Calibration sentinel (r13): a fixed single-threaded spin timed
+    // immediately before and after the timed sweep. The pair rides in
+    // the JSON so host drift is decidable from the artifact alone —
+    // see graft.util.Calibrate.
+    val calBefore = graft.util.Calibrate.spinSeconds()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val base = scala.collection.mutable.ArrayBuffer.empty[Double]
       (1 to reps).foreach(_ => base += timeOnce(name, fn))
@@ -108,6 +113,12 @@ object Bench {
       }
       (name, base.toVector)
     }
+    val calAfter = graft.util.Calibrate.spinSeconds()
+    val calRatio = graft.util.Calibrate.ratio(calBefore, calAfter)
+    if (calRatio > graft.util.Calibrate.DriftLimit) System.err.println(
+      f"[bench] CALIBRATION DRIFT: spin $calBefore%.3f s before vs $calAfter%.3f s after " +
+      f"(ratio $calRatio%.2f > ${graft.util.Calibrate.DriftLimit}) - " +
+      "host load changed DURING the sweep; treat per-key deltas as suspect")
     def fmt(d: Double) = if (d < 0) "-1.0" else f"$d%.4f"
     // Env-controlled paths are interpolated into JSON → escape them (a
     // quote or backslash in a value would break the driver's parse).
@@ -128,15 +139,19 @@ object Bench {
     // per-row alarm bound — a breach prints a loud stderr line and
     // lands in the JSON (per-audit "alarm" + top-level "audit_alarms"),
     // so a blocking collapse fails VISIBLY in the sweep output instead
-    // of waiting for a human to diff counts. A failed audit records -1,
-    // never kills the bench. Disable with SPARK_GRAFT_BENCH_AUDITS=0.
+    // of waiting for a human to diff counts. A failed audit records
+    // count=-1 AND rows=-1 (r13 advice: the old rows=1 made count/rows
+    // look like a real per-row figure in sweep diffs) and lands in
+    // "audit_failures" — failed audits can't alarm, so they must not
+    // be silent. Never kills the bench. Disable with
+    // SPARK_GRAFT_BENCH_AUDITS=0.
     val auditResults: Seq[(String, Long, Long, Boolean)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_AUDITS").contains("0")) Seq.empty
       else Audits.audits.toSeq.sortBy(_._1).map { case (name, a) =>
         val (v, rows) = try (a.count(spark, sfDir), a.rows(spark, sfDir))
           catch { case e: Throwable =>
             System.err.println(s"[bench] audit $name failed: ${e.getMessage}")
-            (-1L, 1L)
+            (-1L, -1L)
           }
         val alarm = v >= 0 && Audits.breached(a, v, rows)
         if (alarm) System.err.println(
@@ -150,10 +165,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val alarmJson = auditResults.filter(_._4).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    val auditFailJson = auditResults.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"sf":${jstr(sfDir)}}"""
+    val calJson = f"""{"before_s":$calBefore%.4f,"after_s":$calAfter%.4f,"ratio":$calRatio%.3f}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
@@ -183,7 +201,7 @@ object Bench {
       "\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else fmt(ts.min))))
       .mkString("{", ",", "}")
     val nFail = mins.count(_ < 0)
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_failed":$nFail,"detail":${jstr(out)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_failed":$nFail,"cal_ratio":${f"$calRatio%.3f"},"detail":${jstr(out)}}"""
     println(compact)
     spark.stop()
   }

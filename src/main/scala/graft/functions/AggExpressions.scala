@@ -242,7 +242,8 @@ case class MinhashSig(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
-  private final val M = 1000000007L
+  private final val M = graft.util.TextUtil.HashMod
+  private final val Step = graft.util.TextUtil.MinhashStep
   require(k >= 1, "k must be >= 1")
 
   override def prettyName: String = "minhash_sig"
@@ -266,7 +267,7 @@ case class MinhashSig(child: Expression, k: Int,
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < k) {
-        val p = (h * (2 * i + 1) + 1000003L * i) % M
+        val p = (h * (2 * i + 1) + Step * i) % M
         if (p < acc(i)) acc(i) = p
         i += 1
       }

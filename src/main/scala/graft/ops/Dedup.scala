@@ -21,6 +21,7 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
   private final val M = graft.util.TextUtil.HashMod
+  private final val Step = graft.util.TextUtil.MinhashStep
   private def toksCol: Column = graft.util.TextUtil.toksCol
   private val toksSql = graft.util.TextUtil.toksSql
   private def polySql(c: String) = graft.util.TextUtil.polySql(c)
@@ -129,7 +130,7 @@ object Dedup {
   private[ops] val minhashSigCtes: String = shinglePrefixCtes + s""",
     hx AS (SELECT doc_id, ${polySql("s")} AS h FROM shx),
     ks AS (SELECT range AS k FROM range(0, 16)),
-    mh AS (SELECT doc_id, k, MIN((h * (2*k+1) + 1000003*k) % $M) AS mh
+    mh AS (SELECT doc_id, k, MIN((h * (2*k+1) + $Step*k) % $M) AS mh
            FROM hx, ks GROUP BY 1, 2),
     hsets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hx GROUP BY doc_id)"""
   private val minhashCtes = minhashSigCtes + s""",
@@ -501,7 +502,7 @@ object Dedup {
     val gm = materializedColumn(g, "mixed", if (mixed) mixCol else col("grams"))
     val sigCol = transform(sequence(lit(0), lit(15)), k =>
       array_min(transform(col("mixed"),
-        m => (m * (k * 2 + 1) + lit(1000003L) * k) % lit(M))))
+        m => (m * (k * 2 + 1) + lit(Step) * k) % lit(M))))
     persistRound(materializedColumn(gm, "sig", sigCol)
       .select("doc_id", "lb", "grams", "sig"))
   }
@@ -614,7 +615,7 @@ object Dedup {
              (xor(x1, x1 // 65536) * 2246822519) % 2147483648 AS x2 FROM mx1),
     mx AS (SELECT doc_id, lb, xor(x2, x2 // 8192) AS m FROM mx2),
     ks AS (SELECT range AS k FROM range(0, 16)),
-    mh AS (SELECT doc_id, lb, k, MIN((m * (2*k+1) + 1000003*k) % $M) AS mh
+    mh AS (SELECT doc_id, lb, k, MIN((m * (2*k+1) + $Step*k) % $M) AS mh
            FROM mx, ks GROUP BY 1, 2, 3),
     bands AS (SELECT doc_id, lb, k // 2 AS b,
                 string_agg(mh::VARCHAR, ':' ORDER BY k) AS bv
@@ -709,6 +710,91 @@ object Dedup {
     QUALIFY row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) = 1
     ORDER BY dup_id"""
 
+  // ── dedup_semantic — SemDeDup: embedding-cluster survivorship ────────
+  /** Keep/drop verdict per cluster member — the shared core of
+    * [[dedupSemantic]], factored so the spec can drive it with a
+    * PLANTED pair family. `pairs` is a verified undirected pair list
+    * (a_id, b_id); `scores` is (doc_id, score). Components come from
+    * the same large-star/small-star machinery as [[dedupClusters]];
+    * within each component exactly one member survives: best score,
+    * ties to the smaller id. */
+  private[graft] def semanticSurvivors(
+      pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val (labels, _) = connectedComponentsWithRounds(pairs)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    labels.join(scores, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("survives"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster documents whose EMBEDDINGS are
+    * near-duplicates and keep one representative per cluster. This is
+    * the operator a 100 TB curation run actually executes on
+    * embeddings — [[dedupEmbedding]] emits raw verified pairs, and
+    * before r13 keep/drop decisions existed only for minhash clusters
+    * ([[dedupSurvivor]]). Composes three proven parts end-to-end:
+    * [[embeddingScoredCandidates]] (n-adaptive LSH banding — never
+    * all-pairs — with exact-cosine verify at the 0.4 floor) →
+    * [[connectedComponentsWithRounds]] (large-star/small-star,
+    * O(log² n) rounds) → the [[dedupSurvivor]] keep-best rule (quality
+    * score desc, id asc; SemDeDup's "keep one per semantic cluster",
+    * with the survivor chosen by text quality instead of the paper's
+    * arbitrary representative — the rule a curation pipeline wants).
+    * Emits every cluster member with its verdict: (doc_id, cluster_id,
+    * score, survives). vec_id ≡ doc_id in the test tables (1:1
+    * embedding per document).
+    *
+    * Scale shape: candidate volume is the audited adaptive-LSH frame
+    * (bounded excess per row), CC shuffles only the tiny verified pair
+    * graph, and the survivor rank is one window over cluster members —
+    * corpus-sized data is touched exactly once (the banding scan).
+    * Oracle: DuckDB replays the banding + verify, then recursive
+    * reachability (the [[dedupClusters]] technique) + the same
+    * window. */
+  def dedupSemantic: Q = (spark, dir) => {
+    val pairs = persistRound(
+      embeddingScoredCandidates(spark, dir)
+        .filter(col("sim") >= 0.4)
+        .select(col("keep_id").as("a_id"), col("dup_id").as("b_id")),
+      eager = false)
+    val scores = TextAnalysis.qualityScoresFrame(spark, dir)
+      .select(col("doc_id"), col("score"))
+    semanticSurvivors(pairs, scores)
+  }
+  val dedupSemanticSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${VectorSearch.lshBandsAdaptiveSql("e", "vec_id")},
+    ${VectorSearch.lshCandSql("vec_id", "keep_id", "dup_id")},
+    p AS (SELECT keep_id, dup_id,
+        round(list_inner_product(a.v, b.v)
+          / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim
+      FROM cand JOIN e a ON a.vec_id = keep_id JOIN e b ON b.vec_id = dup_id),
+    vpairs AS (SELECT keep_id AS a_id, dup_id AS b_id FROM p WHERE sim >= 0.4),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM vpairs
+      UNION SELECT b_id, a_id FROM vpairs
+      UNION SELECT a_id, a_id FROM vpairs
+      UNION SELECT b_id, b_id FROM vpairs),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM r JOIN edges e2 ON r.dst = e2.src)
+      SELECT * FROM r),
+    lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    sc AS (${TextAnalysis.qualityScoresSql})
+    SELECT l.doc_id, l.cluster_id, s.score,
+      CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+                  ORDER BY s.score DESC, l.doc_id) = 1
+           THEN 1 ELSE 0 END AS BIGINT) AS survives
+    FROM lbl l JOIN sc s ON s.doc_id = l.doc_id
+    ORDER BY l.doc_id"""
+
   // ── dedup_containment — exact prefix-filtered containment join ───────
   /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9 over
     * word 3-shingle sets): catches quote/subset duplication that
@@ -785,7 +871,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_clusters" -> dedupClusters,
-    "dedup_survivor" -> dedupSurvivor)
+    "dedup_survivor" -> dedupSurvivor,
+    "dedup_semantic" -> dedupSemantic)
 
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
@@ -795,5 +882,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_survivor" -> dedupSurvivorSql)
+    "dedup_survivor" -> dedupSurvivorSql,
+    "dedup_semantic" -> dedupSemanticSql)
 }

@@ -270,8 +270,16 @@ object NnGraph {
   // sessions are dropped (at most one session's graphs are ever pinned;
   // in the bench/verify/test JVMs that session lives for the JVM anyway,
   // and a graph is n·K edge rows — index-sized, not corpus-sized).
-  private val builtMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (Long, DataFrame, DataFrame)]()
+  private final val BuiltMemoMax = 32
+  private val builtMemo = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      (Long, DataFrame, DataFrame, java.util.concurrent.atomic.AtomicBoolean)](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (org.apache.spark.sql.SparkSession, String),
+        (Long, DataFrame, DataFrame, java.util.concurrent.atomic.AtomicBoolean)]): Boolean =
+      size() > BuiltMemoMax
+  }
 
   /** [[build]] with plan-level reuse: the first caller per (session,
     * `tag`) builds; subsequent callers get the SAME staged (refined,
@@ -281,25 +289,40 @@ object NnGraph {
     *
     * r12 advice hardening: eviction drops only entries whose session
     * has STOPPED (the old `ne sess` rule let two live sessions in one
-    * JVM thrash each other's caches), and every hit re-checks the
-    * corpus ROW COUNT against the count recorded at build time — a
-    * caller passing a different slice under an existing tag now fails
-    * loudly instead of silently searching the wrong index. The count
-    * is one bounded job per access on the staged (in-memory) corpus;
-    * it catches slice mixups, not adversarial same-cardinality swaps
-    * — the tag convention remains the contract, the count is the
-    * tripwire. */
+    * JVM thrash each other's caches), and a caller passing a different
+    * slice under an existing tag fails loudly instead of silently
+    * searching the wrong index: the corpus ROW COUNT is re-checked
+    * against the count recorded at build time. r13 advice hardening:
+    * the tripwire count runs on the FIRST REUSE only (the build path
+    * counts once to record n0 — it never re-counts what it just built,
+    * and later hits skip the job entirely: on an unstaged input every
+    * access was a full corpus scan), and the memo is a bounded LRU
+    * ([[BuiltMemoMax]] entries — evicting drops only the reuse pin;
+    * holders of the staged frames are unaffected). The count catches
+    * slice mixups, not adversarial same-cardinality swaps — the tag
+    * convention remains the contract, the count is the tripwire. */
   def buildShared(quant: DataFrame, tag: String): (DataFrame, DataFrame) = {
     val sess = quant.sparkSession
-    builtMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val (n0, refined, init) = builtMemo.computeIfAbsent((sess, tag), _ => {
-      val (r, i) = build(quant)
-      (quant.count(), r, i)
-    })
-    val n = quant.count()
-    require(n == n0,
-      s"buildShared tag '$tag' reused with a different corpus ($n rows vs $n0 at build) - " +
-      "tags must uniquely name the corpus slice")
+    val (entry, fresh) = builtMemo.synchronized {
+      builtMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      val key = (sess, tag)
+      val existing = builtMemo.get(key)
+      if (existing != null) (existing, false)
+      else {
+        val (r, i) = build(quant)
+        val e = (quant.count(), r, i,
+          new java.util.concurrent.atomic.AtomicBoolean(false))
+        builtMemo.put(key, e)
+        (e, true)
+      }
+    }
+    val (n0, refined, init, reuseChecked) = entry
+    if (!fresh && !reuseChecked.getAndSet(true)) {
+      val n = quant.count()
+      require(n == n0,
+        s"buildShared tag '$tag' reused with a different corpus ($n rows vs $n0 at build) - " +
+        "tags must uniquely name the corpus slice")
+    }
     (refined, init)
   }
 

@@ -698,10 +698,13 @@ object VectorSearch {
     * the nearest of [[PqK]] codebook entries (integer L2, first-min
     * tie-break), and query distance is the sum of per-subspace
     * distance-table lookups — the corpus is never touched with float
-    * math at query time. Codebook = the quantized vectors of the first
-    * PqK ids (deterministic "training" — the structure, encode, and ADC
-    * path are the real thing; a production build would Lloyd-train the
-    * codebook like [[IvfIndex.fit]]).
+    * math at query time. Codebook = the quantized vectors of the PqK
+    * smallest [[graft.util.Det.hashCoin]] ranks (order-free deterministic
+    * "training" — the same seed recipe as IVF init, r13; "first PqK ids"
+    * was the last first-K-rows data-order artifact: at 100 TB the lowest
+    * ids are an arbitrary, possibly single-source seed set. The
+    * structure, encode, and ADC path are the real thing; a production
+    * build would Lloyd-train the codebook like [[IvfIndex.fit]]).
     *
     * Scale shape: codebook and distance table are k×dim driver state
     * (collected like IVF centroids, broadcast as literals), encoding is
@@ -759,12 +762,20 @@ object VectorSearch {
       spark: SparkSession, dir: String): (DataFrame, DataFrame, Array[Long]) = {
     def sq(c: Column): Column = c * c
     val quant = int8Grid(spark, dir)
-    // Codebook: quantized vectors of ids 0..PqK-1, collected in Spark's
-    // own arithmetic (re-quantizing on the driver could round differently).
-    val seedRows = quant.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
+    // Codebook: quantized vectors of the PqK smallest hash-coin ranks
+    // (order-free seed pick; codebook index c = rank), collected in
+    // Spark's own arithmetic (re-quantizing on the driver could round
+    // differently). One bounded TakeOrderedAndProject collect.
+    val seedRows = quant
+      .orderBy(graft.util.Det.hashCoin(col("vec_id")), col("vec_id"))
+      .limit(PqK).collect()
     require(seedRows.length == PqK, s"need $PqK codebook seeds, got ${seedRows.length}")
     val seeds: Array[Array[Long]] = seedRows.map(_.getSeq[Long](1).toArray)
-    val qv = seeds(0) // query = vec 0, same convention as vs_quant_search
+    // Query = vec 0's grid row, same convention as vs_quant_search (no
+    // longer seeds(0) now that seeds are hash-coin ranked).
+    val qRows = quant.filter(col("vec_id") === 0L).collect()
+    require(qRows.length == 1, "query vector (vec 0) missing")
+    val qv: Array[Long] = qRows.head.getSeq[Long](1).toArray
     val cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
       (0 until PqK).map(c => (0 until PqDsub).map(d => seeds(c)(m * PqDsub + d))))
     val dtab: Seq[Seq[Long]] = (0 until PqM).map(m =>
@@ -822,7 +833,10 @@ object VectorSearch {
   }
 
   private val pqCtes: String = int8GridCtes + s""",
-    seeds AS (SELECT vec_id AS cid, qd AS sd FROM quant WHERE vec_id < $PqK),
+    seeds AS (SELECT rn - 1 AS cid, sd FROM (
+        SELECT row_number() OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) AS rn,
+          qd AS sd
+        FROM quant) WHERE rn <= $PqK),
     qv AS (SELECT qd AS q FROM quant WHERE vec_id = 0),
     sub AS (SELECT range AS m FROM range(0, $PqM)),
     cdist AS (SELECT t.vec_id, s.m, sd.cid,
@@ -915,8 +929,10 @@ object VectorSearch {
     * cells with per-cell asymmetric distance tables built from the
     * query's own residual against each probed centroid. Composes
     * [[vsIvfSearch]]'s deterministic coarse codebook (first-8-ids
-    * centroids, cosine-distance assignment) with [[vsPqSearch]]'s
-    * integer PQ pipeline, now over the residual int8 grid.
+    * centroids by declared convention — the Lloyd-trained coarse path
+    * is [[vsIvfTrained]]) with [[vsPqSearch]]'s integer PQ pipeline,
+    * now over the residual int8 grid; the PQ codebook seeds are
+    * hash-coin ranked like every other seed pick (r13 — order-free).
     *
     * Scale shape: the corpus path is ONE scan — map-only assign →
     * residual → quantize → encode (Generate barriers keep each stage
@@ -958,9 +974,12 @@ object VectorSearch {
           transform(col("r"), x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))
             .as("qr_raw")),
       "qr", col("qr_raw")).select("vec_id", "cell", "qr")
-    // PQ codebook over RESIDUAL space: quantized residuals of the first
-    // PqK ids, collected in Spark's own arithmetic.
-    val seedRows = quant.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
+    // PQ codebook over RESIDUAL space: quantized residuals of the PqK
+    // smallest hash-coin ranks (order-free pick, codebook index = rank),
+    // collected in Spark's own arithmetic.
+    val seedRows = quant
+      .orderBy(graft.util.Det.hashCoin(col("vec_id")), col("vec_id"))
+      .limit(PqK).collect()
     require(seedRows.length == PqK, s"need $PqK codebook seeds, got ${seedRows.length}")
     val seeds: Array[Array[Long]] = seedRows.map(_.getSeq[Long](2).toArray)
     val cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
@@ -1025,7 +1044,10 @@ object VectorSearch {
     quant AS (SELECT vec_id, cell,
         list_transform(r, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS qr
       FROM res, mx),
-    seeds AS (SELECT vec_id AS kid, qr AS sd FROM quant WHERE vec_id < $PqK),
+    seeds AS (SELECT rn - 1 AS kid, sd FROM (
+        SELECT row_number() OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) AS rn,
+          qr AS sd
+        FROM quant) WHERE rn <= $PqK),
     sub AS (SELECT range AS m FROM range(0, $PqM)),
     cdist AS (SELECT t.vec_id, s.m, sd.kid,
         CAST(list_sum(list_transform(range(1, ${PqDsub + 1}), d ->
@@ -1970,21 +1992,48 @@ object VectorSearch {
     * DuckDB oracle replays build, placement, repair, and the grading
     * search bit-for-bit from the shared [[NngSql]] template. */
   final val UpsertMod = 50L
-  def vsNngUpsert: Q = (spark, dir) => {
+
+  /** The PLACEMENT frame — step 1 of [[vsNngUpsert]], factored (r13)
+    * so the streaming upsert leg ([[graft.streaming.Streaming]]'s
+    * `stream_nng_upsert`) runs the IDENTICAL code per micro-batch:
+    * beam-search each new vector (q_id, qq) into the staged base
+    * graph (entries from base only) and keep its top-[[NnGraph.K]]
+    * visited as out-edges (src=new id, dst=existing id, d2, rank).
+    * Placement is embarrassingly parallel across queries — each new
+    * vector's walk reads only the static base graph and its own row —
+    * so any partition of the query set into micro-batches produces
+    * the same rows (the stream ≡ batch argument, spec-asserted). */
+  private[graft] def nngPlacementEdges(refined: DataFrame, init: DataFrame,
+      base: DataFrame, qsNew: DataFrame): DataFrame = {
+    val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    NnGraph.search(refined, init, base, qsNew,
+        NnGraph.PlaceEntries, NnGraph.PlaceBeam, NnGraph.PlaceHops)
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= NnGraph.K)
+      .select(col("q_id").as("src"), col("c_id").as("dst"), col("d2"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** Staged (grid, base slice, shared graph, new-vector queries) for
+    * the upsert family — one [[NnGraph.buildShared]] build serves
+    * [[vsNngUpsert]], the streaming placement leg, and its batch
+    * twin. */
+  private[graft] def nngUpsertArtifacts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
     val base = graft.util.Persist.stage(
       qv.filter(col("vec_id") % UpsertMod =!= 0), eager = false)
     val (refined, init) = NnGraph.buildShared(base, s"$dir#base$UpsertMod")
     val qsNew = qv.filter(col("vec_id") % UpsertMod === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    (qv, base, refined, init, qsNew)
+  }
+
+  def vsNngUpsert: Q = (spark, dir) => {
+    val (qv, base, refined, init, qsNew) = nngUpsertArtifacts(spark, dir)
     val wS = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     val newEdges = graft.util.Persist.stage(
-      NnGraph.search(refined, init, base, qsNew,
-          NnGraph.PlaceEntries, NnGraph.PlaceBeam, NnGraph.PlaceHops)
-        .withColumn("rn", row_number().over(wQ))
-        .filter(col("rn") <= NnGraph.K)
-        .select(col("q_id").as("src"), col("c_id").as("dst"), col("d2")),
+      nngPlacementEdges(refined, init, base, qsNew).select("src", "dst", "d2"),
       eager = false)
     val reverse = newEdges
       .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
@@ -2023,6 +2072,25 @@ object VectorSearch {
         UNION ALL SELECT src, dst FROM gi)),
     ${NngSql.hopCtes("u", "gu", "qs", "base", "quant")},
     ${NngSql.gradeSql("u", "qs", "quant")}"""
+
+  /** Placement-only SQL replay — [[vsNngUpsertSql]] truncated after the
+    * new-edge cut (shared [[NngSql]] template: build over the base
+    * slice, placement hop chain, top-K cut). The oracle of the
+    * streaming upsert twin `stream_nng_upsert`
+    * ([[graft.streaming.Streaming.nngPlacementBatch]]). */
+  val nngPlacementSql: String =
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    base AS MATERIALIZED (SELECT vec_id, qd FROM quant
+      WHERE vec_id % $UpsertMod <> 0),
+    ${NngSql.buildCtes("base")},
+    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
+      WHERE vec_id % $UpsertMod = 0),
+    ${NngSql.hopCtes("p", "gs", "qs", "base", "base",
+      NnGraph.PlaceEntries, NnGraph.PlaceBeam, NnGraph.PlaceHops)}
+    SELECT q_id AS src, c_id AS dst, d2, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM pv${NnGraph.PlaceHops}) WHERE rn <= ${NnGraph.K}
+    ORDER BY src, rank"""
 
   // ── vs_nng_delete — tombstone deletion with patch-through repair ─────
   /** The third leg of the index lifecycle (build → [[vsNngUpsert]]

@@ -1034,7 +1034,8 @@ object Streaming {
       .select(col("doc_id"), col("hx"))
     val sig = transform(sequence(lit(0), lit(15)), k =>
       array_min(transform(col("hx"),
-        h => (h * (k * 2 + 1) + lit(1000003L) * k) % lit(1000000007L))))
+        h => (h * (k * 2 + 1) + lit(graft.util.TextUtil.MinhashStep) * k)
+          % lit(graft.util.TextUtil.HashMod))))
     val withSig = materializedColumn(sh, "sig", sig)
     val bandKeys = (0 until 8).map { b =>
       concat_ws(":", lit(b) +: (0 until 2).map(j => col("sig").getItem(2 * b + j)): _*)
@@ -1050,6 +1051,20 @@ object Streaming {
         .filter(col("doc_id") % 20 === 0)), eager = false)
       .select(col("doc_id").as("probe_id"), col("hx").as("hp"),
         col("bands").as("pbands"))
+  /** Probe-doc count above which the gate stops BROADCASTING the probe
+    * signature table and runs the same equi-join as a shuffle hash
+    * join (identical output — only the physical exchange changes).
+    * The probe artifact here is `doc_id % 20 == 0` — 5% of the corpus,
+    * exploded ×8 with full hash-set arrays — so it is
+    * CORPUS-PROPORTIONAL, not benchmark-sized by definition (r12
+    * advice): at sf1 it is ~2.5k docs ≈ single-digit MB (fine to
+    * broadcast), but a production probe set must clear this gate or
+    * the "cheap always-on filter" silently becomes a driver/broadcast
+    * OOM. 50k docs × ~8 band rows × ~1 KB of carried signature ≈
+    * a few hundred MB broadcast — the posture flips well before
+    * that. */
+  final val FuzzyProbeBroadcastMaxDocs = 50000L
+
   /** The gate join. EQUI join on exploded band keys — the first cut
     * used `arrays_overlap(bands, pbands)` as the join condition, which
     * plans as a broadcast NESTED LOOP: every streamed doc scans EVERY
@@ -1060,7 +1075,10 @@ object Streaming {
     * STATELESSLY here — a joined row survives only when its band index
     * is the FIRST index at which the two signatures agree, a per-row
     * zip_with over the two carried band arrays — so each flagged pair
-    * emits exactly once with no streaming state. */
+    * emits exactly once with no streaming state. The probe side is
+    * broadcast only below [[FuzzyProbeBroadcastMaxDocs]] (one bounded
+    * count on the staged probe artifact, taken batch-side before any
+    * stream starts). */
   private def fuzzyGate(corpus: DataFrame, probes: DataFrame): DataFrame = {
     val c = corpus.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), col("hx"), col("bands"),
@@ -1068,7 +1086,16 @@ object Streaming {
     val p = probes
       .select(col("probe_id"), col("hp"), col("pbands"),
         explode(col("pbands")).as("bk"))
-    c.join(broadcast(p), "bk")
+    val probeDocs = probes.count()
+    val pSide =
+      if (probeDocs <= FuzzyProbeBroadcastMaxDocs) broadcast(p)
+      else {
+        System.err.println(s"[decont-gate] probe set $probeDocs docs > " +
+          s"$FuzzyProbeBroadcastMaxDocs: running the band-key join as a " +
+          "shuffle hash join instead of a broadcast")
+        p
+      }
+    c.join(pSide, "bk")
       .filter(col("bi") + 1L ===
         array_position(zip_with(col("bands"), col("pbands"),
           (a, b) => a === b), lit(true)))
@@ -1098,7 +1125,76 @@ object Streaming {
       fuzzyProbeFrame(spark, dir))
       .orderBy("doc_id", "probe_id")
 
+  // ── Streaming graph-index upsert (placement on ingest) ─────────────
+  // Completes the streaming index lifecycle the way stream_search_ivf
+  // completed serving: vs_nng_upsert is the nightly batch absorb; this
+  // leg is the ALWAYS-ON ingest posture — new vectors arrive as a
+  // stream and are beam-search PLACED into the staged base graph as
+  // they land, so they are servable immediately.
+  //
+  // The honest state split (FreshDiskANN's streaming-merge posture):
+  //   - PLACEMENT runs per micro-batch via foreachBatch with ZERO
+  //     streaming state: the base graph, its entry set, and the grid
+  //     scalar are batch artifacts staged before the stream starts,
+  //     and each new vector's walk reads only those + its own row.
+  //     foreachBatch (not an unrolled stream-static join chain)
+  //     because a beam search needs a per-query top-beam cut per hop —
+  //     a rank over (q_id) — and that is exactly the per-micro-batch
+  //     batch job Structured Streaming provides for index maintenance;
+  //     the placement code is byte-for-byte VectorSearch.
+  //     nngPlacementEdges, the same function vs_nng_upsert step 1 runs.
+  //   - REPAIR (reverse-edge top-K absorb into existing adjacency) is
+  //     deliberately NOT in the hot path: it rewrites existing nodes'
+  //     lists, which would need corpus-sized streaming state. It stays
+  //     the batch consolidation step (vs_nng_upsert step 2). Until a
+  //     consolidation runs, placed vectors serve through their own
+  //     out-edges; NEAR inbound reachability arrives with the repair —
+  //     vs_nng_upsert's 0.637 → 0.851 sf1 recall gap measures exactly
+  //     what consolidation buys.
+  //
+  // Placement is embarrassingly parallel across queries, so
+  // micro-batch placement ≡ the one-shot batch placement frame
+  // row-for-row (EventsStreamingSpec asserts stream ≡ batch and zero
+  // state rows).
+
+  /** Always-on placement leg: new-vector stream → grid quantize
+    * (stored scalar) → per-micro-batch beam-search placement against
+    * the staged base graph → `sink` receives each micro-batch's
+    * placement edges (src, dst, d2, rank). */
+  def nngUpsertStream(spark: SparkSession, dir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
+    val (_, base, refined, init, _) =
+      graft.ops.VectorSearch.nngUpsertArtifacts(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % graft.ops.VectorSearch.UpsertMod === 0)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 127.0 / lit(ma), 0).cast("long")).as("qq"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        sink(graft.ops.VectorSearch.nngPlacementEdges(refined, init, base, b))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Registered batch twin (`stream_nng_upsert`): the one-shot
+    * placement frame through the identical shared code — the exact
+    * rows the streaming leg's micro-batches union to. Oracle:
+    * [[graft.ops.VectorSearch.nngPlacementSql]] (shared NngSql
+    * template — build + placement hops + top-K cut). */
+  def nngPlacementBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (_, base, refined, init, qsNew) =
+      graft.ops.VectorSearch.nngUpsertArtifacts(spark, dir)
+    graft.ops.VectorSearch.nngPlacementEdges(refined, init, base, qsNew)
+      .orderBy("src", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_nng_upsert" -> (nngPlacementBatch _),
     "stream_bot_detect" -> (botCadenceBatch _),
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_search" -> (vsSearchServeBatch _),
@@ -1113,6 +1209,7 @@ object Streaming {
     "stream_attribution" -> (attributionCountsBatch _),
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
+    "stream_nng_upsert" -> graft.ops.VectorSearch.nngPlacementSql,
     "stream_bot_detect" -> botCadenceSql,
     "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_search" -> vsSearchServeSql,

@@ -29,6 +29,11 @@ object Steady {
       .map(_.split(',').map(_.trim).toSet)
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Calibration sentinel (r13): bracket the sweep with the fixed spin
+    // so the steady file carries its own load context, and REFUSE to
+    // write a reference whose host drifted mid-sweep — a drifted
+    // bench_steady.json poisons every later round's stall detector.
+    val calBefore = graft.util.Calibrate.spinSeconds()
     val medians = selected.map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -39,12 +44,28 @@ object Steady {
       println(f"STEADY $name%s median=$med%.3f s reps=${ts.map(t => f"$t%.2f").mkString(",")}")
       name -> med
     }
-    if (only.isEmpty) {
-      val json = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val calAfter = graft.util.Calibrate.spinSeconds()
+    val calRatio = graft.util.Calibrate.ratio(calBefore, calAfter)
+    println(f"STEADY_CAL before=$calBefore%.3f s after=$calAfter%.3f s ratio=$calRatio%.3f")
+    val drifted = calRatio > graft.util.Calibrate.DriftLimit
+    if (drifted) System.err.println(
+      f"[steady] CALIBRATION DRIFT: spin $calBefore%.3f s -> $calAfter%.3f s " +
+      f"(ratio $calRatio%.2f > ${graft.util.Calibrate.DriftLimit}): host load changed " +
+      "DURING the sweep - REFUSING to write the steady reference. " +
+      "Re-run on an idle host (override with SPARK_GRAFT_STEADY_FORCE=1).")
+    val force = sys.env.get("SPARK_GRAFT_STEADY_FORCE").contains("1")
+    if (only.isEmpty && (!drifted || force)) {
+      // _cal_* keys ride in the same flat object; Bench's stall lookup
+      // is by query name, so they are inert there but keep the load
+      // context inside the committed artifact.
+      val json = (medians ++ Seq(
+          "_cal_before_s" -> calBefore, "_cal_after_s" -> calAfter))
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
+    if (drifted && !force && only.isEmpty) sys.exit(2)
   }
 }

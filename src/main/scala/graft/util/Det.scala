@@ -52,6 +52,19 @@ object Det {
     h2.bitwiseXOR(shiftright(h2, 13))
   }
 
+  /** Driver/test-side mirror of [[hashCoin]] on a plain Long — used by
+    * specs that re-derive a hash-coin seed pick independently and by
+    * bounded driver-side rank checks. All intermediates stay in
+    * [0, 2^31) for non-negative ids, so `>>` (arithmetic) and DuckDB's
+    * `//` floor division agree with Spark's shiftright. */
+  def hashCoinLong(id: Long): Long = {
+    require(id >= 0L, s"hashCoinLong expects a non-negative id, got $id")
+    val x0 = (id * 31L + 7L) % 2147483648L
+    val h1 = (x0 * 2654435761L) % 2147483648L
+    val h2 = ((h1 ^ (h1 >> 16)) * 2246822519L) % 2147483648L
+    h2 ^ (h2 >> 13)
+  }
+
   /** SQL mirror of [[hashCoin]] as one scalar expression (`expr` is
     * textually repeated — fine on the id-sized frames this ranks). */
   def hashCoinSql(expr: String): String = {

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
 object TextUtil {
   final val HashMod = 1000000007L
 
+  /** Affine minhash permutation step: slot k of a signature is
+    * min over shingle hashes h of (h·(2k+1) + MinhashStep·k) mod
+    * [[HashMod]]. Every producer of a minhash signature —
+    * [[graft.functions.MinhashSig]] (batch aggregate),
+    * [[graft.ops.Dedup]]'s ngram sigCol, the streaming per-row twin
+    * [[graft.streaming.Streaming.fuzzySigFrame]], and all their SQL
+    * oracle CTEs — MUST use these two constants, or batch ≡ stream ≡
+    * oracle equality silently breaks outside the spec'd scale factors
+    * (r12 advice: the literals were duplicated at each site). */
+  final val MinhashStep = 1000003L
+
   /** Lowercased alnum tokens of the `text` column. */
   def toksCol: Column =
     filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)

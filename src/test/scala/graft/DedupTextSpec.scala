@@ -147,6 +147,42 @@ class DedupTextSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("keep_id") < r.getAs[Long]("dup_id")))
   }
 
+  test("dedup_semantic keeps exactly the best-scoring member of a planted family") {
+    import spark.implicits._
+    // Planted 3-member near-dup family {10,11,12} (chain pairs — CC must
+    // close it) plus an isolated pair {20,21}. Best member of the family
+    // is the score-9 tie broken to the SMALLER id (11).
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val scores = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 3L), (21L, 7L))
+      .toDF("doc_id", "score")
+    val got = Dedup.semanticSurvivors(pairs, scores).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("score"), r.getAs[Long]("survives"))).toSeq
+    assert(got == Seq(
+      (10L, 10L, 5L, 0L), (11L, 10L, 9L, 1L), (12L, 10L, 9L, 0L),
+      (20L, 20L, 3L, 0L), (21L, 20L, 7L, 1L)))
+  }
+
+  test("dedup_semantic: one survivor per cluster, members match dedup_embedding pairs") {
+    val rows = Dedup.dedupSemantic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_.getAs[Long]("survives")).sum == 1L,
+        s"cluster $cid must keep exactly one member")
+      val best = ms.maxBy(m => (m.getAs[Long]("score"), -m.getAs[Long]("doc_id")))
+      assert(best.getAs[Long]("survives") == 1L,
+        s"cluster $cid survivor is not the (score desc, id asc) best")
+    }
+    // members = exactly the endpoints of the verified embedding pair graph
+    val endpoints = Dedup.dedupEmbedding(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("dup_id"), r.getAs[Long]("keep_id"))).toSet
+    // dedup_embedding keeps only the FIRST keeper per dup, so its
+    // endpoint set can be a subset of the full pair graph's — every
+    // emitted endpoint must still be a labeled member.
+    assert(endpoints.subsetOf(rows.map(_.getAs[Long]("doc_id")).toSet))
+  }
+
   test("text_lang_id predicts a profile language per doc") {
     val rows = TextAnalysis.textLangId(spark, sf).collect()
     val langs = TextAnalysis.StopwordProfiles.map(_._1).toSet

@@ -395,6 +395,35 @@ class EventsStreamingSpec extends SparkSpec {
       "nprobe cell join probes the whole corpus — the index buys nothing")
   }
 
+  test("streaming graph upsert (stream_nng_upsert): micro-batch placement ≡ batch, zero state") {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = Streaming.nngUpsertStream(spark, sf) { df =>
+      val rows = df.collect().map(r => (r.getAs[Long]("src"),
+        r.getAs[Long]("dst"), r.getAs[Long]("d2"), r.getAs[Long]("rank")))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination(180000)
+    def key(r: Row) = (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+      r.getAs[Long]("d2"), r.getAs[Long]("rank"))
+    val batch = Streaming.queries("stream_nng_upsert")(spark, sf)
+      .collect().map(key)
+    assert(batch.nonEmpty, "no placement edges at this SF — vacuous")
+    // Placement is per-query independent, so the union of micro-batch
+    // placements must equal the one-shot batch frame row-for-row.
+    assert(buf.toSet == batch.toSet,
+      s"streaming placement diverged from the batch twin: " +
+      s"only-stream ${(buf.toSet -- batch).take(3)}, only-batch ${(batch.toSet -- buf).take(3)}")
+    // Every new vector placed with a full top-K out-edge set.
+    val perQ = batch.groupBy(_._1).values.map(_.length).toSet
+    assert(perQ == Set(graft.ops.NnGraph.K),
+      s"placement edge counts per new vector: $perQ != {${graft.ops.NnGraph.K}}")
+    // Zero streaming state: placement must carry no state stores — the
+    // graph/entries/grid are batch artifacts staged before the stream.
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    assert(stateRows.isEmpty || stateRows.forall(_ == 0L),
+      s"placement leg holds streaming state: $stateRows")
+  }
+
   test("streaming decontamination gate: stream ≡ batch ≡ the batch sweep, zero state") {
     import org.apache.spark.sql.functions._
     val q = Streaming.decontStream(spark, sf).writeStream

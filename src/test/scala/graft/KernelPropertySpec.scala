@@ -167,4 +167,16 @@ class KernelPropertySpec extends SparkSpec {
     assert(e2.getMessage.contains("int_dot") ||
       e2.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("Det.hashCoinLong mirrors the hashCoin Column on a dense id range") {
+    import spark.implicits._
+    val ids = (0L until 5000L) ++ Seq(1000003L, 2147483646L, Long.MaxValue / 31 - 7)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.util.Det.hashCoin(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == graft.util.Det.hashCoinLong(id),
+        s"hashCoin mismatch at id=$id: column=${got(id)} long=${graft.util.Det.hashCoinLong(id)}")
+    }
+  }
 }

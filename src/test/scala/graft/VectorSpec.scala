@@ -132,20 +132,26 @@ class VectorSpec extends SparkSpec {
     import VectorSearch.{PqM, PqDsub, PqK}
     // Reimplement the whole pipeline from raw floats in plain Scala:
     // quantize (round half-away-from-zero, Spark ROUND semantics),
-    // codebook from ids 0..PqK-1, per-subspace argmin encode with
-    // first-min tie-break, ADC distance-table scoring.
+    // codebook from the PqK smallest hash-coin ranks (r13 order-free
+    // seed pick; codebook index = rank), per-subspace argmin encode
+    // with first-min tie-break, ADC distance-table scoring.
     val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
       .sortBy(_._1)
-    assert(raw.take(PqK).map(_._1).toSeq == (0L until PqK.toLong))
     val maxabs = raw.iterator.map(_._2.map(math.abs).max).max
     def qz(x: Double): Long = {
       val y = x * 127.0 / maxabs
       if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
     }
     val quant = raw.map { case (id, v) => id -> v.map(qz) }
-    val seeds = quant.take(PqK).map(_._2)
+    val seedIds = quant.map(_._1)
+      .sortBy(id => (graft.util.Det.hashCoinLong(id), id)).take(PqK).toSeq
+    // the order-free property itself: the pick is NOT the first PqK ids
+    assert(seedIds != (0L until PqK.toLong).toSeq,
+      s"hash-coin seed pick degenerated to first-$PqK ids: $seedIds")
+    val byId = quant.toMap
+    val seeds = seedIds.map(byId).toArray
     def subDist(a: Array[Long], b: Array[Long], m: Int): Long =
       (0 until PqDsub).map { d =>
         val diff = a(m * PqDsub + d) - b(m * PqDsub + d); diff * diff
@@ -155,18 +161,23 @@ class VectorSpec extends SparkSpec {
         val ds = seeds.map(s => subDist(v, s, m))
         ds.indexOf(ds.min) // first min = lowest centroid id
       }
-    val qv = quant.head._2
+    val qv = quant.head._2 // query = vec 0 (quant sorted by id)
     val dtab = Array.tabulate(PqM, PqK)((m, c) => subDist(qv, seeds(c), m))
-    val expected = quant.map { case (id, v) =>
+    val fullAdc = quant.map { case (id, v) =>
       val codes = encode(v)
       (id, codes.mkString(":"), codes.zipWithIndex.map { case (c, m) => dtab(m)(c) }.sum)
-    }.sortBy { case (id, _, adist) => (adist, id) }.take(10).toSeq
+    }
+    val expected = fullAdc
+      .sortBy { case (id, _, adist) => (adist, id) }.take(10).toSeq
     val got = VectorSearch.vsPqSearch(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("code"), r.getAs[Long]("adist")))
       .toSeq
     assert(got == expected)
-    // query = codebook seed 0 → codes all 0, ADC distance exactly 0
-    assert(got.head == ((0L, Seq.fill(PqM)("0").mkString(":"), 0L)))
+    // the rank-0 seed always encodes to all-0 codes (first-min
+    // tie-break cannot route a zero distance to a later rank)
+    val code0 = fullAdc.find(_._1 == seedIds.head).get._2
+    assert(code0 == Seq.fill(PqM)("0").mkString(":"),
+      s"seed ${seedIds.head} (rank 0) encoded as $code0")
   }
 
   test("vs_pq_search plan: map-only encode, no corpus shuffle, no join on the corpus side") {
@@ -202,7 +213,6 @@ class VectorSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
       .sortBy(_._1)
-    assert(raw.take(PqK).map(_._1).toSeq == (0L until PqK.toLong))
     // r6 cosine distance, HALF_UP like Spark's round(x, 6)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -226,7 +236,11 @@ class VectorSpec extends SparkSpec {
       if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
     }
     val quant = assigned.map { case (id, cell, r) => (id, cell, r.map(qz)) }
-    val seeds = quant.take(PqK).map(_._3)
+    // r13 order-free seed pick: PqK smallest hash-coin ranks over ids
+    val seedIds = quant.map(_._1)
+      .sortBy(id => (graft.util.Det.hashCoinLong(id), id)).take(PqK).toSeq
+    val resById = quant.map(t => t._1 -> t._3).toMap
+    val seeds = seedIds.map(resById).toArray
     def subDist(a: Array[Long], b: Array[Long], m: Int): Long =
       (0 until PqDsub).map { d =>
         val diff = a(m * PqDsub + d) - b(m * PqDsub + d); diff * diff
@@ -254,9 +268,6 @@ class VectorSpec extends SparkSpec {
         r.getAs[String]("code"), r.getAs[Long]("adist")))
       .toSeq
     assert(got == expected)
-    // query vec 0 is in a probed cell (its own) with residual == seed 0
-    // → codes all 0 and ADC distance exactly 0
-    assert(got.head == ((0L, got.head._2, Seq.fill(PqM)("0").mkString(":"), 0L)))
   }
 
   test("vs_ivfpq_search plan: corpus path is map-only — no key shuffle, no corpus join") {
