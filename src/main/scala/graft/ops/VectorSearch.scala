@@ -2251,8 +2251,32 @@ object VectorSearch {
     * routing regression cannot hide. */
   final val PlanBruteCutoff: Long =
     NnGraph.Entries + NnGraph.Hops.toLong * NnGraph.Beam * NnGraph.K
+
+  /** KMV (k-minimum-values) cardinality estimate over a pass frame's
+    * ids — the O(k)-driver-state routing statistic (r12 verdict #3 →
+    * r13 #7). The registered key routes from an exact per-predicate
+    * `count()` because the statistic is IN its hashed output contract
+    * and the oracle replays it — but a real planner at 100 TB reads
+    * table stats or a sketch, never a scan-per-routing-decision. This
+    * is that statistic: hash-coin each id (avalanche-mixed into
+    * [0, 2^31)), keep the k smallest (TakeOrderedAndProject — k longs
+    * to the driver, mergeable across partitions/segments by min-merge),
+    * estimate |pass| = (k−1)·2^31/h_k; exact below k distinct values.
+    * PlannedSpec proves both statistics route every registered
+    * predicate identically at the default AND the arm-splitting
+    * cutoff, and bounds the estimate error. */
+  private[graft] final val PlanKmvK = 64
+  private[graft] def kmvPassEstimate(pass: DataFrame,
+      k: Int = PlanKmvK): Long = {
+    val mins = pass
+      .select(graft.util.Det.hashCoin(col("vec_id")).as("h"))
+      .orderBy("h").limit(k).collect().map(_.getLong(0))
+    if (mins.length < k) mins.length.toLong
+    else (k - 1).toLong * 2147483648L / math.max(mins.last, 1L)
+  }
+
   /** (tag, pass-frame) per planner predicate, shared with the SQL. */
-  private def plannerPreds(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+  private[graft] def plannerPreds(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     def passOf(f: DataFrame => DataFrame): DataFrame =
@@ -2265,8 +2289,16 @@ object VectorSearch {
   }
   def vsSearchPlanned: Q = (spark, dir) =>
     vsSearchPlannedWith(spark, dir, PlanBruteCutoff)
+  /** `routeStat`: the statistic the ROUTING decision reads — None =
+    * the exact pass count (the registered key's contract: the count is
+    * part of the hashed output, and `n_pass` stays exact either way);
+    * Some([[kmvPassEstimate]]) = the O(k) sketch a 100 TB planner
+    * reads. Grading, escalation rules, and the emitted `n_pass` always
+    * use the exact count — only the brute-vs-graph choice consults
+    * `routeStat`. */
   private[graft] def vsSearchPlannedWith(
-      spark: SparkSession, dir: String, cutoff: Long): DataFrame = {
+      spark: SparkSession, dir: String, cutoff: Long,
+      routeStat: Option[DataFrame => Long] = None): DataFrame = {
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
     val qs = qv.filter(col("vec_id") % 100 === 9)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
@@ -2290,9 +2322,10 @@ object VectorSearch {
       val fcorp = graft.util.Persist.stage(
         qv.join(pass, "vec_id").withColumn("pred", lit(tag)), eager = false)
       val nPass = fcorp.count()
+      val nRoute = routeStat.fold(nPass)(f => f(fcorp))
       val exact = exactTop(fcorp)
       val (plan, approx) =
-        if (nPass <= cutoff) ("brute", exact)
+        if (nRoute <= cutoff) ("brute", exact)
         else {
           val (refined, init, base) = graphParts
           val baseSurv = graft.util.Persist.stage(

@@ -51,4 +51,36 @@ class AuditAlarmSpec extends SparkSpec {
     assert(collapsed > healthy * 3,
       "collapse reproduction is too mild to be the r10 bug class")
   }
+
+  test("lshTunedGeo operating ceiling: geometry saturates past ~119k and the measured floor trips the alarm") {
+    import graft.ops.VectorSearch
+    val geo = VectorSearch.lshTunedGeo
+    val (rMax, bMax) = geo.last
+    val ceiling = VectorSearch.LshAdaptCandsPerRow * (1L << (rMax + 1)) / bMax
+    assert(ceiling > 100000L && ceiling < 140000L, s"ceiling moved: $ceiling")
+    // Below the ceiling the pick still adapts; past it, getOrElse holds
+    // the last geometry — the documented saturation.
+    assert(VectorSearch.lshAdaptiveGeometry(20000L, geo) != geo.last,
+      "sf1-scale corpus should not be saturated")
+    assert(VectorSearch.lshAdaptiveGeometry(ceiling + 1, geo) == geo.last)
+    assert(VectorSearch.lshAdaptiveGeometry(750000L, geo) == geo.last)
+    // Measured past the ceiling (tools/LshCeilingProbe, r13; n=750k
+    // synthetic ISOTROPIC vectors — no planted pairs, so the count is
+    // pure random floor — through the EXACT production audit):
+    // 45,637,584 candidates = 60.85/row vs the 10.0/row bound → the
+    // alarm fires, 6.1× over. The uniform 2^-r model predicted
+    // 12.58/row; real sign-correlation on 64-dim data runs ~4.8× that
+    // (Jensen: E[(1−θ/π)^r] > 2^−r), so the floor crosses the bound
+    // near the documented n* itself — the guard has no dead zone
+    // between "geometry saturated" and "alarm fires".
+    val audit = Audits.audits("vs_lsh_tuned.candidates")
+    assert(Audits.breached(audit, 45637584L, 750000L),
+      "the measured past-ceiling candidate volume must trip the bound")
+    // The measured slope (60.85/row at 750k → per-row ∝ n at fixed
+    // geometry) back-projects to the bound being crossed at
+    // n ≈ 750k·10/60.85 ≈ 123k — within 4% of the ceiling estimate.
+    val alarmAt = (750000L * audit.maxPerRow / 60.85).toLong
+    assert(math.abs(alarmAt - ceiling) < ceiling / 5,
+      s"alarm onset $alarmAt vs ceiling $ceiling drifted apart")
+  }
 }

@@ -41,4 +41,35 @@ class PlannedSpec extends SparkSpec {
     assert(rows.filterNot(_.getAs[String]("pred") == "p3_fat")
       .forall(r => r.getAs[Long]("n_hits") == r.getAs[Long]("n_exact")))
   }
+
+  test("KMV sketch statistic routes every predicate identically to the exact count") {
+    // The 100 TB posture: routing reads O(k) driver state, not a scan.
+    // Both at the default cutoff (all brute) and at the arm-splitting
+    // cutoff 10 (p3 crosses to the graph), the sketch must make the
+    // SAME choices — and since grading never consults the statistic,
+    // identical routing means identical output rows.
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("pred"), r.getAs[String]("plan"),
+        r.getAs[Long]("n_pass"), r.getAs[Long]("q_id"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"))).toSeq
+    for (cut <- Seq(VectorSearch.PlanBruteCutoff, 10L)) {
+      val exact = rowsOf(VectorSearch.vsSearchPlannedWith(spark, sf, cut))
+      val kmv = rowsOf(VectorSearch.vsSearchPlannedWith(spark, sf, cut,
+        routeStat = Some(VectorSearch.kmvPassEstimate(_))))
+      assert(kmv == exact,
+        s"sketch-routed output diverged from exact-routed at cutoff $cut")
+    }
+    // The estimator itself: exact below k distinct ids, bounded error
+    // above (k=64 → σ ≈ 1/√k ≈ 12.5%; assert a generous 50% band so
+    // data drift can't flake the suite while a broken estimator —
+    // off by orders of magnitude — still fails).
+    for ((tag, pass) <- VectorSearch.plannerPreds(spark, sf)) {
+      val n = pass.count()
+      val est = VectorSearch.kmvPassEstimate(pass)
+      if (n < VectorSearch.PlanKmvK)
+        assert(est == n, s"$tag: KMV below k must be exact ($est vs $n)")
+      else assert(math.abs(est - n) <= n / 2,
+        s"$tag: KMV estimate $est vs exact $n outside 50% band")
+    }
+  }
 }
