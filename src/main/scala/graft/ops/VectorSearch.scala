@@ -2298,7 +2298,8 @@ object VectorSearch {
     * `routeStat`. */
   private[graft] def vsSearchPlannedWith(
       spark: SparkSession, dir: String, cutoff: Long,
-      routeStat: Option[DataFrame => Long] = None): DataFrame = {
+      routeStat: Option[DataFrame => Long] = None,
+      emitRouteStat: Boolean = false): DataFrame = {
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
     val qs = qv.filter(col("vec_id") % 100 === 9)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
@@ -2357,30 +2358,49 @@ object VectorSearch {
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .withColumn("plan", lit(plan))
         .withColumn("n_pass", lit(nPass))
+        .withColumn("n_est", lit(nRoute))
     }
+    val cols =
+      if (emitRouteStat)
+        Seq("pred", "plan", "n_pass", "n_est", "q_id", "n_exact", "n_hits")
+      else Seq("pred", "plan", "n_pass", "q_id", "n_exact", "n_hits")
     arms.reduce(_ unionByName _)
-      .select("pred", "plan", "n_pass", "q_id", "n_exact", "n_hits")
+      .select(cols.map(col): _*)
       .orderBy("pred", "q_id")
   }
 
-  /** Full SQL replay of [[vsSearchPlanned]]: three predicate slices +
-    * their `np` cardinality scalars, exact filtered top-5 per predicate
-    * (`ex<i>` — the brute arm AND the grading truth), the shared build
-    * + base hop chain, per-predicate guarded graph arms (survivor
-    * census, deficient slice, escalation chain `w<i>`), and a per-
-    * predicate grade whose `plan` column is the routing decision —
-    * CASE on the same `np` vs [[PlanBruteCutoff]] the Scala side
-    * routes on, so a routing divergence breaks the hash. */
-  val vsSearchPlannedSql: String = {
+  /** Full SQL replay of [[vsSearchPlanned]] (and, with `kmvRouting`,
+    * of [[vsPlannedKmv]]): three predicate slices + their cardinality
+    * scalars, exact filtered top-5 per predicate (`ex<i>` — the brute
+    * arm AND the grading truth), the shared build + base hop chain,
+    * per-predicate guarded graph arms (survivor census, deficient
+    * slice, escalation chain `w<i>`), and a per-predicate grade whose
+    * `plan` column is the routing decision — CASE on the same routing
+    * scalar the Scala side routes on (`rt<i>`: the exact COUNT(*) or
+    * the KMV k-minimum-values estimate over hash-coin values, both
+    * pure BIGINT arithmetic), so a routing divergence breaks the
+    * hash. Coverage/sufficiency rules always read the EXACT count —
+    * only the brute-vs-graph choice consults the routing scalar,
+    * mirroring the Scala contract. */
+  private def plannedSqlWith(kmvRouting: Boolean): String = {
     val preds = Seq(
       ("p1_thin", "label = 7 AND lang = 'de'"),
       ("p2_tiny", "label = 9 AND lang = 'zh' AND vec_id % 4 = 1"),
       ("p3_fat", "label >= 5"))
+    val estCols = if (kmvRouting) ", rt.np AS n_est" else ""
+    val estNames = if (kmvRouting) ", n_est" else ""
     val perPred = preds.zipWithIndex.map { case ((tag, cond), ix) =>
       val i = ix + 1
+      val rtCte = if (kmvRouting) s"""
+    rt$i AS (SELECT CAST(CASE WHEN COUNT(*) < $PlanKmvK THEN COUNT(*)
+        ELSE (${PlanKmvK - 1} * 2147483648) // greatest(MAX(h), 1) END AS BIGINT) AS np
+      FROM (SELECT ${graft.util.Det.hashCoinSql("vec_id")} AS h FROM pass$i
+            ORDER BY h LIMIT $PlanKmvK)),"""
+      else s"""
+    rt$i AS (SELECT np FROM np$i),"""
       s"""
     pass$i AS (SELECT vec_id FROM ep WHERE $cond),
-    np$i AS (SELECT COUNT(*) AS np FROM pass$i),
+    np$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pass$i),$rtCte
     fc$i AS MATERIALIZED (SELECT q.vec_id, q.qd FROM quant q
       JOIN pass$i p ON p.vec_id = q.vec_id),
     ex$i AS MATERIALIZED (SELECT q_id, c_id FROM (
@@ -2390,12 +2410,12 @@ object VectorSearch {
             ORDER BY ${NngSql.d2Sql("c.qd", "q.qq")}, c.vec_id) AS rn
         FROM fc$i c, qs q) WHERE rn <= ${NnGraph.TopK}),
     bs$i AS (SELECT v.q_id, v.c_id, v.d2 FROM fv${NnGraph.Hops} v
-      JOIN pass$i p ON p.vec_id = v.c_id, np$i np
-      WHERE np.np > $PlanBruteCutoff),
+      JOIN pass$i p ON p.vec_id = v.c_id, rt$i rt
+      WHERE rt.np > $PlanBruteCutoff),
     ns$i AS (SELECT q_id, COUNT(DISTINCT c_id) AS n_surv FROM bs$i GROUP BY q_id),
     q2$i AS MATERIALIZED (SELECT q.q_id, q.qq FROM qs q
-      LEFT JOIN ns$i ns ON ns.q_id = q.q_id, np$i np
-      WHERE np.np > $PlanBruteCutoff
+      LEFT JOIN ns$i ns ON ns.q_id = q.q_id, np$i np, rt$i rt
+      WHERE rt.np > $PlanBruteCutoff
         AND (COALESCE(ns.n_surv, 0) < $FilterMinSurvivors
              OR (np.np <= $FilterCoverageCap
                  AND 2 * COALESCE(ns.n_surv, 0) < np.np))),
@@ -2410,13 +2430,14 @@ object VectorSearch {
           (SELECT * FROM bs$i UNION ALL SELECT * FROM ws$i)))
       WHERE rn <= ${NnGraph.TopK}),
     gr$i AS (SELECT '$tag' AS pred,
-        CASE WHEN np.np <= $PlanBruteCutoff THEN 'brute' ELSE 'graph' END AS plan,
-        np.np AS n_pass, x.q_id,
+        CASE WHEN rt.np <= $PlanBruteCutoff THEN 'brute' ELSE 'graph' END AS plan,
+        np.np AS n_pass$estCols, x.q_id,
         COUNT(*) AS n_exact,
-        CAST(SUM(CASE WHEN np.np <= $PlanBruteCutoff THEN 1
+        CAST(SUM(CASE WHEN rt.np <= $PlanBruteCutoff THEN 1
                       WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-      FROM ex$i x LEFT JOIN ga$i a ON a.q_id = x.q_id AND a.c_id = x.c_id, np$i np
-      GROUP BY 1, 2, 3, x.q_id)"""
+      FROM ex$i x LEFT JOIN ga$i a ON a.q_id = x.q_id AND a.c_id = x.c_id,
+        np$i np, rt$i rt
+      GROUP BY ALL)"""
     }.mkString(",")
     int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
     qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
@@ -2426,10 +2447,29 @@ object VectorSearch {
     ${NngSql.buildCtes("quant")},
     ${NngSql.hopCtes("f", "gs", "qs", "quant", "quant")},
     $perPred
-    SELECT pred, plan, n_pass, q_id, n_exact, n_hits
+    SELECT pred, plan, n_pass$estNames, q_id, n_exact, n_hits
     FROM (SELECT * FROM gr1 UNION ALL SELECT * FROM gr2 UNION ALL SELECT * FROM gr3)
     ORDER BY pred, q_id"""
   }
+
+  val vsSearchPlannedSql: String = plannedSqlWith(kmvRouting = false)
+
+  // ── vs_planned_kmv — the planner routed from the KMV sketch ────────
+  /** [[vsSearchPlanned]] with the ROUTING statistic read from
+    * [[kmvPassEstimate]] instead of the exact per-predicate count —
+    * registered as its own key so the 100 TB planner posture (route
+    * from O(k) driver state, never a scan per routing decision) is
+    * first-class and oracle-proven, not just spec-proven: the KMV
+    * estimate is pure BIGINT arithmetic over hash-coin values, so the
+    * DuckDB oracle replays the sketch itself (k smallest mixed ids →
+    * (k−1)·2³¹ // h_k) and a sketch divergence breaks the hash. The
+    * output carries BOTH statistics — `n_pass` (exact, the graded
+    * contract) and `n_est` (what routing consulted). Grading and the
+    * escalation rules are unchanged from the exact-count key. */
+  def vsPlannedKmv: Q = (spark, dir) =>
+    vsSearchPlannedWith(spark, dir, PlanBruteCutoff,
+      routeStat = Some(kmvPassEstimate(_)), emitRouteStat = true)
+  val vsPlannedKmvSql: String = plannedSqlWith(kmvRouting = true)
 
   // ── vs_nng_merge — segment-merge of two graph indexes ───────────────
   /** Merge two independently-built graph indexes WITHOUT a rebuild —
@@ -2810,6 +2850,7 @@ object VectorSearch {
     "vs_nng_filtered" -> vsNngFiltered,
     "vs_nng_merge" -> vsNngMerge,
     "vs_search_planned" -> vsSearchPlanned,
+    "vs_planned_kmv" -> vsPlannedKmv,
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
@@ -2845,5 +2886,6 @@ object VectorSearch {
     "vs_nng_filtered" -> vsNngFilteredSql,
     "vs_nng_merge" -> vsNngMergeSql,
     "vs_search_planned" -> vsSearchPlannedSql,
+    "vs_planned_kmv" -> vsPlannedKmvSql,
     "vs_sparse_search" -> vsSparseSearchSql)
 }
