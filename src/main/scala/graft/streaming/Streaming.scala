@@ -1193,8 +1193,136 @@ object Streaming {
       .orderBy("src", "rank")
   }
 
+  // ── Streaming semantic near-dup gate (embedding-space ingest gate) ──
+  // The third ingest gate, completing the set: stream_decontaminate
+  // catches benchmark contamination by TEXT overlap; this catches
+  // near-duplicate EMBEDDINGS — "don't ingest a vector whose semantic
+  // content the store already holds" (the always-on form of
+  // dedup_semantic's candidate generation). Zero streaming state: the
+  // gate geometry, plane array, and the corpus band table are batch
+  // artifacts staged before the stream starts; each incoming vector
+  // computes its own LSH signature map-only (one fused LshBandVals
+  // kernel call), equi-joins the staged table on (band_idx, band_val),
+  // and the (incoming, corpus) pair dedup is the stateless
+  // first-matching-band rule.
+  //
+  // The corpus-side degenerate-bucket cap is a STAGE-time decision
+  // (index-build posture — streaming can never re-count buckets), and
+  // the first-match rule must see exactly the SURVIVING join matches:
+  // the staged rows carry the corpus row's MASKED signature (capped
+  // slots → -1, never equal to a real ≥0 band fold), so
+  // "first index at which qsig agrees with csig_m" ≡ "this pair's
+  // smallest surviving collision index" and each flagged pair emits
+  // exactly once with no state. Geometry is picked from the full
+  // table count (the stored-index geometry; the oracle re-picks from
+  // its own COUNT(*) via the shared integer table — a 5% slice moves
+  // log₂(n) by 0.07, same integer pick).
+
+  /** (planesPerBand r, bands b, flat plane array, staged corpus band
+    * table (bi, bv, c_id, csig_m)) shared by the streaming leg and the
+    * batch twin. */
+  private def semanticGateArtifacts(spark: SparkSession, dir: String)
+      : (Int, Int, Array[Double], DataFrame) = {
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (r, b) = graft.ops.VectorSearch.lshAdaptiveGeometry(e.count())
+    val flat = graft.ops.VectorSearch.planes(r * b).flatten.toArray
+    val exploded = e.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("c_id"),
+        graft.functions.lsh_band_vals(col("embedding"), flat, 64, r, b).as("csig"))
+      .select(col("c_id"), col("csig"), posexplode(col("csig")).as(Seq("bi", "bv")))
+    val surviving = exploded.join(
+      exploded.groupBy("bi", "bv").count()
+        .filter(col("count") <= graft.ops.VectorSearch.LshBucketCap)
+        .select("bi", "bv"),
+      Seq("bi", "bv"))
+    // Masked signature: slot i keeps its band fold only if (i, fold)
+    // survived the cap; re-exploding it regenerates exactly the
+    // surviving rows, each carrying the mask the first-match rule reads.
+    val masked = surviving.groupBy("c_id")
+      .agg(map_from_entries(collect_list(struct(col("bi"), col("bv")))).as("mp"))
+      .select(col("c_id"),
+        transform(sequence(lit(0), lit(b - 1)), i =>
+          coalesce(element_at(col("mp"), i), lit(-1L))).as("csig_m"))
+    val staged = graft.util.Persist.stage(
+      masked.select(col("c_id"), col("csig_m"),
+        posexplode(col("csig_m")).as(Seq("bi", "bv")))
+        .filter(col("bv") >= 0L),
+      eager = false)
+    (r, b, flat, staged)
+  }
+
+  /** The gate join over any incoming (q_id, qv, qsig) frame: band-key
+    * equi join → stateless first-matching-band pair dedup → exact
+    * cosine verify at the dedup_embedding 0.4 floor. */
+  private def semanticGateJoin(spark: SparkSession, dir: String,
+      incoming: DataFrame, staged: DataFrame): DataFrame = {
+    val corpusVecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    incoming
+      .select(col("q_id"), col("qv"), col("qsig"),
+        posexplode(col("qsig")).as(Seq("bi", "bv")))
+      .join(staged, Seq("bi", "bv"))
+      .filter(array_position(zip_with(col("qsig"), col("csig_m"),
+        (a, b) => a === b), lit(true)) === col("bi") + 1L)
+      .join(corpusVecs, "c_id")
+      .select(col("q_id").as("vec_id"), col("c_id").as("match_id"),
+        r6(graft.functions.inner_product(col("qv"), col("cv")) /
+          sqrt(graft.functions.inner_product(col("qv"), col("qv")) *
+            graft.functions.inner_product(col("cv"), col("cv")))).as("sim"))
+      .filter(col("sim") >= 0.4)
+  }
+
+  /** Always-on gate: incoming vector stream → map-only signature →
+    * staged band-table join → verify. Append mode, zero state. */
+  def semanticGateStream(spark: SparkSession, dir: String): DataFrame = {
+    val (r, b, flat, staged) = semanticGateArtifacts(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val incoming = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        graft.functions.lsh_band_vals(col("embedding"), flat, 64, r, b).as("qsig"))
+    semanticGateJoin(spark, dir, incoming, staged)
+  }
+
+  /** Registered batch twin (`stream_semantic_gate`): identical gate
+    * over the batch slice. First-matching-band ≡ band-join ∘ DISTINCT
+    * on pairs (each agreement index of (qsig, csig_m) IS a surviving
+    * join row), so the oracle replays the distinct form. */
+  def semanticGateBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (r, b, flat, staged) = semanticGateArtifacts(spark, dir)
+    val incoming = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        graft.functions.lsh_band_vals(col("embedding"), flat, 64, r, b).as("qsig"))
+    semanticGateJoin(spark, dir, incoming, staged)
+      .orderBy("vec_id", "match_id")
+  }
+
+  /** Full SQL replay: shared adaptive band chain over the whole table
+    * (geometry re-picked from COUNT(*)), corpus-slice bucket cap,
+    * cross-slice DISTINCT candidate join, exact cosine verify. */
+  val semanticGateSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${graft.ops.VectorSearch.lshBandsAdaptiveSql("e", "vec_id")},
+    cb AS (SELECT * FROM bands WHERE vec_id % 20 <> 0),
+    cbs AS (SELECT band_idx, band_val FROM cb GROUP BY 1, 2
+            HAVING COUNT(*) <= ${graft.ops.VectorSearch.LshBucketCap}),
+    ck AS (SELECT cb.* FROM cb JOIN cbs USING (band_idx, band_val)),
+    qb AS (SELECT * FROM bands WHERE vec_id % 20 = 0),
+    scand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM qb q JOIN ck c
+        ON q.band_idx = c.band_idx AND q.band_val = c.band_val),
+    sver AS (SELECT q_id, c_id,
+        round(list_inner_product(a.v, b.v)
+          / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim
+      FROM scand JOIN e a ON a.vec_id = q_id JOIN e b ON b.vec_id = c_id)
+    SELECT q_id AS vec_id, c_id AS match_id, sim FROM sver
+    WHERE sim >= 0.4 ORDER BY vec_id, match_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_nng_upsert" -> (nngPlacementBatch _),
+    "stream_semantic_gate" -> (semanticGateBatch _),
     "stream_bot_detect" -> (botCadenceBatch _),
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_search" -> (vsSearchServeBatch _),
@@ -1210,6 +1338,7 @@ object Streaming {
     "stream_dedup" -> (dedupStreamSummaryBatch _))
   val oracles: Map[String, String] = Map(
     "stream_nng_upsert" -> graft.ops.VectorSearch.nngPlacementSql,
+    "stream_semantic_gate" -> semanticGateSql,
     "stream_bot_detect" -> botCadenceSql,
     "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_search" -> vsSearchServeSql,

@@ -424,6 +424,39 @@ class EventsStreamingSpec extends SparkSpec {
       s"placement leg holds streaming state: $stateRows")
   }
 
+  test("semantic near-dup gate (stream_semantic_gate): stream ≡ batch, true pairs only, zero state") {
+    // At toy SFs the corpus's cross-slice near-dups all sit at sim
+    // 0.41-0.49, far below the gate's 0.9-recall-at-0.9 design point —
+    // the banding honestly catches none (0 rows at sf0.001/sf0.01, a
+    // correct 0≡0 hash). Drive the spec at sf0.1 where the gate flags
+    // real pairs, so stream ≡ batch is non-vacuous.
+    val dir = "/root/testdata/sf0.1"
+    val q = Streaming.semanticGateStream(spark, dir).writeStream
+      .format("memory").queryName("stream_semgate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    def key(r: Row) = (r.getAs[Long]("vec_id"), r.getAs[Long]("match_id"),
+      r.getAs[Double]("sim"))
+    val streamed = spark.table("stream_semgate").collect().map(key).toSet
+    val batch = Streaming.queries("stream_semantic_gate")(spark, dir)
+      .collect().map(key)
+    assert(batch.nonEmpty, "no flagged near-dups at sf0.1 — vacuous")
+    assert(streamed == batch.toSet,
+      s"streaming gate diverged: only-stream ${(streamed -- batch).take(3)}, " +
+      s"only-batch ${(batch.toSet -- streamed).take(3)}")
+    // Every flagged pair is a verified near-dup of a CORPUS vector by
+    // an INCOMING vector — the gate's contract.
+    assert(batch.forall(_._3 >= 0.4))
+    assert(batch.forall(t => t._1 % 20 == 0 && t._2 % 20 != 0))
+    // Zero streaming state: geometry/planes/band table are staged
+    // batch artifacts; the pair dedup is the stateless first-match rule.
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    assert(stateRows.isEmpty || stateRows.forall(_ == 0L),
+      s"semantic gate holds streaming state: $stateRows")
+  }
+
   test("streaming decontamination gate: stream ≡ batch ≡ the batch sweep, zero state") {
     import org.apache.spark.sql.functions._
     val q = Streaming.decontStream(spark, sf).writeStream
