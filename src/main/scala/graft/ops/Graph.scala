@@ -266,14 +266,98 @@ object Graph {
     SELECT n AS doc_id, CAST(deg AS BIGINT) AS deg FROM d3 ORDER BY doc_id"""
   }
 
+  // ── graph_sssp — weighted single-source shortest path, fixed rounds ──
+  final val SsspIters = 3
+  final val SsspScale = 1000000L // cost numerator: rarer transition = costlier hop
+
+  /** Weighted single-source shortest path via [[SsspIters]] Bellman-Ford
+    * relaxation rounds (unrolled in the oracle like [[graphPagerank]]'s
+    * iterations — after round k every node holds the cheapest ≤ k-hop
+    * path). Edge cost is the integer `1e6 // w + 1` — rarer transitions
+    * cost more, so the result ranks event types by how cheaply the
+    * common flow reaches them from the source (MIN node id — a
+    * deterministic relational pick, no driver constant). All arithmetic
+    * is BIGINT min-plus, so both engines agree bit-for-bit; unreached
+    * nodes stay NULL (never a float ∞ sentinel). Each round is the
+    * Pregel-as-DataFrame shape: edges ⋈ settled distances on the src key
+    * (broadcast — distances is |nodes| rows; at billions of nodes the
+    * same plan is a keyed shuffle join), MIN-relax aggregate on the dst
+    * key, left join back so untouched nodes keep their distance. The
+    * NULL-aware min is an explicit CASE chain on both engines — Spark's
+    * `least` skips NULLs but other engines differ, so the op never leans
+    * on that divergence. The edge frame is staged once for all rounds. */
+  def graphSssp: Q = (spark, dir) => {
+    val e = graft.util.Persist.stage(
+      edges(spark, dir)
+        .filter(col("prev_type") =!= col("next_type"))
+        .select(col("prev_type"), col("next_type"),
+          (idiv(lit(SsspScale), col("w")) + lit(1L)).as("cost")),
+      eager = false)
+    val nodes = e.select(col("prev_type").as("node"))
+      .union(e.select(col("next_type")))
+      .distinct()
+    val src = nodes.agg(min("node").as("src"))
+    var d: DataFrame = nodes.crossJoin(broadcast(src))
+      .select(col("node"),
+        when(col("node") === col("src"), lit(0L))
+          .otherwise(lit(null).cast("long")).as("dist"))
+    for (_ <- 1 to SsspIters) {
+      val relax = e
+        .join(broadcast(d.filter(col("dist").isNotNull)
+          .select(col("node").as("prev_type"), col("dist").as("sd"))), "prev_type")
+        .select(col("next_type"), (col("sd") + col("cost")).as("nd"))
+        .groupBy("next_type").agg(min("nd").as("m"))
+      d = d.join(relax, col("node") === col("next_type"), "left")
+        .select(col("node"),
+          when(col("dist").isNull, col("m"))
+            .when(col("m").isNull, col("dist"))
+            .when(col("m") < col("dist"), col("m"))
+            .otherwise(col("dist")).as("dist"))
+    }
+    d.orderBy("node")
+  }
+  val graphSsspSql: String = {
+    def iter(prev: String, cur: String): String = s"""
+    r$cur AS (SELECT e.next_type AS node, MIN(d.dist + e.cost) AS m
+      FROM ec e JOIN d$prev d ON d.node = e.prev_type AND d.dist IS NOT NULL
+      GROUP BY 1),
+    d$cur AS (SELECT n.node,
+        CASE WHEN n.dist IS NULL THEN r.m
+             WHEN r.m IS NULL THEN n.dist
+             WHEN r.m < n.dist THEN r.m ELSE n.dist END AS dist
+      FROM d$prev n LEFT JOIN r$cur r ON r.node = n.node)"""
+    s"""
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    lagged AS (SELECT event_type AS next_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM ev),
+    edges AS (SELECT prev_type, next_type, COUNT(*) AS w
+      FROM lagged WHERE prev_type IS NOT NULL AND prev_type <> next_type
+      GROUP BY 1, 2),
+    ec AS (SELECT prev_type, next_type,
+        CAST($SsspScale // w + 1 AS BIGINT) AS cost FROM edges),
+    nodes AS (SELECT DISTINCT prev_type AS node FROM edges
+              UNION SELECT DISTINCT next_type FROM edges),
+    s AS (SELECT MIN(node) AS src FROM nodes),
+    d0 AS (SELECT node,
+        CASE WHEN node = (SELECT src FROM s) THEN CAST(0 AS BIGINT) END AS dist
+      FROM nodes),
+    ${iter("0", "1")},
+    ${iter("1", "2")},
+    ${iter("2", "3")}
+    SELECT node, dist FROM d3 ORDER BY node"""
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_kcore" -> graphKcore,
     "graph_pagerank" -> graphPagerank,
+    "graph_sssp" -> graphSssp,
     "graph_triangles" -> graphTriangles,
     "graph_label_prop" -> graphLabelProp)
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> graphKcoreSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_sssp" -> graphSsspSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_label_prop" -> graphLabelPropSql)
 }

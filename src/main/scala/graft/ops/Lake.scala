@@ -187,6 +187,27 @@ object Lake {
         dvBase.filter(pmod(col("user_id"), lit(7L)) === 0L)
           .select("file_id", "pos")
           .coalesce(1).write.mode("overwrite").parquet(dvDeletesPath)
+        // Two bucketed order snapshots for lake_cdc: v1 = the table as-is
+        // (key, status, exact cents), v2 = after a deterministic change
+        // batch (delete %11, update %7 — status 'U', +10000 cents —
+        // insert fresh negated keys for %13; delete wins on %77 overlap).
+        // Both snapshots are bucketed on the key so the snapshot-diff
+        // join runs with ZERO exchange (see [[lakeCdc]]).
+        val ocV1 = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_c"))
+        val ocUpd = col("o_orderkey") % 7 === 0
+        val ocV2 = ocV1.filter(!(col("o_orderkey") % 11 === 0))
+          .select(col("o_orderkey"),
+            when(ocUpd, lit("U")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            when(ocUpd, col("price_c") + 10000L).otherwise(col("price_c")).as("price_c"))
+          .unionByName(ocV1.filter(col("o_orderkey") % 13 === 0)
+            .select((-col("o_orderkey") - 1).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("price_c")))
+        Sinks.writeBucketedAt(ocV1, "graft_orders_cdc_v1", "o_orderkey", LakeBuckets,
+          s"$lakeDir/orders_cdc_v1")
+        Sinks.writeBucketedAt(ocV2, "graft_orders_cdc_v2", "o_orderkey", LakeBuckets,
+          s"$lakeDir/orders_cdc_v2")
         // Interchange copies for the schema'd CSV/JSON/ORC readers.
         Sinks.writeCsv(Tables.nation(spark, dir), nationCsvPath)
         Sinks.writeJson(Tables.region(spark, dir), regionJsonPath)
@@ -576,7 +597,74 @@ object Lake {
       CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END AS n_regionkey
     FROM nation ORDER BY n_nationkey"""
 
+  // ── lake_cdc — change-data-feed by snapshot diff (bucketed, no shuffle)
+  /** Change-data-feed between two table versions computed by SNAPSHOT
+    * DIFF — the changelog read Delta exposes as `table_changes` and
+    * Iceberg as the changelog scan, derivable on any table format that
+    * can serve two versions (here: the two bucketed snapshot tables
+    * [[ensureLake]] writes). The diff is GENERIC — one full-outer join
+    * on the key classifying each key into insert / delete /
+    * update_preimage+postimage rows (unchanged keys emit nothing) — the
+    * change RULES only construct the v2 fixture and are never consulted
+    * by the reader. Scale posture: the entire operator is ONE
+    * co-partitioned sort-merge join — and because both snapshots are
+    * stored bucketed on the key, it runs with ZERO shuffle exchange
+    * (LakeSpec plan-asserts it), the layout that makes a daily 100 TB
+    * CDC extraction a map-side merge instead of a full re-shuffle of
+    * both versions. Classification is a single when-chain into an
+    * exploded struct array (update pre+post = a 2-element array), so
+    * the diff stays one codegen'd pass with no re-read per change type.
+    * All values exact (BIGINT cents, strings). */
+  def lakeCdc: Q = (spark, dir) => {
+    ensureLake(spark, dir)
+    val a = Sinks.table(spark, "graft_orders_cdc_v1").hint("merge")
+      .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("s1"),
+        col("price_c").as("p1"))
+    val b = Sinks.table(spark, "graft_orders_cdc_v2")
+      .select(col("o_orderkey").as("k2"), col("o_orderstatus").as("s2"),
+        col("price_c").as("p2"))
+    def img(tpe: String, s: Column, p: Column) =
+      struct(lit(tpe).as("change_type"), s.as("o_orderstatus"), p.as("price_c"))
+    a.join(b, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        explode(
+          when(col("k1").isNull, array(img("insert", col("s2"), col("p2"))))
+            .when(col("k2").isNull, array(img("delete", col("s1"), col("p1"))))
+            .when(col("s1") =!= col("s2") || col("p1") =!= col("p2"),
+              array(img("update_pre", col("s1"), col("p1")),
+                img("update_post", col("s2"), col("p2"))))).as("c"))
+      .select(col("o_orderkey"), col("c.change_type"), col("c.o_orderstatus"),
+        col("c.price_c"))
+      .orderBy("o_orderkey", "change_type")
+  }
+  val lakeCdcSql: String = s"""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus,
+        ${centsSql("o_totalprice")} AS price_c FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN price_c + 10000 ELSE price_c END AS price_c
+      FROM v1 WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT -o_orderkey - 1, 'N', price_c FROM v1 WHERE o_orderkey % 13 = 0),
+    j AS (SELECT v1.o_orderkey AS k1, v1.o_orderstatus AS s1, v1.price_c AS p1,
+                 v2.o_orderkey AS k2, v2.o_orderstatus AS s2, v2.price_c AS p2
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+    SELECT * FROM (
+      SELECT k2 AS o_orderkey, 'insert' AS change_type,
+        s2 AS o_orderstatus, p2 AS price_c FROM j WHERE k1 IS NULL
+      UNION ALL
+      SELECT k1, 'delete', s1, p1 FROM j WHERE k2 IS NULL
+      UNION ALL
+      SELECT k1, 'update_pre', s1, p1 FROM j
+      WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (s1 <> s2 OR p1 <> p2)
+      UNION ALL
+      SELECT k1, 'update_post', s2, p2 FROM j
+      WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (s1 <> s2 OR p1 <> p2))
+    ORDER BY o_orderkey, change_type"""
+
   val queries: Map[String, Q] = Map(
+    "lake_cdc" -> lakeCdc,
     "lake_delete_vectors" -> lakeDeleteVectors,
     "lake_zorder" -> lakeZorder,
     "lake_schema_evolution" -> lakeSchemaEvolution,
@@ -589,6 +677,7 @@ object Lake {
     "lake_format_roundtrip" -> lakeFormatRoundtrip,
     "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
+    "lake_cdc" -> lakeCdcSql,
     "lake_delete_vectors" -> lakeDeleteVectorsSql,
     "lake_zorder" -> lakeZorderSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,

@@ -1172,14 +1172,16 @@ object VectorSearch {
     * nprobe=3 probe → exact-cosine rerank → recall grade. Every centroid
     * coordinate and distance is integer arithmetic; the only floats are
     * the shared round-6 cosine rerank and the single recall division. */
-  val vsIvfTrainedSql: String = {
-    // One Lloyd round as CTE text: assignment from centroid set `cin`,
-    // update into centroid set `cout` (suffix keeps CTE names unique).
-    def round_(i: Int, cin: String, cout: String) = s"""
+  /** One integer-Lloyd round as CTE text: assignment of the rows of CTE
+    * `src` from centroid set `cin`, round-half-up update into centroid
+    * set `cout` (suffix `i` keeps CTE names unique). Shared by the
+    * [[vsIvfTrainedSql]] (src = the full quantized corpus) and
+    * [[vsIvfUpsertSql]] (src = the base slice only) oracles. */
+  private def ivfLloydRoundSql(i: Int, cin: String, cout: String, src: String) = s"""
     d$i AS (SELECT t.vec_id, t.q, c.cid,
         CAST(list_sum(list_transform(range(1, len(t.q) + 1),
           d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
-      FROM qv t, $cin c),
+      FROM $src t, $cin c),
     a$i AS (SELECT vec_id, q, cid FROM (
         SELECT vec_id, q, cid,
           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$i)
@@ -1191,6 +1193,9 @@ object VectorSearch {
       FROM s$i GROUP BY cid),
     $cout AS (SELECT $cin.cid, COALESCE(u$i.c, $cin.c) AS c
       FROM $cin LEFT JOIN u$i ON $cin.cid = u$i.cid)"""
+
+  val vsIvfTrainedSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qv")
     s"""
     WITH e AS ($eSql),
     mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
@@ -1247,6 +1252,209 @@ object VectorSearch {
       CAST(CASE WHEN ppm < $IvfTrainedRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT)
         AS below_floor
     FROM hits, tot ORDER BY q_id"""
+  }
+
+  // ── vs_ivf_upsert — IVF append maintenance (assign, no retrain) ──────
+  /** Batch-incremental maintenance of the TRAINED IVF index — the
+    * append leg of the IVF lifecycle (train [[vsIvfTrained]] → serve
+    * [[graft.streaming.Streaming]]'s `stream_search_ivf` → APPEND here),
+    * mirroring what [[vsNngUpsert]] is for the graph index: a production
+    * store assigns its nightly append to the EXISTING centroids and
+    * retrains on a schedule, because re-running Lloyd per batch would
+    * re-shuffle the whole corpus for a <2% delta (FAISS `add` vs
+    * `train`; pgvector ivfflat inserts into existing lists the same
+    * way). Every 50th vector is held out as the new batch; the integer
+    * trainer ([[IvfIndex.fitInt]], k=8, 2 rounds) runs on the base 98%
+    * only, ON THE BASE GRID (maxabs from base — the grid is part of the
+    * frozen index artifact; new data quantizes onto it, never reshapes
+    * it). The append itself is ONE map-only assignment pass over the
+    * batch (argmin vs 8 broadcast-literal centroids, stays in codegen).
+    *
+    * The output is the maintenance report a store would alarm on, one
+    * row per appended vector: its cell, that cell's base/new occupancy
+    * (`cell_n_base`/`cell_n_new` — list-size growth is what degrades
+    * ivfflat probe cost), an integer DRIFT statistic
+    * (`drift_ppm` = 1e6 · mean-new-d2 / mean-base-d2 per cell, floor
+    * division both engines — the "has the data moved away from the
+    * frozen centroids, time to retrain?" signal), and the serving grade:
+    * recall@5 of the appended vector searched through the MERGED index
+    * (nprobe=3 trained-centroid probe over base+batch assignments,
+    * exact-cosine rerank) vs the exact top-5 over the full corpus —
+    * self included on both arms, exactly [[vsIvfTrained]]'s grading
+    * convention. All statistics are exact BIGINT (mean recall in ppm),
+    * so the DuckDB oracle replays the trainer (shared
+    * [[ivfLloydRoundSql]] CTEs on the base slice), the append, the
+    * drift arithmetic, and the grade bit-for-bit. */
+  final val IvfUpsertNprobe = 3
+  final val IvfUpsertRecallFloorPpm = 600000L
+  def vsIvfUpsert: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val isNew = col("vec_id") % 50 === 0
+    // Grid from the BASE corpus only (the frozen index artifact).
+    val mx = e.filter(!isNew)
+      .agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+    val qAll = graft.util.Persist.stage(
+      e.crossJoin(broadcast(mx)).select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
+    val qb = qAll.filter(!(col("vec_id") % 50 === 0))
+    val qn = qAll.filter(col("vec_id") % 50 === 0)
+    val model = IvfIndex.fitInt(qb, "vec_id", "q", k = 8, iters = 2)
+    // Assignment with the per-row distance kept (drift needs it).
+    val cellD2 = least(model.centroids.map { case (cid, cv) =>
+      struct(IvfIndex.intD2(col("q"), cv).as("d2"), lit(cid).as("cid"))
+    }: _*)
+    def assign(src: DataFrame): DataFrame = src.select(col("vec_id").as("c_id"),
+      cellD2.getField("cid").as("cell"), cellD2.getField("d2").as("d2"))
+    val aBase = graft.util.Persist.stage(assign(qb))
+    val aNew = graft.util.Persist.stage(assign(qn))
+    // Per-cell growth + integer drift (floor-div means; a cell with no
+    // base members reports 0 base rows and drift 0 — nothing to drift
+    // from).
+    val statsB = aBase.groupBy("cell")
+      .agg(count(lit(1)).as("n_base"), sum("d2").as("s_base"))
+    val statsN = aNew.groupBy("cell")
+      .agg(count(lit(1)).as("n_new"), sum("d2").as("s_new"))
+    val cellStats = statsN.join(statsB, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_base"), lit(0L)).as("cell_n_base"),
+        col("n_new").as("cell_n_new"),
+        when(col("n_base").isNull, lit(0L))
+          .otherwise(idiv(lit(1000000L) * idiv(col("s_new"), col("n_new")),
+            greatest(idiv(col("s_base"), col("n_base")), lit(1L)))).as("drift_ppm"))
+    // Serving grade: probe nprobe cells of the MERGED assignment.
+    val probeStructs = model.centroids.map { case (cid, cv) =>
+      struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+    }
+    val probes = qn.select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .select(col("q_id"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, IvfUpsertNprobe)).as("p"))
+      .select(col("q_id"), col("p.cid").as("cell"))
+    val merged = aBase.select("c_id", "cell").unionByName(aNew.select("c_id", "cell"))
+    val qraw = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val approx = merged.join(broadcast(probes), "cell")
+      .join(e.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qraw), "q_id")
+      .select(col("q_id"), col("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val exact = e.crossJoin(broadcast(qraw))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val graded = graft.util.Persist.stage(
+      exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits")))
+    val tot = graded.agg(sum("n_hits"), sum("n_exact")).head()
+    require(!tot.isNullAt(1) && tot.getLong(1) > 0,
+      "IVF upsert has no appended vectors to grade (empty batch)")
+    val ppm = 1000000L * tot.getLong(0) / tot.getLong(1)
+    aNew.select(col("c_id").as("q_id"), col("cell"))
+      .join(broadcast(cellStats), Seq("cell"))
+      .join(graded, Seq("q_id"))
+      .select(col("q_id"), col("cell").cast("long").as("cell"),
+        col("cell_n_base"), col("cell_n_new"), col("drift_ppm"),
+        col("n_exact"), col("n_hits"),
+        r6(col("n_hits") / col("n_exact")).as("recall"))
+      .withColumn("mean_recall_ppm", lit(ppm))
+      .withColumn("below_floor",
+        lit(if (ppm < IvfUpsertRecallFloorPpm) 1L else 0L))
+      .orderBy("q_id")
+  }
+
+  /** Full SQL replay of [[vsIvfUpsert]]: base-grid quantization →
+    * unrolled integer Lloyd on the BASE slice (shared
+    * [[ivfLloydRoundSql]]) → base + batch assignment with kept d2 →
+    * per-cell growth/drift arithmetic → merged nprobe=3 probe →
+    * exact-cosine rerank → recall grade. */
+  val vsIvfUpsertSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qb")
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs
+      FROM e WHERE vec_id % 50 <> 0),
+    qv AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM e, mx),
+    qb AS (SELECT * FROM qv WHERE vec_id % 50 <> 0),
+    qn AS (SELECT * FROM qv WHERE vec_id % 50 = 0),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qb ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    db AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qb t, c2 c),
+    ab AS (SELECT vec_id AS c_id, cid AS cell, d2 FROM (
+        SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM db)
+      WHERE rn = 1),
+    dn AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qn t, c2 c),
+    an AS (SELECT vec_id AS c_id, cid AS cell, d2 FROM (
+        SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dn)
+      WHERE rn = 1),
+    sb AS (SELECT cell, COUNT(*) AS n_base, CAST(SUM(d2) AS BIGINT) AS s_base
+      FROM ab GROUP BY 1),
+    sn AS (SELECT cell, COUNT(*) AS n_new, CAST(SUM(d2) AS BIGINT) AS s_new
+      FROM an GROUP BY 1),
+    cs AS (SELECT sn.cell, COALESCE(sb.n_base, 0) AS cell_n_base,
+        sn.n_new AS cell_n_new,
+        CASE WHEN sb.n_base IS NULL THEN CAST(0 AS BIGINT)
+             ELSE CAST((1000000 * (sn.s_new // sn.n_new))
+                  // greatest(sb.s_base // sb.n_base, 1) AS BIGINT) END AS drift_ppm
+      FROM sn LEFT JOIN sb ON sb.cell = sn.cell),
+    pd AS (SELECT t.vec_id AS q_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qn t, c2 c),
+    probe AS (SELECT q_id, cid AS cell FROM (
+        SELECT q_id, cid,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd)
+      WHERE rn <= $IvfUpsertNprobe),
+    merged AS (SELECT c_id, cell FROM ab UNION ALL SELECT c_id, cell FROM an),
+    qraw AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 50 = 0),
+    araw AS (SELECT p.q_id, m.c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM probe p JOIN merged m ON m.cell = p.cell
+        JOIN e ec ON ec.vec_id = m.c_id
+        JOIN qraw eq ON eq.q_id = p.q_id),
+    approx AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM araw)
+      WHERE rn <= 5),
+    eraw AS (SELECT eq.q_id, ec.vec_id AS c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM e ec, qraw eq),
+    exact AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM eraw)
+      WHERE rn <= 5),
+    hits AS (SELECT x.q_id, COUNT(*) AS n_exact,
+        CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.c_id = x.c_id
+      GROUP BY x.q_id),
+    tot AS (SELECT CAST((1000000 * SUM(n_hits)) // SUM(n_exact) AS BIGINT) AS ppm
+      FROM hits)
+    SELECT an.c_id AS q_id, CAST(an.cell AS BIGINT) AS cell,
+      cs.cell_n_base, cs.cell_n_new, cs.drift_ppm,
+      h.n_exact, h.n_hits,
+      round(CAST(h.n_hits AS DOUBLE) / h.n_exact, 6) AS recall,
+      ppm AS mean_recall_ppm,
+      CAST(CASE WHEN ppm < $IvfUpsertRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT)
+        AS below_floor
+    FROM an JOIN cs ON cs.cell = an.cell
+      JOIN hits h ON h.q_id = an.c_id, tot
+    ORDER BY q_id"""
   }
 
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
@@ -2837,6 +3045,7 @@ object VectorSearch {
     "vs_ivf_search" -> vsIvfSearch,
     "vs_recall_eval" -> vsRecallEval,
     "vs_ivf_trained" -> vsIvfTrained,
+    "vs_ivf_upsert" -> vsIvfUpsert,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
     "vs_pq_rerank" -> vsPqRerank,
@@ -2857,6 +3066,7 @@ object VectorSearch {
   val oracles: Map[String, String] = Map(
     "vs_diversify" -> vsDiversifySql,
     "vs_ivf_trained" -> vsIvfTrainedSql,
+    "vs_ivf_upsert" -> vsIvfUpsertSql,
     "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,
     "vs_hybrid_search" -> vsHybridSearchSql,

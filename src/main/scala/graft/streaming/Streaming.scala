@@ -600,6 +600,78 @@ object Streaming {
     GROUP BY 1, 2 ORDER BY event_type, q_pm"""
   }
 
+  // ── Streaming heavy hitters (windowed Misra-Gries) ───────────────────
+
+  /** Per-window trending detection: event types holding more than
+    * 1/([[ShhK]]+1) = 25% of a 15-minute window — the always-on form of
+    * [[graft.ops.Events.evHeavyHitters]]'s sketch-then-verify, but
+    * WINDOWED, because "what is trending right now" is the question the
+    * streaming deployment answers (the global variant needs the whole
+    * history). The streaming leg maintains ONE [[graft.functions
+    * .MisraGries]] sketch per open window as complete-mode aggregation
+    * state — O(k) longs per window regardless of cardinality, mergeable
+    * across micro-batches (the same partial-merge path the batch
+    * aggregate uses map-side), so state never scales with distinct keys.
+    * The sketch's CONTENT is merge-order-dependent; its GUARANTEE
+    * (candidates ⊇ every key above n/(k+1)) is not — so the registered
+    * twin verifies candidates exactly and emits only guaranteed heavies,
+    * deterministic on both engines, and the oracle is a plain GROUP
+    * BY/HAVING per window. k=3 keeps the threshold strict (25%): on this
+    * ~uniform 5-type corpus only genuinely-over-represented windows
+    * report, so the output actually varies by window instead of listing
+    * every type always. */
+  final val ShhK = 3
+
+  /** Streaming leg: per-window MG sketch + window total (bounded state). */
+  def heavyHittersStream(spark: SparkSession, dir: String): DataFrame = {
+    readEvents(spark, dir)
+      .select(col("event_type"),
+        timestamp_micros(idiv(col("ts"), 1000L)).as("event_time"))
+      .withColumn("k", graft.functions.poly_hash(col("event_type")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "15 minutes"))
+      .agg(graft.functions.misra_gries(col("k"), ShhK).as("cs"),
+        count(lit(1)).as("n_win"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("cs"), col("n_win"))
+  }
+
+  /** Registered twin (`stream_heavy_hitters`): the same windowed
+    * sketch-then-verify as a batch — phase 1 sketches per window (no
+    * distinct-key shuffle; candidate lists are ≤ k hashes), phase 2
+    * re-counts only candidate keys exactly (semi-join on the exploded
+    * ≤ k·|windows| candidate frame) and filters on the guarantee
+    * threshold. EventsStreamingSpec proves the streaming sketch's
+    * guarantee per window and that verification over the STREAMED
+    * candidates reproduces this exact output. */
+  def heavyHittersBatch(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        (idiv(idiv(col("ts"), 1000L), WinUs) * WinUs).as("win_us"))
+      .withColumn("k", graft.functions.poly_hash(col("event_type")))
+    val sk = graft.util.Persist.stage(
+      keyed.groupBy("win_us")
+        .agg(graft.functions.misra_gries(col("k"), ShhK).as("cs"),
+          count(lit(1)).as("n_win")),
+      eager = false)
+    val cands = sk.select(col("win_us"), explode(col("cs")).as("k"))
+    keyed.join(cands, Seq("win_us", "k"), "left_semi")
+      .groupBy("win_us", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .join(sk.select(col("win_us"), col("n_win")), Seq("win_us"))
+      .filter(col("n_events") * (ShhK + 1) > col("n_win"))
+      .select(col("win_us"), col("event_type"), col("n_events"), col("n_win"))
+      .orderBy("win_us", "event_type")
+  }
+  val heavyHittersSql: String = s"""
+    WITH e AS (SELECT event_type, (epoch_us(ts) // $WinUs) * $WinUs AS win_us
+               FROM events),
+    t AS (SELECT win_us, COUNT(*) AS n_win FROM e GROUP BY 1)
+    SELECT e.win_us, e.event_type, COUNT(*) AS n_events, t.n_win
+    FROM e JOIN t USING (win_us)
+    GROUP BY e.win_us, e.event_type, t.n_win
+    HAVING COUNT(*) * ${ShhK + 1} > t.n_win
+    ORDER BY win_us, event_type"""
+
   // ── Streaming vector ingest (reference Create, always-on form) ──────
   // Reference: aqora-io/vector_search_playground src/main.rs:72-80 — the
   // Create command embeds a text and appends (id, content, vector) to the
@@ -1329,6 +1401,7 @@ object Streaming {
     "stream_search_ivf" -> (vsSearchIvfBatch _),
     "stream_decontaminate" -> (decontGateBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
+    "stream_heavy_hitters" -> (heavyHittersBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
     "stream_join" -> clickPurchaseJoinQuery,
@@ -1346,6 +1419,7 @@ object Streaming {
     // Output ≡ text_fuzzy_decontaminate by construction — same oracle.
     "stream_decontaminate" -> graft.ops.TextAnalysis.textFuzzyDecontaminateSql,
     "stream_quantile" -> quantileSketchSql,
+    "stream_heavy_hitters" -> heavyHittersSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,

@@ -79,6 +79,55 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed Misra-Gries: bounded state, guarantee holds, verify reproduces batch") {
+    val q = Streaming.heavyHittersStream(spark, sf).writeStream
+      .format("memory").queryName("stream_hh")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_hh").collect()
+    assert(streamed.nonEmpty)
+    // exact per-window truth, computed independently
+    val winUs = Streaming.WinUs
+    val exact = Tables.events(spark, sf)
+      .selectExpr(s"((ts div 1000) div $winUs) * $winUs AS win_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val nWin = exact.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def ph(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    streamed.foreach { r =>
+      val w = r.getAs[Long]("win_us")
+      val cs = r.getSeq[Long](r.fieldIndex("cs")).toSet
+      // bounded state: at most k candidate hashes per window
+      assert(cs.size <= Streaming.ShhK)
+      assert(r.getAs[Long]("n_win") == nWin(w))
+      // the MG guarantee: every type above n_win/(k+1) is in candidates
+      exact.filter(_._1._1 == w).foreach { case ((_, tpe), n) =>
+        if (n * (Streaming.ShhK + 1) > nWin(w))
+          assert(cs.contains(ph(tpe)), s"window $w lost guaranteed heavy $tpe")
+      }
+    }
+    // exact verification over the STREAMED candidates == the registered twin
+    val streamCand = streamed.flatMap(r =>
+      r.getSeq[Long](r.fieldIndex("cs")).map(k => (r.getAs[Long]("win_us"), k))).toSet
+    val verified = exact.toSeq.collect {
+      case ((w, tpe), n) if streamCand((w, ph(tpe))) &&
+        n * (Streaming.ShhK + 1) > nWin(w) => (w, tpe, n, nWin(w))
+    }.sortBy(t => (t._1, t._2))
+    val twin = Streaming.heavyHittersBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_win"))).toSeq
+    assert(twin == verified)
+    // Selectivity is a LARGE-window property: at sf0.001 a 15-min window
+    // holds a handful of events, so every present type can clear 25%
+    // (n·4 > n_win is easy at n_win ≤ 12) — assert only the invariant
+    // that holds at every scale: nothing below the threshold reports.
+    assert(twin.nonEmpty)
+    twin.foreach { case (_, _, n, nw) => assert(n * (Streaming.ShhK + 1) > nw) }
+  }
+
   test("stateful stream sessionization emits exactly the closed batch sessions") {
     val q = Streaming.sessionizeStream(spark, sf).writeStream
       .format("memory").queryName("stream_sess")

@@ -60,6 +60,41 @@ class IvfSpec extends SparkSpec {
     assert(a != init)
   }
 
+  test("vs_ivf_upsert: one report row per appended vector, conserved cell stats") {
+    val rows = ops.VectorSearch.vsIvfUpsert(spark, sf).collect()
+    val nBatch = vectors.filter(col("vec_id") % 50 === 0).count()
+    val nBase = vectors.filter(col("vec_id") % 50 =!= 0).count()
+    assert(rows.length == nBatch)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      // self is in the appended index and its own cell is probe 1, so
+      // the self-match is always recalled (vs_ivf_trained's convention)
+      assert(r.getAs[Long]("n_hits") >= 1L)
+      assert(r.getAs[Long]("below_floor") == 0L)
+      assert(r.getAs[Long]("cell_n_new") >= 1L)
+      assert(r.getAs[Long]("drift_ppm") >= 0L)
+    }
+    // per-cell stats are consistent within a cell and conserve the batch
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("cell_n_new")).toSet.size == 1)
+      assert(rs.map(_.getAs[Long]("cell_n_base")).toSet.size == 1)
+      assert(rs.length.toLong == rs.head.getAs[Long]("cell_n_new"))
+    }
+    assert(byCell.values.map(_.head.getAs[Long]("cell_n_new")).sum == nBatch)
+    assert(byCell.values.map(_.head.getAs[Long]("cell_n_base")).sum <= nBase)
+    // drift of in-distribution data should be mild: appended vectors are
+    // drawn from the same corpus, so per-cell mean d2 stays within 3x of
+    // the base mean (ppm 3e6) — the alarm headroom a retrain trigger
+    // would use
+    rows.foreach(r => assert(r.getAs[Long]("drift_ppm") <= 3000000L,
+      s"drift_ppm ${r.getAs[Long]("drift_ppm")} suspiciously high for in-distribution append"))
+    val meanPpm = 1000000L * rows.map(_.getAs[Long]("n_hits")).sum /
+      rows.map(_.getAs[Long]("n_exact")).sum
+    info(s"sf=$sf ivf upsert mean recall ppm = $meanPpm over ${rows.length} appended")
+    assert(rows.head.getAs[Long]("mean_recall_ppm") == meanPpm)
+  }
+
   test("probe search returns k neighbors per query with sane recall vs exact") {
     val model = IvfIndex.fit(vectors, "vec_id", "embedding", k = 8, iters = 2)
     val queries = vectors.filter(col("vec_id") % 100 === 0)

@@ -86,4 +86,44 @@ class LakeSpec extends SparkSpec {
         r.getAs[Long]("n_items"), r.getAs[Long]("revenue_c"))).toSeq
     assert(got.nonEmpty && got == plain)
   }
+
+  test("lake_cdc: snapshot diff equals the driver-side diff and never shuffles") {
+    val out = Lake.lakeCdc(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // plan shape: the diff join over the two bucketed snapshots is a
+    // SortMergeJoin with zero shuffle exchange below it (the final
+    // orderBy adds a range exchange ABOVE the join — assert on the join
+    // subtree only).
+    val smj = flatten(out.queryExecution.executedPlan)
+      .collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected SortMergeJoin in:\n${out.queryExecution.executedPlan}")
+    assert(!flatten(smj.get).exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"snapshot-diff join must not shuffle either side:\n${smj.get}")
+    // semantics: replay the diff driver-side from the raw table + rules
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Det.cents(col("o_totalprice")).as("price_c")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val v1 = base.map(t => t._1 -> (t._2, t._3)).toMap
+    val v2 = (base.filter(_._1 % 11 != 0).map { case (k, s, p) =>
+        if (k % 7 == 0) k -> (("U", p + 10000L)) else k -> ((s, p))
+      } ++ base.filter(_._1 % 13 == 0).map { case (k, _, p) => (-k - 1) -> (("N", p)) }).toMap
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    (v1.keySet ++ v2.keySet).foreach { k =>
+      (v1.get(k), v2.get(k)) match {
+        case (None, Some((s, p))) => want += ((k, "insert", s, p))
+        case (Some((s, p)), None) => want += ((k, "delete", s, p))
+        case (Some(a), Some(b)) if a != b =>
+          want += ((k, "update_pre", a._1, a._2)); want += ((k, "update_post", b._1, b._2))
+        case _ => ()
+      }
+    }
+    val got = rows.map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("change_type"),
+      r.getAs[String]("o_orderstatus"), r.getAs[Long]("price_c"))).toSeq.sorted
+    assert(got == want.toSeq.sorted)
+    // all four change types occur at this SF
+    assert(got.map(_._2).toSet ==
+      Set("insert", "delete", "update_pre", "update_post"))
+  }
 }

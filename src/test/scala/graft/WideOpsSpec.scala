@@ -321,4 +321,39 @@ class WideOpsSpec extends SparkSpec {
     assert(pos == pos.sortBy(-_))
     assert(rows.map(_.getAs[Long]("rank_pos")).sorted.toSeq == (1L to rows.length).toSeq)
   }
+
+  test("graph_sssp equals the plain-Scala Bellman-Ford relaxation") {
+    val rows = Graph.graphSssp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent edge derivation (same as the pagerank test), self-loops
+    // dropped, cost = 1e6 // w + 1
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val edges = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.filter(p => p._1 != p._2)
+      .groupBy(identity).map { case (k, v) =>
+        (k._1, k._2, Graph.SsspScale / v.size.toLong + 1L) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val src = nodes.min
+    var dist: Map[String, Option[Long]] =
+      nodes.map(n => n -> (if (n == src) Some(0L) else None)).toMap
+    for (_ <- 1 to Graph.SsspIters) {
+      val relax = edges.flatMap { case (u, v, c) => dist(u).map(d => v -> (d + c)) }
+        .groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+      dist = nodes.map { n =>
+        n -> ((dist(n), relax.get(n)) match {
+          case (None, m) => m
+          case (d, None) => d
+          case (Some(d), Some(m)) => Some(math.min(d, m))
+        })
+      }.toMap
+    }
+    val got = rows.map(r => r.getAs[String]("node") ->
+      (if (r.isNullAt(r.fieldIndex("dist"))) None else Some(r.getAs[Long]("dist")))).toMap
+    assert(got == dist)
+    assert(got(src).contains(0L)) // source settles at zero
+  }
 }
