@@ -785,7 +785,196 @@ object Multimodal {
       FROM sm GROUP BY doc_id)
     SELECT * FROM img UNION ALL SELECT * FROM au ORDER BY doc_id"""
 
+  // ── mm_phash — perceptual-hash image near-dup detection (dHash) ──────
+  /** Image deduplication by PERCEPTUAL hash — the multimodal leg of the
+    * dedup family (what LAION/DataComp-style curation runs on images,
+    * where `dedup_exact` on bytes misses re-encodes and small edits):
+    * dHash (difference hash) over the decoded raster. Chain per image,
+    * all REAL codec work: encode the deterministic 16×16 grayscale
+    * content as a genuine PNG → `ImageIO.read` it back → integer 2×2
+    * box downsample ([[resizeBox]] — the exact-arithmetic kernel
+    * [[mmImageResize]] already uses) → 56-bit gradient hash (bit
+    * cy·7+cx set iff the 8×8 mean at (cx+1,cy) > at (cx,cy)). dHash is
+    * BRIGHTNESS-SHIFT invariant by construction (gradients ignore a
+    * constant offset) — the property that makes it a perceptual hash
+    * rather than a checksum.
+    *
+    * The image corpus is FAMILY-structured so near-dups really exist:
+    * every 16 consecutive doc_ids share one avalanche-mixed base image
+    * (bounded-BIGINT multiply-mix, oracle-replayable) and each member
+    * perturbs a single distinct diagonal pixel by +128 mod 256 — a
+    * one-pixel edit that moves one 8×8 cell mean by ±32 and flips 0-2
+    * gradient bits, so same-family pairs span Hamming 0..4 and the ≤
+    * [[PhHam]] cut genuinely separates them (AnalyticsOpsSpec counts
+    * both sides). Cross-family hashes are mixer-random (expected
+    * Hamming ≈ 28) and never collide on a band.
+    *
+    * Pairing is the [[Dedup.dedupSimhash]] machinery re-targeted: the
+    * 56-bit hash splits into four 14-bit chunks; Hamming ≤ 2 damages at
+    * most 2 chunks, so one of the C(4,2)=6 chunk-PAIR keys is always
+    * intact (pigeonhole-exact) — corpus-sized data shuffles only on the
+    * 28-bit band key, never an all-pairs join; degenerate buckets stay
+    * capped by the same [[graft.util.Skew.cappedSelfPairs]] guard
+    * (identical-hash buckets are bounded at the family stride 16 by
+    * construction — the cap is posture, mirrored in the oracle).
+    * Verified with exact `bit_count(xor)`. The DuckDB oracle replays
+    * pixels → box means → gradient bits → pack → bands → verify in pure
+    * BIGINT, so a codec deviation anywhere breaks the hash. */
+  final val PhFamStride = 16L
+  final val PhHam = 2L
+  final val PhChunkBits = 14
+  final val PhBucketCap = 2000L
+
+  /** Deterministic family-structured pixel (see [[mmPhash]]): avalanche-
+    * mixed base keyed on the family id, two perturbed pixels per member.
+    * The mixer is the repo's multiply-XOR avalanche (the same shape as
+    * Dedup's ngram mixer / VectorSearch.planeVal) — a single
+    * multiplicative hash is LINEAR (m(v+d) = m(v)+m(d) mod 2^31), which
+    * made adjacent-box gradients near-constant across families and let
+    * 2,192 cross-family pairs leak through Hamming ≤ 2 on the first cut;
+    * the xor-shift steps break the linearity and cross-family hashes go
+    * mixer-random. All intermediates < 2^62 — exact in BIGINT on both
+    * engines (nothing wraps; ANSI mode never throws). */
+  private[graft] def phPixel(docId: Long, x: Int, y: Int): Int = {
+    val fam = (docId / PhFamStride) % 65536L
+    val v = fam * 1000003L + y * 131L + x * 31L + 7L
+    val x1 = ((v % 1048576L) * 2654435761L) % 2147483648L
+    val x2 = ((x1 ^ (x1 / 65536L)) * 2246822519L) % 2147483648L
+    val base = ((x2 ^ (x2 / 8192L)) / 8388608L).toInt
+    val r = (docId % PhFamStride).toInt
+    if ((x == r && y == r) || (x == (r + 5) % 16 && y == (r + 11) % 16))
+      (base + 128) % 256
+    else base
+  }
+
+  private[graft] def phEncodePng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) { raster.setSample(x, y, 0, phPixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real-codec dHash: PNG decode → integer box downsample → 56-bit
+    * horizontal-gradient hash of the 8×8 mean grid. */
+  private[graft] def phashFromPng(blob: Array[Byte]): Long = {
+    val in = new java.io.ByteArrayInputStream(blob)
+    val img = try javax.imageio.ImageIO.read(in) finally in.close()
+    val small = resizeBox(img, ResizeF)
+    val r = small.getRaster
+    var hash = 0L
+    var cy = 0
+    while (cy < ImgH / ResizeF) {
+      var cx = 0
+      while (cx < ImgW / ResizeF - 1) {
+        if (r.getSample(cx + 1, cy, 0) > r.getSample(cx, cy, 0))
+          hash |= 1L << (cy * (ImgW / ResizeF - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  private val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** (doc_id, phash) via the full encode→decode→resize→hash codec chain —
+    * batched mapPartitions, map-only. */
+  private[graft] def mmPhashes(spark: SparkSession, dir: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(phashSchema)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap(_.iterator.map { r =>
+          val id = r.getLong(0)
+          Row(id, phashFromPng(phEncodePng(id)))
+        })
+      }(encoder)
+  }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.util.Persist.stage(mmPhashes(spark, dir))
+    val chunkScale = 1L << PhChunkBits
+    val chunks = hashes.select(col("doc_id") +: (0 until 4).map(k =>
+      (graft.util.Det.idiv(col("phash"), 1L << (PhChunkBits * k)) % chunkScale)
+        .as(s"c$k")): _*)
+    val expl = chunks.select(col("doc_id"),
+      posexplode(array(Dedup.ChunkPairs.map { case (i, j) =>
+        col(s"c$i") * chunkScale + col(s"c$j")
+      }: _*)).as(Seq("pi", "pv")))
+    val cand = graft.util.Skew.cappedSelfPairs(expl, "doc_id",
+      Seq("pi", "pv"), PhBucketCap)
+    cand
+      .join(hashes.select(col("doc_id").as("a_id"), col("phash").as("ah")), "a_id")
+      .join(hashes.select(col("doc_id").as("b_id"), col("phash").as("bh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ah").bitwiseXOR(col("bh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= PhHam)
+      .orderBy("a_id", "b_id")
+  }
+  val mmPhashSql: String = {
+    val cs = 1L << PhChunkBits
+    s"""
+    WITH d AS (SELECT doc_id FROM documents),
+    pv AS (SELECT doc_id, p.range AS i,
+        (p.range % $ImgW) AS xx, (p.range // $ImgW) AS yy,
+        doc_id % $PhFamStride AS r,
+        (((doc_id // $PhFamStride) % 65536) * 1000003
+           + (p.range // $ImgW) * 131 + (p.range % $ImgW) * 31 + 7) AS vv
+      FROM d, range(0, ${ImgW * ImgH}) p),
+    mx1 AS (SELECT *, ((vv % 1048576) * 2654435761) % 2147483648 AS x1 FROM pv),
+    mx2 AS (SELECT *, (xor(x1, x1 // 65536) * 2246822519) % 2147483648 AS x2 FROM mx1),
+    px AS (SELECT doc_id, i,
+        CASE WHEN (xx = r AND yy = r)
+               OR (xx = (r + 5) % 16 AND yy = (r + 11) % 16)
+          THEN xor(x2, x2 // 8192) // 8388608 + 128
+          ELSE xor(x2, x2 // 8192) // 8388608
+        END AS v0
+      FROM mx2),
+    pxm AS (SELECT doc_id, i, v0 % 256 AS v FROM px),
+    g AS (SELECT doc_id, (i % $ImgW) // $ResizeF AS cx, (i // $ImgW) // $ResizeF AS cy,
+        CAST(SUM(v) // ${ResizeF * ResizeF} AS BIGINT) AS gv
+      FROM pxm GROUP BY 1, 2, 3),
+    bits AS (SELECT a.doc_id, a.cy * ${ImgW / ResizeF - 1} + a.cx AS b
+      FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.cy = a.cy AND n.cx = a.cx + 1
+      WHERE a.cx < ${ImgW / ResizeF - 1} AND n.gv > a.gv),
+    ph AS (SELECT d.doc_id,
+        COALESCE(CAST(SUM(CAST(1 AS BIGINT) << b) AS BIGINT), 0) AS phash
+      FROM d LEFT JOIN bits USING (doc_id) GROUP BY 1),
+    wide AS (SELECT doc_id, phash,
+        (phash // ${1L << (PhChunkBits * 0)}) % $cs AS c0,
+        (phash // ${1L << (PhChunkBits * 1)}) % $cs AS c1,
+        (phash // ${1L << (PhChunkBits * 2)}) % $cs AS c2,
+        (phash // ${1L << (PhChunkBits * 3)}) % $cs AS c3
+      FROM ph),
+    pairs AS (SELECT doc_id, p.pi AS pi,
+        CASE p.pi WHEN 0 THEN c0*$cs+c1 WHEN 1 THEN c0*$cs+c2
+                  WHEN 2 THEN c0*$cs+c3 WHEN 3 THEN c1*$cs+c2
+                  WHEN 4 THEN c1*$cs+c3 ELSE c2*$cs+c3 END AS pv
+      FROM wide, (SELECT range AS pi FROM range(0, 6)) p),
+    bsizes AS (SELECT pi, pv FROM pairs GROUP BY 1, 2
+               HAVING COUNT(*) <= $PhBucketCap),
+    kept AS (SELECT p.* FROM pairs p JOIN bsizes USING (pi, pv)),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM kept x JOIN kept y
+               ON x.pi = y.pi AND x.pv = y.pv AND x.doc_id < y.doc_id)
+    SELECT a_id, b_id,
+      CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM cand JOIN wide a ON a.doc_id = a_id JOIN wide b ON b.doc_id = b_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= $PhHam
+    ORDER BY a_id, b_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "mm_modality_router" -> (mmModalityRouter _),
     "mm_features" -> ((s, d) => mmFeaturesFlat(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -794,6 +983,7 @@ object Multimodal {
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _))
   val oracles: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql,
     "mm_video_decode" -> mmVideoDecodeSql,
     "mm_modality_router" -> mmModalityRouterSql,
     "mm_features" -> mmFeaturesSql,

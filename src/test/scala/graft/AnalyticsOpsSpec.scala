@@ -130,6 +130,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_phash: codec-path dHash equals formula replay; banding is lossless; families separate") {
+    // 1. the REAL codec chain (PNG encode -> ImageIO decode -> box resize
+    //    -> gradient hash) must equal an independent pure-formula replay
+    val hashes = Multimodal.mmPhashes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.nonEmpty)
+    def formulaHash(id: Long): Long = {
+      def g(cx: Int, cy: Int): Int =
+        (Multimodal.phPixel(id, 2 * cx, 2 * cy) + Multimodal.phPixel(id, 2 * cx + 1, 2 * cy)
+          + Multimodal.phPixel(id, 2 * cx, 2 * cy + 1)
+          + Multimodal.phPixel(id, 2 * cx + 1, 2 * cy + 1)) / 4
+      var h = 0L
+      for (cy <- 0 until 8; cx <- 0 until 7)
+        if (g(cx + 1, cy) > g(cx, cy)) h |= 1L << (cy * 7 + cx)
+      h
+    }
+    hashes.foreach { case (id, h) => assert(h == formulaHash(id), s"doc $id phash") }
+    // 2. the chunk-pair banding is LOSSLESS for Hamming <= 2 (pigeonhole):
+    //    op output == brute-force all-pairs cut
+    val got = Multimodal.mmPhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("hamming")))
+      .toSet
+    val ids = hashes.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong
+      if ham <= Multimodal.PhHam
+    } yield (a, b, ham)).toSet
+    assert(got == want)
+    // 3. family structure: every reported pair is within one 16-doc
+    //    family (cross-family hashes are mixer-random), and the one-pixel
+    //    edits genuinely split families — some pairs pass, some fail
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _) =>
+      assert(a / Multimodal.PhFamStride == b / Multimodal.PhFamStride,
+        s"cross-family pair ($a,$b) leaked through the Hamming cut") }
+    val withinAll = ids.groupBy(_ / Multimodal.PhFamStride).values
+      .map(f => f.length.toLong * (f.length - 1) / 2).sum
+    assert(got.size < withinAll, "every within-family pair passed - the perturbation is too weak")
+  }
+
   test("mm_image_decode payloads are real PNGs and decode to the formula pixels") {
     // The payload must be a genuine PNG container (magic header), not the
     // raw pixel buffer, and the decoded stats must equal an independent
