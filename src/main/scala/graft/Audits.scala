@@ -96,6 +96,16 @@ object Audits {
       ops.Dedup.ngramCappedBuckets(s, d), docRows, 0.0),
     "dedup_embedding.capped_buckets" -> Audit((s, d) =>
       ops.Dedup.embeddingCappedBuckets(s, d), vecRows, 0.0),
+    // Perceptual-hash banded pairs (r14): the family structure bounds
+    // candidates at ~(stride-1)/2 = 7.5/doc at ANY corpus size (families
+    // are 16 docs by construction; cross-family chunk-pair collisions
+    // are mixer-random at ~2^-28). Measured 6.68/doc at sf0.01 and
+    // 6.82/doc at sf0.1 (flat, as construction predicts)
+    // -> bound 16. A banding collapse (e.g. a future linear-mixer
+    // regression - the first cut leaked 2,192 cross-family pairs, 4.4
+    // extra per doc) grows this with corpus size and trips the bound.
+    "mm_phash.candidates" -> Audit((s, d) =>
+      ops.Multimodal.mmPhashCandidates(s, d)._2.count(), docRows, 16.0),
     // Delete-repair patch candidates: bounded at |victims|*K^2 by the
     // victim fan-in cap — this count is the standing proof.
     "vs_nng_delete.patch_candidates" -> Audit((s, d) => {

@@ -663,7 +663,95 @@ object Lake {
       WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (s1 <> s2 OR p1 <> p2))
     ORDER BY o_orderkey, change_type"""
 
+  // ── lake_analyze — ANALYZE-style per-column table statistics ─────────
+  final val AnalyzeKmvK = 64
+
+  /** Per-column table statistics — the `ANALYZE TABLE` a cost-based
+    * planner reads (rowcount, null count, NDV, min/max) and the stats
+    * artifact `vs_planned_kmv` postulates ("a real planner at 100 TB
+    * reads table stats or a sketch, never a scan per decision" — this is
+    * the op that BUILDS those stats). Five BIGINT columns across
+    * lineitem and orders are stacked into one (column_name, value)
+    * stream — each table is scanned ONCE for all its columns — and two
+    * aggregates produce the report: a raw pass (rows / nulls / min /
+    * max, all map-side combined) and a distinct pass for NDV, which
+    * carries BOTH the exact count (the verification arm, same role as
+    * `text_kmv_sketch`'s n_exact — production keeps only the sketch)
+    * and the KMV k-minimum-values estimate: the [[graft.functions
+    * .KthMin]] bounded-heap aggregate over hash-coin-mixed values — k
+    * longs of mergeable state per column, the SAME estimator
+    * `vs_planned_kmv` routes from, here in its stats-collection role.
+    * Estimate in pure BIGINT ((k−1)·2^31 // h_k, exact below k), so the
+    * oracle replays the sketch itself. */
+  def lakeAnalyze: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").cast("long").as("l_orderkey"),
+      col("l_partkey").cast("long").as("l_partkey"),
+      col("l_suppkey").cast("long").as("l_suppkey"),
+      cents(col("l_extendedprice")).as("l_extendedprice_c"))
+    val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice_c")
+    val stacked = li.select(explode(array(liCols.map(c =>
+        struct(lit(s"lineitem.$c").as("cname"), col(c).as("v"))): _*)).as("s"))
+      .select(col("s.cname").as("cname"), col("s.v").as("v"))
+      .unionByName(Tables.orders(spark, dir)
+        .select(lit("orders.o_custkey").as("cname"),
+          col("o_custkey").cast("long").as("v")))
+    val raw = stacked.groupBy("cname").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("v").as("min_v"), max("v").as("max_v"))
+    // Distinct VALUES for the exact NDV, then distinct HASHES for the
+    // sketch (kth_min keeps the k smallest of its input stream — KMV
+    // semantics need the hash multiset deduped, exactly as the oracle's
+    // hx CTE dedupes; a hash collision between two distinct values must
+    // not occupy two heap slots on one engine only).
+    val dvals = graft.util.Persist.stage(
+      stacked.filter(col("v").isNotNull).distinct(), eager = false)
+    val ndv = dvals.groupBy("cname").agg(count(lit(1)).as("ndv_exact"))
+    val hk = dvals
+      .select(col("cname"), graft.util.Det.hashCoin(col("v")).as("h")).distinct()
+      .groupBy("cname")
+      .agg(graft.functions.kth_min(col("h"), AnalyzeKmvK).as("hk"))
+    raw.join(ndv, Seq("cname")).join(hk, Seq("cname"))
+      .select(col("cname").as("column_name"), col("n_rows"), col("n_null"),
+        col("ndv_exact"),
+        when(col("hk").isNull, col("ndv_exact"))
+          .otherwise(idiv(lit((AnalyzeKmvK - 1).toLong * 2147483648L),
+            greatest(col("hk"), lit(1L)))).as("ndv_kmv"),
+        col("min_v"), col("max_v"))
+      .orderBy("column_name")
+  }
+  val lakeAnalyzeSql: String = s"""
+    WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        CAST(l_partkey AS BIGINT) AS l_partkey,
+        CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        ${centsSql("l_extendedprice")} AS l_extendedprice_c FROM lineitem),
+    stacked AS (
+      SELECT 'lineitem.l_orderkey' AS cname, l_orderkey AS v FROM li
+      UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM li
+      UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey FROM li
+      UNION ALL SELECT 'lineitem.l_extendedprice_c', l_extendedprice_c FROM li
+      UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT) FROM orders),
+    raw AS (SELECT cname, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        MIN(v) AS min_v, MAX(v) AS max_v
+      FROM stacked GROUP BY 1),
+    dvals AS (SELECT DISTINCT cname, v FROM stacked WHERE v IS NOT NULL),
+    dv AS (SELECT cname, COUNT(*) AS ndv_exact FROM dvals GROUP BY 1),
+    hx AS (SELECT DISTINCT cname, ${graft.util.Det.hashCoinSql("v")} AS h FROM dvals),
+    kth AS (SELECT cname, h AS hk FROM (
+        SELECT cname, h, row_number() OVER (PARTITION BY cname ORDER BY h) AS rn
+        FROM hx) WHERE rn = $AnalyzeKmvK)
+    SELECT r.cname AS column_name, n_rows, n_null, ndv_exact,
+      CAST(CASE WHEN hk IS NULL THEN ndv_exact
+           ELSE ${(AnalyzeKmvK - 1).toLong * 2147483648L} // greatest(hk, 1)
+           END AS BIGINT) AS ndv_kmv,
+      min_v, max_v
+    FROM raw r JOIN dv USING (cname) LEFT JOIN kth USING (cname)
+    ORDER BY column_name"""
+
   val queries: Map[String, Q] = Map(
+    "lake_analyze" -> lakeAnalyze,
     "lake_cdc" -> lakeCdc,
     "lake_delete_vectors" -> lakeDeleteVectors,
     "lake_zorder" -> lakeZorder,
@@ -677,6 +765,7 @@ object Lake {
     "lake_format_roundtrip" -> lakeFormatRoundtrip,
     "lake_merge_upsert" -> lakeMergeUpsert)
   val oracles: Map[String, String] = Map(
+    "lake_analyze" -> lakeAnalyzeSql,
     "lake_cdc" -> lakeCdcSql,
     "lake_delete_vectors" -> lakeDeleteVectorsSql,
     "lake_zorder" -> lakeZorderSql,

@@ -900,7 +900,13 @@ object Multimodal {
       }(encoder)
   }
 
-  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (staged hash table, banded candidate pairs) — factored so the
+    * [[graft.Audits]] `mm_phash.candidates` probe counts the EXACT
+    * candidate frame the registered query verifies (family structure
+    * bounds it at ~(stride−1)/2 per doc; a banding collapse shows up
+    * here first). */
+  private[graft] def mmPhashCandidates(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val hashes = graft.util.Persist.stage(mmPhashes(spark, dir))
     val chunkScale = 1L << PhChunkBits
     val chunks = hashes.select(col("doc_id") +: (0 until 4).map(k =>
@@ -910,8 +916,12 @@ object Multimodal {
       posexplode(array(Dedup.ChunkPairs.map { case (i, j) =>
         col(s"c$i") * chunkScale + col(s"c$j")
       }: _*)).as(Seq("pi", "pv")))
-    val cand = graft.util.Skew.cappedSelfPairs(expl, "doc_id",
-      Seq("pi", "pv"), PhBucketCap)
+    (hashes, graft.util.Skew.cappedSelfPairs(expl, "doc_id",
+      Seq("pi", "pv"), PhBucketCap))
+  }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val (hashes, cand) = mmPhashCandidates(spark, dir)
     cand
       .join(hashes.select(col("doc_id").as("a_id"), col("phash").as("ah")), "a_id")
       .join(hashes.select(col("doc_id").as("b_id"), col("phash").as("bh")), "b_id")

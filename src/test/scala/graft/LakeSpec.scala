@@ -87,6 +87,40 @@ class LakeSpec extends SparkSpec {
     assert(got.nonEmpty && got == plain)
   }
 
+  test("lake_analyze: exact stats match direct computation; KMV estimate inside error bound") {
+    val rows = Lake.lakeAnalyze(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.size == 5)
+    def direct(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val vs = df.select(col(c).cast("long")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      (vs.length.toLong, vs.count(_.isEmpty).toLong,
+        vs.flatten.distinct.length.toLong, vs.flatten.min, vs.flatten.max)
+    }
+    val li = Tables.lineitem(spark, sf)
+    val checks = Seq(
+      "lineitem.l_orderkey" -> direct(li, "l_orderkey"),
+      "lineitem.l_suppkey" -> direct(li, "l_suppkey"),
+      "orders.o_custkey" -> direct(Tables.orders(spark, sf), "o_custkey"))
+    checks.foreach { case (name, (n, nn, ndv, mn, mx)) =>
+      val r = rows(name)
+      assert(r.getAs[Long]("n_rows") == n, name)
+      assert(r.getAs[Long]("n_null") == nn, name)
+      assert(r.getAs[Long]("ndv_exact") == ndv, name)
+      assert(r.getAs[Long]("min_v") == mn && r.getAs[Long]("max_v") == mx, name)
+    }
+    // KMV estimator: exact below k, else within 4 sigma (sigma ~ 1/sqrt(k)
+    // ~ 12.5% at k=64) of the true NDV — loose enough to never flake,
+    // tight enough that a broken estimator (off by 2x) fails
+    rows.values.foreach { r =>
+      val exact = r.getAs[Long]("ndv_exact")
+      val est = r.getAs[Long]("ndv_kmv")
+      if (exact < Lake.AnalyzeKmvK) assert(est == exact, s"below k must be exact: $r")
+      else assert(math.abs(est - exact).toDouble / exact <= 0.5,
+        s"KMV estimate $est vs exact $exact out of bound")
+    }
+  }
+
   test("lake_cdc: snapshot diff equals the driver-side diff and never shuffles") {
     val out = Lake.lakeCdc(spark, sf)
     val rows = out.collect()
