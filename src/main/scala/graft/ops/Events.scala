@@ -457,6 +457,85 @@ object Events {
     FROM spine s LEFT JOIN hourly USING (event_type, hour_idx)
     ORDER BY event_type, hour_idx"""
 
+  // ── ev_forecast — integer Holt linear smoothing + next-hour forecast ─
+  /** Baseline volume forecast per event type — Holt's linear (double
+    * exponential) smoothing over the DENSE zero-filled hourly series
+    * (the [[evGapFill]] spine: smoothing assumes equidistant points),
+    * α = β = 1/4 as exact rationals:
+    *   l' = (n + 3l) div 4,   t' = ((l' − l) + 3t) div 4,
+    * forecast = l' + t'. EVERY division is arranged positive — the
+    * trend is carried SHIFTED ([[HoltShift]]: t̃ = t + 2^40, so the
+    * update numerator (l'−l) + 3t̃ + 2^40 = 4t' + r + 4·2^40 ≥ 0) —
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors; on non-negative numerators they agree exactly, the
+    * engine-divergence rule every integer op here follows. The fold is
+    * inherently sequential per type, so it runs as ONE ordered array
+    * fold (`aggregate` over the sorted per-type series — the
+    * [[graft.ops.VectorSearch.vsCentroids]] bit-reproducible-fold
+    * technique): the corpus contributes one aggregation shuffle to the
+    * |types × hours| hourly frame, and the fold itself touches only
+    * that bounded series (≤ tens of thousands of elements per type at
+    * any corpus size — hours, not rows). The DuckDB oracle replays the
+    * recursion as a RECURSIVE CTE stepping hour_idx — identical
+    * arithmetic, one row per (type, hour). Output per type: series
+    * length, final level, final trend (can be negative), next-hour
+    * forecast = level + trend. */
+  final val HoltShift = 1L << 40
+  def evForecast: Q = (spark, dir) => {
+    val hourly = graft.util.Persist.stage(
+      ev(spark, dir)
+        .groupBy(col("event_type"), idiv(col("ts_us"), HourUs).as("hour_idx"))
+        .agg(count(lit(1)).as("n")),
+      eager = false)
+    val bounds = hourly.agg(min("hour_idx").as("h0"), max("hour_idx").as("h1"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour_idx"))
+    val dense = spine.join(hourly, Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"), coalesce(col("n"), lit(0L)).as("n"))
+    val series = dense.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("hour_idx"), col("n")))).as("s"),
+        count(lit(1)).as("n_hours"))
+    val ns = transform(col("s"), x => x.getField("n"))
+    val folded = aggregate(ns,
+      struct(lit(-1L).as("l"), lit(HoltShift).as("tt")),
+      (acc, n) => {
+        val l = acc.getField("l"); val tt = acc.getField("tt")
+        val lNew = idiv(n + lit(3L) * l, lit(4L))
+        when(l === lit(-1L), struct(n.as("l"), lit(HoltShift).as("tt")))
+          .otherwise(struct(lNew.as("l"),
+            idiv(lNew - l + lit(3L) * tt + lit(HoltShift), lit(4L)).as("tt")))
+      })
+    series.select(col("event_type"), col("n_hours"),
+        folded.getField("l").as("level"),
+        (folded.getField("tt") - HoltShift).as("trend"))
+      .withColumn("forecast", col("level") + col("trend"))
+      .orderBy("event_type")
+  }
+  val evForecastSql = s"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, epoch_us(ts) // $HourUs AS hour_idx, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(hour_idx) AS h0, MAX(hour_idx) AS h1 FROM hourly),
+    spine AS (SELECT t.event_type, unnest(range(b.h0, b.h1 + 1)) AS hour_idx
+              FROM (SELECT DISTINCT event_type FROM hourly) t, b),
+    dense AS (SELECT s.event_type, s.hour_idx,
+        CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN hourly USING (event_type, hour_idx)),
+    f AS (
+      SELECT d.event_type, d.hour_idx, d.n AS l, CAST($HoltShift AS BIGINT) AS tt
+      FROM dense d, b WHERE d.hour_idx = b.h0
+      UNION ALL
+      SELECT d.event_type, d.hour_idx,
+        (d.n + 3 * f.l) // 4,
+        (((d.n + 3 * f.l) // 4) - f.l + 3 * f.tt + $HoltShift) // 4
+      FROM f JOIN dense d
+        ON d.event_type = f.event_type AND d.hour_idx = f.hour_idx + 1)
+    SELECT f.event_type, CAST(b.h1 - b.h0 + 1 AS BIGINT) AS n_hours,
+      f.l AS level, f.tt - $HoltShift AS trend,
+      f.l + f.tt - $HoltShift AS forecast
+    FROM f, b WHERE f.hour_idx = b.h1 ORDER BY event_type"""
+
   // ── ev_moving_window — RANGE-frame moving 3-hour totals ──────────────
   /** Moving window over the TIME VALUE, not row positions: for each
     * (type, hour) the trailing 3-hour totals via a RANGE frame
@@ -1031,6 +1110,7 @@ object Events {
     "ev_anomaly" -> evAnomaly,
     "ev_props_parse" -> evPropsParse,
     "ev_gap_fill" -> evGapFill,
+    "ev_forecast" -> evForecast,
     "ev_histogram" -> evHistogram,
     "ev_moving_window" -> evMovingWindow,
     "ev_attribution" -> evAttribution,
@@ -1057,6 +1137,7 @@ object Events {
     "ev_anomaly" -> evAnomalySql,
     "ev_props_parse" -> evPropsParseSql,
     "ev_gap_fill" -> evGapFillSql,
+    "ev_forecast" -> evForecastSql,
     "ev_histogram" -> evHistogramSql,
     "ev_moving_window" -> evMovingWindowSql,
     "ev_attribution" -> evAttributionSql,

@@ -322,6 +322,39 @@ class WideOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("rank_pos")).sorted.toSeq == (1L to rows.length).toSeq)
   }
 
+  test("ev_forecast equals the plain-Scala integer Holt recursion") {
+    val got = Events.evForecast(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_hours"), r.getAs[Long]("level"),
+          r.getAs[Long]("trend"), r.getAs[Long]("forecast"))).toMap
+    assert(got.nonEmpty)
+    // independent dense series + sequential fold (floor semantics via
+    // Math.floorDiv — all registered numerators are arranged positive,
+    // where floorDiv and truncation agree)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "(ts div 1000) div 3600000000 AS hour_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min; val h1 = ev.map(_._2).max
+    val byType = ev.groupBy(_._1)
+    val k = Events.HoltShift
+    byType.foreach { case (tpe, es) =>
+      val counts = es.groupBy(_._2).map { case (h, v) => h -> v.size.toLong }
+      val series = (h0 to h1).map(h => counts.getOrElse(h, 0L))
+      var l = series.head; var tt = k
+      series.tail.foreach { n =>
+        val lN = Math.floorDiv(n + 3 * l, 4L)
+        tt = Math.floorDiv(lN - l + 3 * tt + k, 4L)
+        l = lN
+      }
+      val (nh, lvl, tr, fc) = got(tpe)
+      assert(nh == h1 - h0 + 1, tpe)
+      assert(lvl == l, s"$tpe level")
+      assert(tr == tt - k, s"$tpe trend")
+      assert(fc == l + tt - k, s"$tpe forecast")
+    }
+    assert(got.keySet == byType.keySet)
+  }
+
   test("graph_sssp equals the plain-Scala Bellman-Ford relaxation") {
     val rows = Graph.graphSssp(spark, sf).collect()
     assert(rows.nonEmpty)
