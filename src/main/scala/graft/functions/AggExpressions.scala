@@ -85,6 +85,82 @@ case class KthMin(child: Expression, k: Int,
   override protected def withNewChildInternal(c: Expression): KthMin = copy(child = c)
 }
 
+/** The textbook STREAMING KMV sketch: k smallest DISTINCT values —
+  * [[KthMin]] with a membership check on insert, which makes the state
+  * DUPLICATE-INSENSITIVE (a re-seen value cannot occupy a second heap
+  * slot and shrink h_k into an overestimate). That property is what
+  * lets the sketch run over a raw stream with NO distinct pre-pass:
+  * batch callers dedup with an exchange first ([[graft.ops.Lake]]'s
+  * analyze), an always-on stream cannot — the deduping heap IS the
+  * bounded state (k longs per group, mergeable by the same
+  * insert rule; `contains` is O(k) per row at k=64). Emits h_k (the
+  * k-th smallest distinct value), null below k. */
+case class KthMinDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PriorityQueue[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def prettyName: String = "kmv_kth_min"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_kth_min requires a BIGINT column, got ${child.dataType.simpleString}")
+    }
+
+  override def createAggregationBuffer(): PriorityQueue[java.lang.Long] =
+    new PriorityQueue[java.lang.Long](k, Comparator.reverseOrder[java.lang.Long]())
+
+  private def insert(heap: PriorityQueue[java.lang.Long], v: Long): Unit = {
+    val boxed = java.lang.Long.valueOf(v)
+    if (heap.size() < k) { if (!heap.contains(boxed)) heap.add(boxed); () }
+    else if (v < heap.peek() && !heap.contains(boxed)) { heap.poll(); heap.add(boxed); () }
+  }
+
+  override def update(heap: PriorityQueue[java.lang.Long], input: InternalRow): PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(heap, v.asInstanceOf[Long])
+    heap
+  }
+
+  override def merge(a: PriorityQueue[java.lang.Long], b: PriorityQueue[java.lang.Long]): PriorityQueue[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(heap: PriorityQueue[java.lang.Long]): Any =
+    if (heap.size() < k) null else heap.peek()
+
+  override def serialize(heap: PriorityQueue[java.lang.Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 * heap.size())
+    buf.putInt(heap.size())
+    val it = heap.iterator()
+    while (it.hasNext) buf.putLong(it.next())
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PriorityQueue[java.lang.Long] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val heap = createAggregationBuffer()
+    (0 until n).foreach(_ => heap.add(buf.getLong))
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KthMinDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KthMinDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): KthMinDistinct = copy(child = c)
+}
+
 /** SimHash signature aggregate: folds token hashes into 64 per-bit sign
   * counters (one primitive long[64] buffer) and emits the four 16-bit
   * chunk values. Replaces 64 separate SUM(CASE...) aggregate columns

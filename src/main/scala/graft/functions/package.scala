@@ -29,6 +29,11 @@ package object functions {
   /** Aggregate: k-th smallest long with bounded (k-entry) state. */
   def kth_min(c: Column, k: Int): Column =
     col(KthMin(expr(c), k).toAggregateExpression())
+  /** Aggregate: k-th smallest DISTINCT long — the duplicate-insensitive
+    * streaming KMV heap (no distinct pre-pass needed; see
+    * [[KthMinDistinct]]). */
+  def kmv_kth_min(c: Column, k: Int): Column =
+    col(KthMinDistinct(expr(c), k).toAggregateExpression())
   /** Aggregate: k smallest (d2, id) pairs, bounded k-pair state. */
   def top_k_min_pairs(d: Column, id: Column, k: Int): Column =
     col(TopKMinPairs(expr(d), expr(id), k).toAggregateExpression())

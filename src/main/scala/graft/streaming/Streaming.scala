@@ -672,6 +672,85 @@ object Streaming {
     HAVING COUNT(*) * ${ShhK + 1} > t.n_win
     ORDER BY win_us, event_type"""
 
+  // ── Streaming column statistics (auto-analyze, bounded sketch state) ─
+
+  /** Always-on column statistics — the streaming form of
+    * [[graft.ops.Lake.lakeAnalyze]] (auto-analyze: stats that update as
+    * data lands, instead of a nightly ANALYZE scan). The batch op
+    * dedups values with a full exchange before its KMV heap; a stream
+    * cannot run a distinct pre-pass (per-hash dedup state is unbounded),
+    * so the sketch here is [[graft.functions.KthMinDistinct]] — the
+    * textbook STREAMING KMV heap whose membership-checked insert makes
+    * the k-slot state itself duplicate-insensitive. Complete-mode state
+    * per column = one count, two extremes, and k=64 longs, mergeable
+    * across micro-batches — regardless of stream length or value
+    * cardinality. Exact NDV is deliberately absent from the streaming
+    * leg (it IS the unbounded thing); the registered twin carries it as
+    * the verification arm, exactly like `lake_analyze`. */
+  def analyzeStream(spark: SparkSession, dir: String): DataFrame =
+    analyzeStacked(readEvents(spark, dir))
+      .groupBy("cname")
+      .agg(count(lit(1)).as("n_rows"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        graft.functions.kmv_kth_min(
+          graft.util.Det.hashCoin(col("v")), graft.ops.Lake.AnalyzeKmvK).as("hk"))
+
+  /** The two analyzed event columns stacked into (cname, v) — the ONE
+    * stacking shared by the stream, the batch twin, and (mirrored) the
+    * oracle. Map-only. */
+  private def analyzeStacked(events: DataFrame): DataFrame =
+    events.select(explode(array(
+        struct(lit("events.user_id").as("cname"), col("user_id").cast("long").as("v")),
+        struct(lit("events.value_c").as("cname"), cents(col("value")).as("v")))).as("s"))
+      .select(col("s.cname").as("cname"), col("s.v").as("v"))
+
+  /** Registered twin (`stream_analyze`): the same deduping-heap sketch
+    * over the batch read, plus the exact-NDV verification arm and the
+    * pure-BIGINT estimate ((k−1)·2^31 // h_k), `lake_analyze`'s
+    * grading convention. EventsStreamingSpec proves the streamed
+    * sketch row ≡ the batch sketch row per column (h_k is an order
+    * statistic of the distinct hash set — partition- and
+    * micro-batch-order independent, so equality is exact). */
+  def analyzeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val stacked = graft.util.Persist.stage(
+      analyzeStacked(graft.Tables.events(spark, dir)), eager = false)
+    val raw = stacked.groupBy("cname")
+      .agg(count(lit(1)).as("n_rows"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        graft.functions.kmv_kth_min(
+          graft.util.Det.hashCoin(col("v")), graft.ops.Lake.AnalyzeKmvK).as("hk"))
+    val ndv = stacked.select("cname", "v").distinct()
+      .groupBy("cname").agg(count(lit(1)).as("ndv_exact"))
+    raw.join(ndv, Seq("cname"))
+      .select(col("cname").as("column_name"), col("n_rows"), col("ndv_exact"),
+        when(col("hk").isNull, col("ndv_exact"))
+          .otherwise(idiv(
+            lit((graft.ops.Lake.AnalyzeKmvK - 1).toLong * 2147483648L),
+            greatest(col("hk"), lit(1L)))).as("ndv_kmv"),
+        col("min_v"), col("max_v"))
+      .orderBy("column_name")
+  }
+  val analyzeBatchSql: String = s"""
+    WITH stacked AS (
+      SELECT 'events.user_id' AS cname, CAST(user_id AS BIGINT) AS v FROM events
+      UNION ALL
+      SELECT 'events.value_c', ${centsSql("value")} FROM events),
+    raw AS (SELECT cname, COUNT(*) AS n_rows, MIN(v) AS min_v, MAX(v) AS max_v
+      FROM stacked GROUP BY 1),
+    hx AS (SELECT DISTINCT cname, ${graft.util.Det.hashCoinSql("v")} AS h
+      FROM stacked WHERE v IS NOT NULL),
+    kth AS (SELECT cname, h AS hk FROM (
+        SELECT cname, h, row_number() OVER (PARTITION BY cname ORDER BY h) AS rn
+        FROM hx) WHERE rn = ${graft.ops.Lake.AnalyzeKmvK}),
+    dv AS (SELECT cname, COUNT(DISTINCT v) AS ndv_exact FROM stacked GROUP BY 1)
+    SELECT r.cname AS column_name, n_rows, ndv_exact,
+      CAST(CASE WHEN hk IS NULL THEN ndv_exact
+           ELSE ${(graft.ops.Lake.AnalyzeKmvK - 1).toLong * 2147483648L} // greatest(hk, 1)
+           END AS BIGINT) AS ndv_kmv,
+      min_v, max_v
+    FROM raw r JOIN dv USING (cname) LEFT JOIN kth USING (cname)
+    ORDER BY column_name"""
+
   // ── Streaming vector ingest (reference Create, always-on form) ──────
   // Reference: aqora-io/vector_search_playground src/main.rs:72-80 — the
   // Create command embeds a text and appends (id, content, vector) to the
@@ -1402,6 +1481,7 @@ object Streaming {
     "stream_decontaminate" -> (decontGateBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_heavy_hitters" -> (heavyHittersBatch _),
+    "stream_analyze" -> (analyzeBatch _),
     "stream_upsert" -> (upsertLatestBatch _),
     "stream_window_agg" -> windowAggBatch,
     "stream_join" -> clickPurchaseJoinQuery,
@@ -1420,6 +1500,7 @@ object Streaming {
     "stream_decontaminate" -> graft.ops.TextAnalysis.textFuzzyDecontaminateSql,
     "stream_quantile" -> quantileSketchSql,
     "stream_heavy_hitters" -> heavyHittersSql,
+    "stream_analyze" -> analyzeBatchSql,
     "stream_upsert" -> upsertLatestSql,
     "stream_window_agg" -> windowAggBatchSql,
     "stream_join" -> clickPurchaseJoinSql,

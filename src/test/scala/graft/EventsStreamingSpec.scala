@@ -3,6 +3,7 @@ package graft
 import graft.ops.{Events, Multimodal}
 import graft.streaming.Streaming
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 
 class EventsStreamingSpec extends SparkSpec {
 
@@ -126,6 +127,45 @@ class EventsStreamingSpec extends SparkSpec {
     // that holds at every scale: nothing below the threshold reports.
     assert(twin.nonEmpty)
     twin.foreach { case (_, _, n, nw) => assert(n * (Streaming.ShhK + 1) > nw) }
+  }
+
+  test("streaming column stats: deduping KMV heap makes stream sketch == batch sketch") {
+    val q = Streaming.analyzeStream(spark, sf).writeStream
+      .format("memory").queryName("stream_an")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: Row) = (r.getAs[String]("cname"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("min_v"), r.getAs[Long]("max_v"),
+      if (r.isNullAt(r.fieldIndex("hk"))) None else Some(r.getAs[Long]("hk")))
+    val streamed = spark.table("stream_an").collect().map(key).toSet
+    assert(streamed.size == 2)
+    // h_k is an order statistic of the DISTINCT hash set — partition-
+    // and micro-batch-order independent, so equality is exact even
+    // though the raw stream carries duplicates. Expected = the same
+    // sketch aggregate over an independently-stacked batch read.
+    val stackedBatch = graft.Tables.events(spark, sf).selectExpr(
+        "explode(array(named_struct('cname', 'events.user_id', 'v', CAST(user_id AS LONG))," +
+          " named_struct('cname', 'events.value_c', 'v', CAST(floor(value*100+0.5) AS LONG)))) AS s")
+      .selectExpr("s.cname AS cname", "s.v AS v")
+    val expect = stackedBatch.groupBy("cname")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"), max("v").as("max_v"),
+        graft.functions.kmv_kth_min(graft.util.Det.hashCoin(col("v")),
+          graft.ops.Lake.AnalyzeKmvK).as("hk"))
+      .collect().map(key).toSet
+    assert(streamed == expect)
+    // registered twin consistency: its ndv_kmv derives from the same hk
+    val twin = Streaming.analyzeBatch(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("ndv_exact"), r.getAs[Long]("ndv_kmv"))).toMap
+    streamed.foreach { case (cname, _, _, _, hkOpt) =>
+      val (exact, est) = twin(cname)
+      hkOpt match {
+        case Some(hk) => assert(est == 63L * 2147483648L / math.max(hk, 1L), cname)
+        case None => assert(est == exact, s"$cname: below k the estimate must be exact")
+      }
+    }
   }
 
   test("stateful stream sessionization emits exactly the closed batch sessions") {

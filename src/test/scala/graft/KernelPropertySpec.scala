@@ -68,6 +68,23 @@ class KernelPropertySpec extends SparkSpec {
     assert(tooFew.isNullAt(0))
   }
 
+  test("kmv_kth_min is duplicate-insensitive: raw stream == distinct pre-pass, any partitioning") {
+    // heavy duplication: each value 0..199 appears 1-25 times, shuffled
+    // across 8 partitions — the deduping heap must emit exactly the
+    // k-th smallest DISTINCT value, equal to kth_min over a distinct'd
+    // input, for k below and above the distinct cardinality
+    val df = spark.range(2600)
+      .select((col("id") % 200).as("v"))
+      .repartition(8)
+    for (k <- Seq(10, 64, 199)) {
+      val dup = df.agg(graft.functions.kmv_kth_min(col("v"), k)).head().getLong(0)
+      val ded = df.distinct().agg(kth_min(col("v"), k)).head().getLong(0)
+      assert(dup == ded && dup == (k - 1).toLong, s"k=$k: $dup vs $ded")
+    }
+    // below-k: 200 distinct values, k=500 -> null on both
+    assert(df.agg(graft.functions.kmv_kth_min(col("v"), 500)).head().isNullAt(0))
+  }
+
   test("misra_gries guarantee holds on random skewed streams across random partitionings") {
     import spark.implicits._
     for (trial <- 1 to 5) {
