@@ -93,7 +93,7 @@ object Bench {
     // immediately before and after the timed sweep. The pair rides in
     // the JSON so host drift is decidable from the artifact alone —
     // see graft.util.Calibrate.
-    val calBefore = graft.util.Calibrate.spinSeconds()
+    val calBefore = graft.util.Calibrate.spinSecondsIsolated()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val base = scala.collection.mutable.ArrayBuffer.empty[Double]
       (1 to reps).foreach(_ => base += timeOnce(name, fn))
@@ -113,7 +113,7 @@ object Bench {
       }
       (name, base.toVector)
     }
-    val calAfter = graft.util.Calibrate.spinSeconds()
+    val calAfter = graft.util.Calibrate.spinSecondsIsolated()
     val calRatio = graft.util.Calibrate.ratio(calBefore, calAfter)
     if (calRatio > graft.util.Calibrate.DriftLimit) System.err.println(
       f"[bench] CALIBRATION DRIFT: spin $calBefore%.3f s before vs $calAfter%.3f s after " +

@@ -33,7 +33,7 @@ object Steady {
     // so the steady file carries its own load context, and REFUSE to
     // write a reference whose host drifted mid-sweep — a drifted
     // bench_steady.json poisons every later round's stall detector.
-    val calBefore = graft.util.Calibrate.spinSeconds()
+    val calBefore = graft.util.Calibrate.spinSecondsIsolated()
     val medians = selected.map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -44,7 +44,7 @@ object Steady {
       println(f"STEADY $name%s median=$med%.3f s reps=${ts.map(t => f"$t%.2f").mkString(",")}")
       name -> med
     }
-    val calAfter = graft.util.Calibrate.spinSeconds()
+    val calAfter = graft.util.Calibrate.spinSecondsIsolated()
     val calRatio = graft.util.Calibrate.ratio(calBefore, calAfter)
     println(f"STEADY_CAL before=$calBefore%.3f s after=$calAfter%.3f s ratio=$calRatio%.3f")
     val drifted = calRatio > graft.util.Calibrate.DriftLimit

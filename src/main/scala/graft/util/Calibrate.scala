@@ -52,4 +52,46 @@ object Calibrate {
   /** A sweep whose calibration pair disagrees by more than this is
     * load-contaminated: its numbers carry unknown host drift. */
   final val DriftLimit = 1.2
+
+  /** The spin timed in a FRESH subprocess JVM — the sentinel variant
+    * Bench and Steady use (r14). Measured instrument bug with the
+    * in-JVM spin (tools/CalProbe, this host class): after 60 s of
+    * 32-thread load INSIDE a JVM, that JVM's single-thread spin reads
+    * 1.27–1.32× its fresh value and NEVER recovers (flat through 6 min
+    * of idle), while fresh JVMs started on the same host during that
+    * window read the idle constant (0.86 s ± 2%, four consecutive
+    * launches) — so an end-of-sweep in-JVM spin measures residual JVM
+    * state, not host load, and a long multi-core sweep FALSE-REFUSES
+    * against [[DriftLimit]] on a genuinely idle host (two r14 Steady
+    * runs: before 0.86 fresh, after 1.12–1.16 in-JVM, ratio ~1.3,
+    * while per-key medians sat a uniform 1.12× of the r13 reference —
+    * ambient, not mid-sweep drift). A subprocess pays ~0.3 s of JVM
+    * startup per probe and removes the bias entirely; falls back to
+    * the in-JVM spin (loudly) if the subprocess cannot start. */
+  def spinSecondsIsolated(): Double = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val p = new ProcessBuilder(javaBin, "-XX:+UseSerialGC", "-Xmx64m",
+        "-cp", cp, "graft.util.CalibrateChild").redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = p.waitFor()
+      val v = out.trim.split("\\s+").last.toDouble
+      require(rc == 0 && v > 0, s"calibrate child rc=$rc out=$out")
+      v
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[calibrate] subprocess spin failed (${e.getMessage}); falling back to in-JVM spin")
+        spinSeconds()
+    }
+  }
+}
+
+/** Child entry point for [[Calibrate.spinSecondsIsolated]]: prints the
+  * spin seconds of a fresh JVM and exits. */
+object CalibrateChild {
+  def main(args: Array[String]): Unit =
+    println(f"${Calibrate.spinSeconds()}%.6f")
 }
