@@ -316,6 +316,37 @@ class PlanShapeSpec extends SparkSpec {
       "no shuffle join anywhere — deletes are small and data is map-only")
   }
 
+  test("mm_phash: band join is keyed and the hash path is map-only") {
+    val nodes = executedNodes(graft.ops.Multimodal.mmPhash(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "phash pair generation fell back to a cartesian product")
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "phash pair generation planned a broadcast nested loop join")
+  }
+
+  test("graph_sssp relaxation joins broadcast the bounded distance frame") {
+    val nodes = executedNodes(graft.ops.Graph.graphSssp(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "sssp must never plan a cartesian product")
+    // per-round relax = edges ⋈ broadcast(settled distances): at least
+    // one broadcast hash join must survive into the executed plan
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "expected the relax joins to broadcast the |nodes|-row distance frame")
+  }
+
+  test("lake_analyze scans each analyzed table exactly once") {
+    val nodes = executedNodes(Lake.lakeAnalyze(spark, sf))
+    // the stacked (cname, v) frame is staged; raw stats, exact NDV and
+    // the KMV heap all read the checkpoint, so the underlying lineitem
+    // and orders parquet each appear as at most one scan in the final
+    // plan (zero when AQE reuses the checkpointed RDD directly)
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    def scansOf(table: String) = scans.count(
+      _.relation.location.rootPaths.exists(_.toString.contains(table)))
+    assert(scansOf("lineitem.parquet") <= 1, "lineitem scanned more than once")
+    assert(scansOf("orders.parquet") <= 1, "orders scanned more than once")
+  }
+
   test("vs_diversify: corpus work is one broadcast candidate cut; greedy joins are keyed") {
     val nodes = executedNodes(VectorSearch.vsDiversify(spark, sf))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
