@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(es.length == 2 && es(1).foldable, "kth_min(col, k) needs a literal k")
       KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
+    fn(ext, "kmv_kth_min", es => {
+      require(es.length == 2 && es(1).foldable, "kmv_kth_min(col, k) needs a literal k")
+      KthMinDistinct(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
     fn(ext, "simhash_chunks", es => SimhashChunks(es.head))
     fn(ext, "hash_count_vec", es => HashCountVec(es.head))
     fn(ext, "minhash_sig", es => {

@@ -84,5 +84,9 @@ package object functions {
       require(es.length == 2 && es(1).foldable, "misra_gries(col, k) needs a literal k")
       MisraGries(es(0), es(1).eval().asInstanceOf[Number].intValue())
     })
+    registerFunction(spark, "kmv_kth_min", es => {
+      require(es.length == 2 && es(1).foldable, "kmv_kth_min(col, k) needs a literal k")
+      KthMinDistinct(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 }

@@ -19,6 +19,14 @@ class ApiSpec extends SparkSpec {
       "poly_hash('abc') h").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == (("a".codePointAt(0) * 31L + 'b') % 1000000007L * 31L + 'c') % 1000000007L)
+    // aggregates too — incl. the r14 deduping KMV heap (duplicates in
+    // the SQL stream must not occupy extra slots: 3rd-smallest distinct
+    // of {0,0,1,1,2,2,5} is 2)
+    val a = spark.sql(
+      "SELECT kth_min(v, 3) k, kmv_kth_min(v, 3) kd " +
+      "FROM VALUES (0L),(0L),(1L),(1L),(2L),(2L),(5L) AS t(v)").head()
+    assert(a.getLong(0) == 1L) // duplicate-sensitive heap: {0,0,1}
+    assert(a.getLong(1) == 2L) // deduping heap: {0,1,2}
   }
 
   test("VectorStore mirrors the reference CLI: count + threshold top-k search") {
