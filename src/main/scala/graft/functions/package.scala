@@ -55,38 +55,46 @@ package object functions {
   def misra_gries(c: Column, k: Int): Column =
     col(MisraGries(expr(c), k).toAggregateExpression())
 
+  /** Literal-int second argument of an aggregate builder. */
+  private def litK(name: String,
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
+    require(es.length == 2 && es(1).foldable, s"$name(col, k) needs a literal k")
+    es(1).eval().asInstanceOf[Number].intValue()
+  }
+
+  /** THE kernel registry — one (name, builder) list consumed by BOTH
+    * SQL registration paths ([[register]] for a live session,
+    * [[graft.GraftExtensions]] for `spark.sql.extensions` injection),
+    * so the two surfaces cannot drift: r14 found `kmv_kth_min` on one
+    * path only, and `int_sq_l2`/`int_dot`/`misra_gries` had been
+    * session-registry-only since they landed. (The variadic
+    * `lsh_band_vals` facade stays Column-API-only — its plane array is
+    * a Scala argument, not an expression.) */
+  val kernelBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "inner_product" -> (es => InnerProduct(es(0), es(1))),
+    "l2_distance" -> (es => L2Distance(es(0), es(1))),
+    "int_sq_l2" -> (es => IntSquaredL2(es(0), es(1))),
+    "int_dot" -> (es => IntDot(es(0), es(1))),
+    "l1_distance" -> (es => L1Distance(es(0), es(1))),
+    "vector_norm" -> (es => VectorNorm(es.head)),
+    "vector_normalize" -> (es => VectorNormalize(es.head)),
+    "poly_hash" -> (es => PolyHash(es.head)),
+    "poly_hash_cp" -> (es => PolyHashCp(es.head)),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "kth_min" -> (es => KthMin(es(0), litK("kth_min", es))),
+    "kmv_kth_min" -> (es => KthMinDistinct(es(0), litK("kmv_kth_min", es))),
+    "simhash_chunks" -> (es => SimhashChunks(es.head)),
+    "hash_count_vec" -> (es => HashCountVec(es.head)),
+    "minhash_sig" -> (es => MinhashSig(es(0), litK("minhash_sig", es))),
+    "misra_gries" -> (es => MisraGries(es(0), litK("misra_gries", es))))
+
   /** Register all graft kernels as session SQL functions (usable in
     * `expr(...)`, SQL text, and higher-order-function lambdas). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge.registerFunction
-    registerFunction(spark, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
-    registerFunction(spark, "inner_product", es => InnerProduct(es(0), es(1)))
-    registerFunction(spark, "l2_distance", es => L2Distance(es(0), es(1)))
-    registerFunction(spark, "int_sq_l2", es => IntSquaredL2(es(0), es(1)))
-    registerFunction(spark, "int_dot", es => IntDot(es(0), es(1)))
-    registerFunction(spark, "l1_distance", es => L1Distance(es(0), es(1)))
-    registerFunction(spark, "vector_norm", es => VectorNorm(es.head))
-    registerFunction(spark, "vector_normalize", es => VectorNormalize(es.head))
-    registerFunction(spark, "poly_hash", es => PolyHash(es.head))
-    registerFunction(spark, "poly_hash_cp", es => PolyHashCp(es.head))
-    registerFunction(spark, "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)))
-    registerFunction(spark, "kth_min", es => {
-      require(es.length == 2 && es(1).foldable, "kth_min(col, k) needs a literal k")
-      KthMin(es(0), es(1).eval().asInstanceOf[Number].intValue())
-    })
-    registerFunction(spark, "simhash_chunks", es => SimhashChunks(es.head))
-    registerFunction(spark, "hash_count_vec", es => HashCountVec(es.head))
-    registerFunction(spark, "minhash_sig", es => {
-      require(es.length == 2 && es(1).foldable, "minhash_sig(col, k) needs a literal k")
-      MinhashSig(es(0), es(1).eval().asInstanceOf[Number].intValue())
-    })
-    registerFunction(spark, "misra_gries", es => {
-      require(es.length == 2 && es(1).foldable, "misra_gries(col, k) needs a literal k")
-      MisraGries(es(0), es(1).eval().asInstanceOf[Number].intValue())
-    })
-    registerFunction(spark, "kmv_kth_min", es => {
-      require(es.length == 2 && es(1).foldable, "kmv_kth_min(col, k) needs a literal k")
-      KthMinDistinct(es(0), es(1).eval().asInstanceOf[Number].intValue())
-    })
+    kernelBuilders.foreach { case (name, b) => registerFunction(spark, name, b) }
   }
 }
