@@ -171,7 +171,10 @@ object Bench {
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
     val calJson = f"""{"before_s":$calBefore%.4f,"after_s":$calAfter%.4f,"ratio":$calRatio%.3f}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
+    // HEAD stamp (r14 verdict #6): the freeze gate asserts no product
+    // source changed between this SHA and the HEAD under test.
+    val gitSha = graft.util.GitInfo.headSha().getOrElse("unknown")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

@@ -2513,11 +2513,25 @@ object VectorSearch {
     * LRU, stopped sessions evicted, keyed by (session, dir). */
   private type PlannerArts =
     (DataFrame, DataFrame, Seq[(String, DataFrame, Long, DataFrame)])
+  /** Unpersist an evicted entry's staged frames (qv + each arm's pass
+    * slice and exact table) — without this an LRU-evicted live-session
+    * entry leaked its cached blocks for the JVM lifetime (r14 advice). */
+  private def releasePlannerArts(arts: PlannerArts): Unit = {
+    val (qv, _, arms) = arts
+    graft.util.Persist.release(qv)
+    arms.foreach { case (_, fcorp, _, exact) =>
+      graft.util.Persist.release(fcorp)
+      graft.util.Persist.release(exact)
+    }
+  }
   private val plannerMemo =
     new java.util.LinkedHashMap[(SparkSession, String), PlannerArts](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), PlannerArts]): Boolean =
-        size() > 8
+          e: java.util.Map.Entry[(SparkSession, String), PlannerArts]): Boolean = {
+        val evict = size() > 8
+        if (evict) releasePlannerArts(e.getValue)
+        evict
+      }
     }
   private def plannerArtifacts(spark: SparkSession, dir: String): PlannerArts =
     plannerMemo.synchronized {

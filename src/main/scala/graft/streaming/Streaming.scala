@@ -719,9 +719,16 @@ object Streaming {
         min("v").as("min_v"), max("v").as("max_v"),
         graft.functions.kmv_kth_min(
           graft.util.Det.hashCoin(col("v")), graft.ops.Lake.AnalyzeKmvK).as("hk"))
-    val ndv = stacked.select("cname", "v").distinct()
+    // NULL v must not count as a distinct value: the oracle's
+    // COUNT(DISTINCT v) excludes NULLs, and lakeAnalyze's dvals frame
+    // filters them the same way (r14 advice — latent divergence if
+    // events ever carry null user_id/value).
+    val ndv = stacked.select("cname", "v").filter(col("v").isNotNull).distinct()
       .groupBy("cname").agg(count(lit(1)).as("ndv_exact"))
-    raw.join(ndv, Seq("cname"))
+    // Left join + coalesce: an all-NULL column keeps its row with
+    // ndv_exact = 0 (the oracle's GROUP BY cname does).
+    raw.join(ndv, Seq("cname"), "left")
+      .withColumn("ndv_exact", coalesce(col("ndv_exact"), lit(0L)))
       .select(col("cname").as("column_name"), col("n_rows"), col("ndv_exact"),
         when(col("hk").isNull, col("ndv_exact"))
           .otherwise(idiv(

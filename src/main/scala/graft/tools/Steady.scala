@@ -58,10 +58,15 @@ object Steady {
       // _cal_* keys ride in the same flat object; Bench's stall lookup
       // is by query name, so they are inert there but keep the load
       // context inside the committed artifact.
-      val json = (medians ++ Seq(
+      // _git_sha is a string value: Bench's numeric-only stall-lookup
+      // regex and ArtifactSyncSpec's numeric key scrape both skip it,
+      // while the freeze gate reads it to pin regeneration to HEAD.
+      val shaEntry = graft.util.GitInfo.headSha()
+        .map(s => "\"_git_sha\":\"" + s + "\",").getOrElse("")
+      val json = "{" + shaEntry + (medians ++ Seq(
           "_cal_before_s" -> calBefore, "_cal_after_s" -> calAfter))
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
+        .mkString(",") + "}"
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

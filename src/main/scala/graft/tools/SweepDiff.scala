@@ -26,6 +26,12 @@ object SweepDiff {
     val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse(
         sys.error(s"$path: no \"queries\" object found"))
+    // The first-closing-brace regex silently truncates if the queries
+    // object ever gains a nested object (r14 advice) — in that case the
+    // captured block would contain the nested '{'; fail loudly instead
+    // of under-reading the artifact.
+    require(!qBlock.contains("{"),
+      s"$path: queries object contains a nested '{' — the flat-object parse would truncate it")
     val qs = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(qBlock)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val cal = """"calibration"\s*:\s*\{[^}]*"before_s"\s*:\s*([0-9.eE+]+)[^}]*"after_s"\s*:\s*([0-9.eE+]+)""".r

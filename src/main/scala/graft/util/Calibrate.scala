@@ -93,5 +93,9 @@ object Calibrate {
   * spin seconds of a fresh JVM and exits. */
 object CalibrateChild {
   def main(args: Array[String]): Unit =
-    println(f"${Calibrate.spinSeconds()}%.6f")
+    // Double.toString, not an f-interpolation: the f formatter is
+    // default-locale dependent, and a comma-decimal locale would make
+    // the parent's toDouble throw — silently reinstating the biased
+    // in-JVM fallback this subprocess exists to avoid (r14 advice).
+    println(java.lang.Double.toString(Calibrate.spinSeconds()))
 }

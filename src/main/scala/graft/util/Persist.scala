@@ -60,6 +60,24 @@ object Persist {
     else df.localCheckpoint(eager)
   }
 
+  /** Best-effort release of a [[stage]]d frame's cached blocks. A
+    * localCheckpoint'd Dataset is NOT in the CacheManager (unpersist()
+    * on the Dataset is a no-op for it) — the cached data hangs off the
+    * LogicalRDD leaf the checkpoint left in the plan, so eviction from
+    * a frame memo (plannerMemo, buildShared) must unpersist THAT RDD
+    * or the blocks live for the JVM (r14 advice). Non-blocking and
+    * swallow-all: release runs inside memo eviction, where a stopped
+    * context or an analyzer error must never break the put(). */
+  private[graft] def release(df: DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.queryExecution.analyzed.foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Register a temp tree for recursive deletion on JVM exit (bucketed
     * lake copies, test checkpoint dirs). */
   def deleteOnExit(root: java.io.File): Unit = {

@@ -27,10 +27,17 @@ class ArtifactSyncSpec extends AnyFunSuite {
       val s = scala.io.Source.fromFile(f, "UTF-8")
       try s.mkString finally s.close()
     }
-    val body = if (inQueriesBlock)
-      """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+    val body = if (inQueriesBlock) {
+      val b = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse(fail(s"$path: no queries object"))
-    else txt
+      // Same truncation guard as SweepDiff (r14 advice): a nested
+      // object inside "queries" would make the first-closing-brace
+      // capture under-read the artifact — and this coverage gate would
+      // under-assert together with the diff tool. Fail loudly.
+      assert(!b.contains("{"),
+        s"$path: queries object contains a nested '{' — flat-object parse would truncate")
+      b
+    } else txt
     """"([a-z0-9_]+)"\s*:\s*-?[0-9.eE+]+""".r.findAllMatchIn(body)
       .map(_.group(1)).toSet
   }
@@ -62,5 +69,37 @@ class ArtifactSyncSpec extends AnyFunSuite {
     assert(registry == sf1,
       s"registry vs bench_sf1.json: +${(registry -- sf1).toSeq.sorted} " +
         s"-${(sf1 -- registry).toSeq.sorted}")
+  }
+
+  private def shaOf(path: String, key: String): Option[String] = {
+    val txt = {
+      val s = scala.io.Source.fromFile(path, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    ("\"" + key + """"\s*:\s*"([0-9a-f]{7,40})"""").r
+      .findFirstMatchIn(txt).map(_.group(1))
+  }
+
+  test("freeze gate: no product-source change since artifact regeneration (SPARK_GRAFT_FREEZE=1)") {
+    assume(sys.env.get("SPARK_GRAFT_FREEZE").contains("1"),
+      "mid-round run: product sources may legitimately lead the artifacts")
+    // r14 verdict #6: key-set equality alone let a post-regeneration
+    // product-source refactor ship with one-commit-stale sweeps. Each
+    // artifact records the HEAD it was generated at; the gate passes
+    // only if src/main is IDENTICAL between that SHA and the tree under
+    // test (commits that touch only tests/docs/artifacts stay legal —
+    // the snapshot commit itself doesn't trip it).
+    for ((path, key) <- Seq(("bench_steady.json", "_git_sha"),
+                            ("bench_sf1.json", "git_sha"))) {
+      val sha = shaOf(path, key)
+      assert(sha.isDefined,
+        s"$path carries no $key stamp — regenerate with the r15+ Steady/Bench")
+      val changed = util.GitInfo.changedProductSources(sha.get)
+      assert(changed.isDefined,
+        s"git unavailable or ${sha.get} unknown — freeze gate cannot verify $path")
+      assert(changed.get.isEmpty,
+        s"product sources changed since $path was generated at ${sha.get.take(12)}: " +
+          s"${changed.get.sorted.mkString(", ")} — regenerate the artifacts at HEAD")
+    }
   }
 }
