@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{NnGraph, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** The stored graph-index lifecycle (`vs_nng_store` / `vs_nng_load`,
+  * r14 verdict #1): the persisted bucketed-parquet index must serve
+  * the exact vs_nng_search grading from a COLD session — no in-JVM
+  * memo involved — and the store manifest must equal an independent
+  * recount of the built frames.
+  */
+class NngStoreSpec extends SparkSpec {
+
+  test("store manifest matches an independent recount of the built frames") {
+    val rows = SparkEntry.queries("vs_nng_store")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("init", "refined"))
+    // Independent replay: aggregate the memo-shared build frames
+    // directly (plain Dataset ops, not the key's own grouping chain).
+    val qv = VectorSearch.int8Grid(spark, sf)
+    val (refined, init) = NnGraph.buildShared(qv, s"$sf#full")
+    val byPart = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rDeg = refined.groupBy("src").count()
+    assert(byPart("refined")._1 == refined.count())
+    assert(byPart("refined")._2 == rDeg.count())
+    assert(byPart("refined")._3 == rDeg.agg(max("count")).head().getLong(0))
+    assert(byPart("refined")._4 ==
+      refined.agg(sum("d2")).head().getLong(0))
+    val iDeg = init.groupBy("src").count()
+    assert(byPart("init")._1 == init.count())
+    assert(byPart("init")._2 == iDeg.count())
+    assert(byPart("init")._3 == iDeg.agg(max("count")).head().getLong(0))
+    assert(byPart("init")._4 == 0L)
+  }
+
+  test("cold session serves vs_nng_search's exact grades from the stored index") {
+    // Warm session writes the artifact (and owns the build memo)…
+    SparkEntry.queries("vs_nng_store")(spark, sf).collect()
+    val base = SparkEntry.queries("vs_nng_search")(spark, sf).collect()
+    // …a FRESH session (separate memo key, shared external catalog —
+    // the cross-process serving shape local mode can express) must
+    // reproduce the grades purely from the reloaded tables.
+    val cold = spark.newSession()
+    val served = SparkEntry.queries("vs_nng_load")(cold, sf).collect()
+    assert(served.map(_.toSeq).toSeq == base.map(_.toSeq).toSeq,
+      "cold-start serve diverged from the in-memo search grading")
+  }
+
+  test("the reloaded index is a parquet FileScan of the external store, not a memo frame") {
+    SparkEntry.queries("vs_nng_store")(spark, sf).collect()
+    val cold = spark.newSession()
+    for (t <- Seq("graft_nng_refined", "graft_nng_init")) {
+      val plan = cold.table(t).queryExecution.executedPlan.toString()
+      assert(plan.contains("FileScan parquet"),
+        s"$t does not plan as a parquet FileScan:\n$plan")
+      val loc = cold.sql(s"DESCRIBE FORMATTED $t").collect()
+        .find(_.getString(0).trim == "Location").map(_.getString(1)).getOrElse("")
+      assert(loc.contains("graft-nngstore"),
+        s"$t location '$loc' is not the external store root")
+      val buckets = cold.sql(s"DESCRIBE FORMATTED $t").collect()
+        .find(_.getString(0).trim.startsWith("Num Buckets")).map(_.getString(1))
+      assert(buckets.exists(_.trim == VectorSearch.NngStoreBuckets.toString),
+        s"$t is not bucketed as written: $buckets")
+    }
+  }
+}
