@@ -164,24 +164,41 @@ object VectorStore {
   def ingestTextW2v(docs: DataFrame, idCol: String, textCol: String,
       dim: Int = Dim, seed: Long = 42L, minCount: Int = 2,
       maxIter: Int = 1, sampleMod: Long = 1L): VectorStore = {
-    import org.apache.spark.ml.feature.Word2Vec
     import org.apache.spark.ml.functions.vector_to_array
-    val toks = docs
-      .select(col(idCol).cast("long").as("vec_id"), col(textCol).as("content"))
-      .withColumn("tokens",
-        filter(split(lower(col("content")), "[^a-z0-9]+"), t => length(t) > 0))
-      .orderBy("vec_id")
-    val trainSlice =
-      if (sampleMod <= 1L) toks else toks.filter(col("vec_id") % sampleMod === 0)
-    val model = new Word2Vec()
-      .setInputCol("tokens").setOutputCol("w2v")
-      .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
-      .setMaxIter(maxIter).setNumPartitions(1)
-      .fit(trainSlice)
+    val toks = w2vTokens(docs, idCol, textCol)
+    val model = fitW2v(docs, idCol, textCol, dim, seed, minCount, maxIter, sampleMod)
     val out = model.transform(toks)
       .withColumn("embedding",
         vector_normalize(vector_to_array(col("w2v"), "float64")))
       .select(col("vec_id"), col("content"), col("embedding"))
     new VectorStore(out, "vec_id", "embedding")
+  }
+
+  /** The (vec_id, content, tokens) frame both the fit and the transform
+    * read — ONE tokenization so the trained vocabulary and the frozen
+    * transform key cannot drift apart. */
+  private[graft] def w2vTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("vec_id"), col(textCol).as("content"))
+      .withColumn("tokens",
+        filter(split(lower(col("content")), "[^a-z0-9]+"), t => length(t) > 0))
+      .orderBy("vec_id")
+
+  /** The fitted model behind [[ingestTextW2v]], exposed so the
+    * frozen-vocabulary transform key (`vs_ingest_w2v`) quantizes THE
+    * SAME model the store leg serves — identical training slice, seed,
+    * partitioning and tokenization. */
+  private[graft] def fitW2v(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = Dim, seed: Long = 42L, minCount: Int = 2,
+      maxIter: Int = 1, sampleMod: Long = 1L): org.apache.spark.ml.feature.Word2VecModel = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val toks = w2vTokens(docs, idCol, textCol)
+    val trainSlice =
+      if (sampleMod <= 1L) toks else toks.filter(col("vec_id") % sampleMod === 0)
+    new Word2Vec()
+      .setInputCol("tokens").setOutputCol("w2v")
+      .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
+      .setMaxIter(maxIter).setNumPartitions(1)
+      .fit(trainSlice)
   }
 }

@@ -3080,31 +3080,142 @@ object VectorSearch {
     * the ingest corpus itself, like the reference's fastembed AllMiniLM
     * (main.rs:53-61) — the hashing trick ([[vsIngest]]) is the
     * deterministic stand-in, this leg proves the engine's embed surface
-    * isn't hashing-trick-shaped. Registered ROWS-ONLY (no SQL oracle):
-    * parallel float SGD is not replayable in a SQL engine — SURVEY §6
-    * declares the check downgrade; W2vSpec pins the semantics instead
-    * (planted two-topic corpus → search over w2v vectors returns the
-    * query's own topic cluster). Output is the structural report (one
-    * row per doc: dim + vocab membership), stable across runs by fixed
-    * seed + sorted single-partition training on the bounded 1-in-4
-    * sample slice — the documented train-on-a-sample posture
-    * ([[graft.VectorStore.ingestTextW2v]] `sampleMod`), so the one
-    * serial stage in the registry is bounded by the sample, not the
-    * corpus. */
+    * isn't hashing-trick-shaped.
+    *
+    * HASH-VERIFIED since r15 (closes the last rows-only entry, r14
+    * verdict #2): parallel float SGD is still not replayable in a SQL
+    * engine, so the TRAINING stays a trusted freeze — the fitted model's
+    * top-[[W2vFrozenVocab]] vocabulary vectors (ranked by corpus token
+    * count, ties by word) are quantized to the int8 grid ONCE per
+    * corpus and handed to the oracle as a literal VALUES table, dumped
+    * by Verify AFTER the queries ran so query and oracle read the SAME
+    * freeze. Everything downstream of the freeze is replayed exactly:
+    * tokenization, per-doc in-vocab term counts, the doc vector as the
+    * truncating-integer mean of frozen word vectors (Word2VecModel.transform's
+    * own mean-of-in-vocab composition, in integers — cosine is
+    * scale-invariant so the integer mean ranks like the float mean),
+    * and its exact integer norm². Output: one row per document
+    * (vec_id, n_terms, norm2, dvec); zero-vocab docs keep the zero
+    * sentinel (n_terms 0, zero vector), mirroring the store leg's NULL
+    * contract. W2vSpec still pins the retrieval semantics of the float
+    * leg (planted two-topic corpus).
+    *
+    * Scale shape: fit on the 1-in-4 id-keyed sample (the documented
+    * train-on-a-sample posture; serial SGD bounded by the sample —
+    * sf1: 30.1 s -> 8.0 s measured), freeze collect is 256 rows, the
+    * transform is a broadcast-vocab map-side-combined count join plus
+    * one bounded per-doc fold (≤ [[W2vFrozenVocab]] arrays per doc). */
+  final val W2vFrozenVocab = 256
+  private val w2vFrozenMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Array[Long])]]()
+  @volatile private var w2vLastDir: Option[String] = None
+
+  /** Fit-and-freeze, once per corpus dir: train exactly as the store
+    * leg does (sampleMod=4), rank the model vocabulary by full-corpus
+    * token count (ties by word), keep the top [[W2vFrozenVocab]], and
+    * quantize on a shared 127/maxAbs grid (driver-side — the freeze is
+    * the contract, both the registered query and the oracle literal
+    * read THIS map, so no cross-engine rounding is involved). */
+  private def w2vFrozen(spark: SparkSession, dir: String): Seq[(String, Array[Long])] =
+    w2vFrozenMemo.computeIfAbsent(dir, _ => {
+      import org.apache.spark.ml.functions.vector_to_array
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val model = graft.VectorStore.fitW2v(docs, "doc_id", "text", sampleMod = 4L)
+      val counts = graft.VectorStore.w2vTokens(docs, "doc_id", "text")
+        .select(explode(col("tokens")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val picked = model.getVectors
+        .select(col("word"), vector_to_array(col("vector"), "float64").as("v"))
+        .join(counts, "word")
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(W2vFrozenVocab)
+        .select("word", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      require(picked.nonEmpty, s"w2v model at $dir has an empty vocabulary")
+      val maxAbs = picked.iterator.flatMap(_._2.iterator).map(math.abs).max
+      require(maxAbs > 0.0, s"w2v vocabulary at $dir is all-zero (maxAbs=$maxAbs)")
+      picked.map { case (w, v) =>
+        (w, v.map(x => math.round(x * 127.0 / maxAbs)))
+      }.sortBy(_._1).toSeq
+    })
+
   def vsIngestW2v: Q = (spark, dir) => {
-    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
-    // The 100 TB posture, exercised: fit on the 1-in-4 id-keyed sample,
-    // apply (broadcast-vocab, map-only) to the full corpus. W2vSpec
-    // proves planted-topic retrieval survives the sample; the serial
-    // SGD wall drops by the sample factor (sf1: 30.1 s -> 8.0 s
-    // measured steady on the full ingest, W2vSampleAudit).
-    val store = graft.VectorStore.ingestTextW2v(docs, "doc_id", "text",
-      sampleMod = 4L)
-    store.df.select(col("vec_id"),
-        coalesce(size(col("embedding")).cast("long"), lit(0L)).as("dim"),
-        when(col("embedding").isNull, 0L).otherwise(1L).as("in_vocab"))
+    val frozen = w2vFrozen(spark, dir)
+    w2vLastDir = Some(dir)
+    val dim = graft.VectorStore.Dim
+    val sess = spark
+    import sess.implicits._
+    val vocab = broadcast(
+      frozen.map { case (w, q) => (w, q.toSeq) }.toDF("word", "qw"))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("vec_id"), col("text"))
+    val tc = docs
+      .select(col("vec_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0)).as("word"))
+      .groupBy("vec_id", "word").agg(count(lit(1)).as("cnt"))
+    val folded = tc.join(vocab, "word")
+      .select(col("vec_id"), col("cnt"),
+        transform(col("qw"), x => x * col("cnt")).as("wq"))
+      .groupBy("vec_id")
+      .agg(sum("cnt").as("n_terms"), collect_list("wq").as("ws"))
+      .withColumn("svec", aggregate(col("ws"), array_repeat(lit(0L), dim),
+        (acc, v) => zip_with(acc, v, (a, b) => a + b)))
+      // Truncating mean: Spark `div` and DuckDB integer `//` BOTH
+      // truncate toward zero (measured: -623//12 = -51 in DuckDB), so
+      // the plain integral divide is the cross-engine-exact mean.
+      .withColumn("dvec", transform(col("svec"),
+        s => idiv(s, col("n_terms"))))
+      .select(col("vec_id"), col("n_terms"), col("dvec"))
+    docs.select("vec_id").join(folded, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("dvec"), array_repeat(lit(0L), dim)).as("dvec"))
+      .withColumn("norm2",
+        aggregate(col("dvec"), lit(0L), (a, x) => a + x * x))
+      .select("vec_id", "n_terms", "norm2", "dvec")
       .orderBy("vec_id")
   }
+
+  /** Oracle for the frozen-vocabulary transform: the freeze rides as a
+    * VALUES literal (built from the SAME memo the query read — Verify
+    * dumps oracleSql after the queries ran), everything after it is
+    * exact integer SQL. Present only once the key has run in this JVM;
+    * a filtered Verify that skipped the key degrades to rows-only for
+    * it, never to a stale literal. */
+  private def w2vOracleEntry: Map[String, String] =
+    w2vLastDir.flatMap(d => Option(w2vFrozenMemo.get(d))).map { frozen =>
+      val dim = graft.VectorStore.Dim
+      val values = frozen
+        .map { case (w, q) => s"('$w', [${q.mkString(",")}])" }
+        .mkString(",\n      ")
+      val zeros = Seq.fill(dim)("0").mkString(",")
+      Map("vs_ingest_w2v" -> s"""
+    WITH vocab(word, qw) AS (VALUES $values),
+    toks AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> t <> '')) AS word
+      FROM documents),
+    tc AS (SELECT vec_id, word, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    j AS (SELECT vec_id, cnt, qw FROM tc JOIN vocab USING (word)),
+    n AS (SELECT vec_id, CAST(SUM(cnt) AS BIGINT) AS n_terms FROM j GROUP BY 1),
+    dims AS (SELECT range AS i FROM range(1, ${dim + 1})),
+    s AS (SELECT vec_id, i, CAST(SUM(cnt * qw[i]) AS BIGINT) AS sv
+      FROM j, dims GROUP BY 1, 2),
+    m AS (SELECT s.vec_id, s.i, CAST(sv // n_terms AS BIGINT) AS mv
+      FROM s JOIN n USING (vec_id)),
+    dv AS (SELECT vec_id, list(mv ORDER BY i) AS dvec,
+        CAST(SUM(mv * mv) AS BIGINT) AS norm2 FROM m GROUP BY 1)
+    SELECT CAST(d.doc_id AS BIGINT) AS vec_id,
+      COALESCE(n.n_terms, 0) AS n_terms,
+      COALESCE(dv.norm2, 0) AS norm2,
+      COALESCE(dv.dvec, CAST([$zeros] AS BIGINT[])) AS dvec
+    FROM documents d
+    LEFT JOIN n ON n.vec_id = d.doc_id
+    LEFT JOIN dv ON dv.vec_id = d.doc_id
+    ORDER BY vec_id""")
+    }.getOrElse(Map.empty)
 
   // ── vs_sparse_search — sparse-vector MIPS via posting-list join ──────
   /** Sparse-vector retrieval — the pgvector `sparsevec` column family
@@ -3219,7 +3330,8 @@ object VectorSearch {
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracle entries; [[oracles]] adds the run-frozen w2v entry. */
+  private val oraclesStatic: Map[String, String] = Map(
     "vs_diversify" -> vsDiversifySql,
     "vs_ivf_trained" -> vsIvfTrainedSql,
     "vs_ivf_upsert" -> vsIvfUpsertSql,
@@ -3256,4 +3368,10 @@ object VectorSearch {
     "vs_search_planned" -> vsSearchPlannedSql,
     "vs_planned_kmv" -> vsPlannedKmvSql,
     "vs_sparse_search" -> vsSparseSearchSql)
+
+  /** A `def`, not a `val`: the vs_ingest_w2v oracle inlines the
+    * frozen vocabulary of the LAST run in this JVM (Verify dumps
+    * oracle_sql.json after executing the queries, so a full run always
+    * carries it — see [[w2vOracleEntry]]). */
+  def oracles: Map[String, String] = oraclesStatic ++ w2vOracleEntry
 }
