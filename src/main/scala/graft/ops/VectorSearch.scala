@@ -2668,12 +2668,13 @@ object VectorSearch {
     * the exact pass count (the registered key's contract: the count is
     * part of the hashed output, and `n_pass` stays exact either way);
     * Some([[kmvPassEstimate]]) = the O(k) sketch a 100 TB planner
-    * reads. Grading, escalation rules, and the emitted `n_pass` always
-    * use the exact count — only the brute-vs-graph choice consults
-    * `routeStat`. */
+    * reads; the (tag, pass-frame) signature also admits stats-table
+    * lookups that never touch the frame ([[vsPlannedStats]]). Grading,
+    * escalation rules, and the emitted `n_pass` always use the exact
+    * count — only the brute-vs-graph choice consults `routeStat`. */
   private[graft] def vsSearchPlannedWith(
       spark: SparkSession, dir: String, cutoff: Long,
-      routeStat: Option[DataFrame => Long] = None,
+      routeStat: Option[(String, DataFrame) => Long] = None,
       emitRouteStat: Boolean = false): DataFrame = {
     val (qv, qs, preds) = plannerArtifacts(spark, dir)
     val wQ = Window.partitionBy("pred", "q_id").orderBy(col("d2"), col("c_id"))
@@ -2686,7 +2687,7 @@ object VectorSearch {
       (refined, init, base)
     }
     val arms = preds.map { case (tag, fcorp, nPass, exact) =>
-      val nRoute = routeStat.fold(nPass)(f => f(fcorp))
+      val nRoute = routeStat.fold(nPass)(f => f(tag, fcorp))
       val (plan, approx) =
         if (nRoute <= cutoff) ("brute", exact)
         else {
@@ -2744,22 +2745,45 @@ object VectorSearch {
     * hash. Coverage/sufficiency rules always read the EXACT count —
     * only the brute-vs-graph choice consults the routing scalar,
     * mirroring the Scala contract. */
-  private def plannedSqlWith(kmvRouting: Boolean): String = {
+  private def plannedSqlWith(routing: String): String = {
     val preds = Seq(
       ("p1_thin", "label = 7 AND lang = 'de'"),
       ("p2_tiny", "label = 9 AND lang = 'zh' AND vec_id % 4 = 1"),
       ("p3_fat", "label >= 5"))
-    val estCols = if (kmvRouting) ", rt.np AS n_est" else ""
-    val estNames = if (kmvRouting) ", n_est" else ""
+    val emitEst = routing != "exact"
+    val estCols = if (emitEst) ", rt.np AS n_est" else ""
+    val estNames = if (emitEst) ", n_est" else ""
+    // Per-column histogram + total CTEs for stats routing — the SQL
+    // replay of the PERSISTED ANALYZE table [[vsPlannedStats]] reads.
+    val statsCtes = if (routing == "stats") s""",
+    hl AS (SELECT label, COUNT(*) AS c FROM ep GROUP BY 1),
+    hg AS (SELECT lang, COUNT(*) AS c FROM ep GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM ep)""" else ""
+    // Independence-assumption estimates (the textbook CBO rule):
+    // |A∧B| ≈ |A|·|B|/N; the extra %4 conjunct contributes 1/4; the
+    // single-column p3 is exact from its histogram.
+    val statsRt = Map(
+      1 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label = 7)
+            * (SELECT COALESCE(SUM(c), 0) FROM hg WHERE lang = 'de')
+            // (SELECT n FROM nt) AS BIGINT)""",
+      2 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label = 9)
+            * (SELECT COALESCE(SUM(c), 0) FROM hg WHERE lang = 'zh')
+            // (SELECT n FROM nt) // 4 AS BIGINT)""",
+      3 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label >= 5)
+            AS BIGINT)""")
     val perPred = preds.zipWithIndex.map { case ((tag, cond), ix) =>
       val i = ix + 1
-      val rtCte = if (kmvRouting) s"""
+      val rtCte = routing match {
+        case "kmv" => s"""
     rt$i AS (SELECT CAST(CASE WHEN COUNT(*) < $PlanKmvK THEN COUNT(*)
         ELSE (${PlanKmvK - 1} * 2147483648) // greatest(MAX(h), 1) END AS BIGINT) AS np
       FROM (SELECT ${graft.util.Det.hashCoinSql("vec_id")} AS h FROM pass$i
             ORDER BY h LIMIT $PlanKmvK)),"""
-      else s"""
+        case "stats" => s"""
+    rt$i AS (SELECT ${statsRt(i)} AS np),"""
+        case _ => s"""
     rt$i AS (SELECT np FROM np$i),"""
+      }
       s"""
     pass$i AS (SELECT vec_id FROM ep WHERE $cond),
     np$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pass$i),$rtCte
@@ -2805,7 +2829,7 @@ object VectorSearch {
     qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
       WHERE vec_id % 100 = 9),
     ep AS (SELECT e2.vec_id, e2.label, d.lang FROM embeddings e2
-      JOIN documents d ON e2.vec_id = d.doc_id),
+      JOIN documents d ON e2.vec_id = d.doc_id)$statsCtes,
     ${NngSql.buildCtes("quant")},
     ${NngSql.hopCtes("f", "gs", "qs", "quant", "quant")},
     $perPred
@@ -2814,7 +2838,7 @@ object VectorSearch {
     ORDER BY pred, q_id"""
   }
 
-  val vsSearchPlannedSql: String = plannedSqlWith(kmvRouting = false)
+  val vsSearchPlannedSql: String = plannedSqlWith("exact")
 
   // ── vs_planned_kmv — the planner routed from the KMV sketch ────────
   /** [[vsSearchPlanned]] with the ROUTING statistic read from
@@ -2830,8 +2854,87 @@ object VectorSearch {
     * escalation rules are unchanged from the exact-count key. */
   def vsPlannedKmv: Q = (spark, dir) =>
     vsSearchPlannedWith(spark, dir, PlanBruteCutoff,
-      routeStat = Some(kmvPassEstimate(_)), emitRouteStat = true)
-  val vsPlannedKmvSql: String = plannedSqlWith(kmvRouting = true)
+      routeStat = Some((_, f) => kmvPassEstimate(f)), emitRouteStat = true)
+  val vsPlannedKmvSql: String = plannedSqlWith("kmv")
+
+  // ── vs_planned_stats — the planner routed from PERSISTED table stats ─
+  /** The third routing statistic, and the one a real cost-based planner
+    * actually reads (r14 verdict #4): per-column value histograms
+    * written at ANALYZE time as a stored lake artifact, consulted at
+    * plan time with the independence assumption — |A∧B| ≈ |A|·|B|/N,
+    * an extra `% 4` conjunct contributes 1/4, a single-column range
+    * predicate is EXACT from its histogram. Zero corpus passes per
+    * routing decision: the ANALYZE scan runs once per corpus (the
+    * amortized posture `lake_analyze` postulates), and each query run
+    * reads the persisted table (index-sized: |labels|+|langs|+1 rows).
+    * Output contract = [[vsPlannedKmv]]'s (pred, plan, n_pass, n_est,
+    * q_id, n_exact, n_hits) with `n_est` the histogram estimate, so a
+    * stats-maintenance regression breaks the hash; PlannedSpec asserts
+    * routing identity with the KMV key at the default cutoff. All
+    * integer arithmetic (products ≤ N², truncating `//` both engines),
+    * replayed by the oracle from the same histograms. */
+  final val PlannerStatsTable = "graft_planner_stats"
+  private lazy val plannerStatsRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-plannerstats").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val plannerStatsWritten =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
+  /** ANALYZE: one scan of the joined planner corpus stacked into
+    * (col_name, value, cnt) histogram rows plus the `_total` row,
+    * persisted as an external parquet catalog table once per
+    * (context, dir). */
+  private def ensurePlannerStats(spark: SparkSession, dir: String): Unit = {
+    plannerStatsWritten.compute(spark.sparkContext, (_, prev) => {
+      if (prev != dir) {
+        val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+        val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+        val ep = e.join(d, col("vec_id") === col("doc_id"))
+        val hist = ep.select(explode(array(
+            struct(lit("label").as("col_name"), col("label").cast("string").as("value")),
+            struct(lit("lang").as("col_name"), col("lang").as("value")))).as("s"))
+          .select(col("s.col_name").as("col_name"), col("s.value").as("value"))
+          .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+        val total = ep.agg(count(lit(1)).as("cnt"))
+          .select(lit("_total").as("col_name"), lit("n").as("value"), col("cnt"))
+        hist.unionByName(total).coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$plannerStatsRoot/stats")
+          .saveAsTable(PlannerStatsTable)
+      }
+      dir
+    })
+    ()
+  }
+
+  /** Plan-time lookup: collect the persisted histogram (tiny) and
+    * evaluate the three predicates' estimates in exact Long arithmetic
+    * mirrored by the oracle's `//` chains. */
+  private[graft] def plannerStatsEstimates(spark: SparkSession): Map[String, Long] = {
+    val rows = spark.table(PlannerStatsTable).collect()
+    def histOf(cn: String): Map[String, Long] = rows
+      .filter(_.getString(0) == cn)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val label = histOf("label")
+    val lang = histOf("lang")
+    val n = histOf("_total").getOrElse("n", 0L)
+    require(n > 0, s"$PlannerStatsTable carries no _total row")
+    def c(m: Map[String, Long], k: String): Long = m.getOrElse(k, 0L)
+    Map(
+      "p1_thin" -> c(label, "7") * c(lang, "de") / n,
+      "p2_tiny" -> c(label, "9") * c(lang, "zh") / n / 4,
+      "p3_fat" -> label.collect { case (k, v) if k.toLong >= 5L => v }.sum)
+  }
+
+  def vsPlannedStats: Q = (spark, dir) => {
+    ensurePlannerStats(spark, dir)
+    val est = plannerStatsEstimates(spark)
+    vsSearchPlannedWith(spark, dir, PlanBruteCutoff,
+      routeStat = Some((tag, _) => est(tag)), emitRouteStat = true)
+  }
+  val vsPlannedStatsSql: String = plannedSqlWith("stats")
 
   // ── vs_nng_merge — segment-merge of two graph indexes ───────────────
   /** Merge two independently-built graph indexes WITHOUT a rebuild —
@@ -3327,6 +3430,7 @@ object VectorSearch {
     "vs_nng_merge" -> vsNngMerge,
     "vs_search_planned" -> vsSearchPlanned,
     "vs_planned_kmv" -> vsPlannedKmv,
+    "vs_planned_stats" -> vsPlannedStats,
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
@@ -3367,6 +3471,7 @@ object VectorSearch {
     "vs_nng_merge" -> vsNngMergeSql,
     "vs_search_planned" -> vsSearchPlannedSql,
     "vs_planned_kmv" -> vsPlannedKmvSql,
+    "vs_planned_stats" -> vsPlannedStatsSql,
     "vs_sparse_search" -> vsSparseSearchSql)
 
   /** A `def`, not a `val`: the vs_ingest_w2v oracle inlines the

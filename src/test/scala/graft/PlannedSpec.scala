@@ -55,7 +55,7 @@ class PlannedSpec extends SparkSpec {
     for (cut <- Seq(VectorSearch.PlanBruteCutoff, 10L)) {
       val exact = rowsOf(VectorSearch.vsSearchPlannedWith(spark, sf, cut))
       val kmv = rowsOf(VectorSearch.vsSearchPlannedWith(spark, sf, cut,
-        routeStat = Some(VectorSearch.kmvPassEstimate(_))))
+        routeStat = Some((_, f) => VectorSearch.kmvPassEstimate(f))))
       assert(kmv == exact,
         s"sketch-routed output diverged from exact-routed at cutoff $cut")
     }
@@ -70,6 +70,31 @@ class PlannedSpec extends SparkSpec {
         assert(est == n, s"$tag: KMV below k must be exact ($est vs $n)")
       else assert(math.abs(est - n) <= n / 2,
         s"$tag: KMV estimate $est vs exact $n outside 50% band")
+    }
+  }
+
+  test("persisted ANALYZE stats route identically to the KMV sketch at the default cutoff") {
+    // The cost-based-planner loop (r14 verdict #4): routing reads the
+    // STORED histogram artifact, never the pass frame. Identity is
+    // asserted on the full graded rows — routing-independent grading
+    // means identical plans imply identical output.
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("pred"), r.getAs[String]("plan"),
+        r.getAs[Long]("n_pass"), r.getAs[Long]("q_id"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"))).toSeq
+    val stats = rowsOf(SparkEntry.queries("vs_planned_stats")(spark, sf))
+    val kmv = rowsOf(SparkEntry.queries("vs_planned_kmv")(spark, sf))
+    assert(stats == kmv, "stats-routed grading diverged from sketch-routed")
+    // The estimates themselves: p3_fat is single-column, so the
+    // histogram estimate must be EXACT; the conjunctions stay within
+    // a generous independence band (the synthetic label/lang columns
+    // are independent by construction).
+    val est = VectorSearch.plannerStatsEstimates(spark)
+    for ((tag, pass) <- VectorSearch.plannerPreds(spark, sf)) {
+      val n = pass.count()
+      if (tag == "p3_fat") assert(est(tag) == n, s"$tag: $est vs $n")
+      else assert(math.abs(est(tag) - n) <= (n max 8L),
+        s"$tag: stats estimate ${est(tag)} vs exact $n outside band")
     }
   }
 }
