@@ -575,4 +575,16 @@ class EventsStreamingSpec extends SparkSpec {
       "decontamination gate must run with zero state-store operators")
     info(s"${batch.size} flagged pairs, stream ≡ batch ≡ sweep")
   }
+
+  test("serving-rate harness: per-micro-batch latencies for the indexed serve") {
+    // The bench's serving block (r14 verdict #7) in miniature: 3 timed
+    // micro-batches of 8 queries through the MemoryStream-driven
+    // ivfServeChain. Pins the harness contract — one latency per timed
+    // batch, all positive — so a broken serving path fails the suite,
+    // not just the bench artifact.
+    val lats = graft.streaming.Streaming.serveIvfRate(spark, sf, nBatches = 3, batchSize = 8)
+    assert(lats.length == 3)
+    assert(lats.forall(l => l > 0.0 && l < 120.0), s"implausible latencies: $lats")
+    info(f"micro-batch latencies: ${lats.map(l => f"$l%.3f").mkString(", ")} s")
+  }
 }
