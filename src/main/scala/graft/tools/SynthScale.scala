@@ -143,4 +143,63 @@ object SynthScale {
           lit(hot)).otherwise(col("embedding")))
     } else embTiled, "embeddings")
   }
+
+  /** HOSTILE plant (r14 verdict #3): same-size copy of `src` with the
+    * three adversarial distributions every audit bound was NOT
+    * calibrated on —
+    *   - events: user_id remapped to a Zipf(1) popularity law via the
+    *     inverse-CDF of the per-event hash coin (rank = ⌊U^u01⌋ — the
+    *     head user absorbs ~1/ln(U) of ALL events, the long tail keeps
+    *     U distinct users), and a HUB event_type (`hubShare`% of all
+    *     events collapse onto 'view') so every transition / path / top-k
+    *     aggregate sees one dominant edge;
+    *   - documents: one MEGA-DUPLICATE family — every `megaDupEvery`-th
+    *     doc becomes the SAME text (the crawler-mirror profile), putting
+    *     one bucket in every content-blocking scheme (minhash band,
+    *     simhash chunk, char-ngram band, phash band) at family-size² /2
+    *     self-pairs unless the degenerate-bucket caps engage;
+    *   - embeddings: every `hotVecEvery`-th vector becomes ONE identical
+    *     vector (the skew-mode plant, denser).
+    * Dims and relational tables copy through unchanged. For stress
+    * sweeps and guard specs only — no oracle runs against it. */
+  def hostile(spark: SparkSession, src: String, out: String,
+      megaDupEvery: Long = 10L, hotVecEvery: Long = 64L,
+      hubSharePct: Int = 80): Unit = {
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+      wr(rd(t), t)
+
+    val ev = graft.Tables.normalizeTs(rd("events"))
+    val uMax = ev.agg(max("user_id").cast("long")).head().getLong(0).max(2L)
+    // Zipf(1) inverse CDF: u01 uniform in [0,1) from the hash coin,
+    // rank = floor(U^u01) ∈ [1, U] with p(rank=r) ∝ 1/r.
+    val u01 = graft.util.Det.hashCoin(col("event_id")).cast("double") / 2147483648.0
+    val zipfUser = floor(pow(lit(uMax.toDouble), u01)).cast("long")
+    val hub = pmod(graft.util.Det.hashCoin(col("event_id") * 13L + 5L), lit(100L))
+    wr(ev
+      .withColumn("user_id", zipfUser)
+      .withColumn("event_type",
+        when(hub < hubSharePct, lit("view")).otherwise(col("event_type"))),
+      "events")
+
+    val docs = rd("documents")
+    val mega = docs.orderBy("doc_id").select("text").head().getString(0)
+    wr(docs
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(megaDupEvery)) === 0L, lit(mega))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
+
+    val emb = rd("embeddings")
+    val hot = emb.orderBy("vec_id").select("embedding").head()
+      .getSeq[Float](0).toArray
+    wr(emb.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(hotVecEvery)) === 0L, lit(hot))
+        .otherwise(col("embedding"))),
+      "embeddings")
+  }
 }
