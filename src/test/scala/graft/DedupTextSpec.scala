@@ -83,19 +83,21 @@ class DedupTextSpec extends SparkSpec {
     // configured, rounds materialize via reliable checkpoint() instead
     // of localCheckpoint, with identical results.
     val dirFile = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
-    // KNOWN LEAK, by SparkContext design: setCheckpointDir cannot be
-    // unset, so every later persistRound in this JVM uses the reliable
-    // branch (semantically equal, just slower) and keeps writing here
-    // until exit. Bound the damage: delete the tree on JVM exit.
+    // The public API cannot unset a checkpoint dir; the test hook can
+    // (r15 — previously a documented JVM-wide leak that flipped every
+    // later suite's Persist.stage onto the reliable branch). Restore
+    // the local branch in a finally; delete the tree on JVM exit.
     graft.util.Persist.deleteOnExit(dirFile)
     val dir = dirFile.toString
     spark.sparkContext.setCheckpointDir(dir)
-    import spark.implicits._
-    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val out = Dedup.connectedComponentsWithRounds(chain)._1.collect()
-    assert(out.length == 17 && out.forall(_.getAs[Long]("cluster_id") == 0L))
-    // the checkpoint dir was actually used
-    assert(new java.io.File(dir).listFiles != null)
+    try {
+      import spark.implicits._
+      val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val out = Dedup.connectedComponentsWithRounds(chain)._1.collect()
+      assert(out.length == 17 && out.forall(_.getAs[Long]("cluster_id") == 0L))
+      // the checkpoint dir was actually used
+      assert(new java.io.File(dir).listFiles != null)
+    } finally org.apache.spark.GraftCheckpointTestHook.clear(spark.sparkContext)
   }
 
   test("connected components match a union-find oracle on random graphs") {

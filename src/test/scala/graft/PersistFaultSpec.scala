@@ -24,12 +24,18 @@ class PersistFaultSpec extends SparkSpec {
     * suites rely on localCheckpoint semantics). */
   private def withCheckpointDir[A](body: java.nio.file.Path => A): A = {
     val sc = spark.sparkContext
-    assert(GraftCheckpointTestHook.get(sc).isEmpty,
-      "shared test context unexpectedly has a checkpoint dir")
+    // Save/restore: a sibling suite (DedupTextSpec's reliable-branch
+    // test) may run first on the shared context; never assume the
+    // local branch, and always put back what was there.
+    val prev = GraftCheckpointTestHook.get(sc)
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     Persist.deleteOnExit(dir.toFile)
     sc.setCheckpointDir(dir.toString)
-    try body(dir) finally GraftCheckpointTestHook.clear(sc)
+    try body(dir)
+    finally prev match {
+      case Some(p) => sc.setCheckpointDir(p)
+      case None => GraftCheckpointTestHook.clear(sc)
+    }
   }
 
   private def checkpointFiles(dir: java.nio.file.Path): Long = {
