@@ -356,4 +356,43 @@ class PlanShapeSpec extends SparkSpec {
     val bnl = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
     assert(bnl.size <= 1, s"expected at most the candidate-cut BNL, got ${bnl.size}")
   }
+
+  // ── r15 keys ─────────────────────────────────────────────────────────
+
+  test("vs_nng_store: manifest is pure hash aggregates over the reloaded tables") {
+    val nodes = executedNodes(VectorSearch.vsNngStore(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+    assert(!nodes.exists(_.nodeName == "Window"),
+      "the manifest must be aggregate-shaped, not window-shaped")
+    // and it reads the STORED tables, not memo lineage
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft-nngstore"))),
+      "manifest does not scan the external store")
+  }
+
+  test("vs_nng_load: search hops join the reloaded graph with keyed joins only") {
+    val df = VectorSearch.vsNngLoad(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df)
+    // same contract as vs_nng_search's tail: the grade select carries
+    // no cartesian; the two bounded broadcast crossJoins (query seeding
+    // + exact grading) are the declared exceptions
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "cold-start serve planned a cartesian product")
+  }
+
+  test("vs_planned_stats: routing reads the stats table — no extra corpus scan for the decision") {
+    val nodes = executedNodes(VectorSearch.vsPlannedStats(spark, sf))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+    // the executed grading plan must NOT contain a scan of the stats
+    // table at all: the estimates were consulted driver-side from the
+    // tiny reloaded artifact BEFORE the plan was built — the routing
+    // cost is zero in the distributed plan
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(!scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft-plannerstats"))),
+      "the stats artifact leaked into the distributed grading plan")
+  }
 }
