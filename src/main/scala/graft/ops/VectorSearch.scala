@@ -1111,6 +1111,17 @@ object VectorSearch {
     * integer-L2 ordering tracks cosine ordering, so the grid changes the
     * geometry only by quantization error. */
   def vsIvfTrained: Q = (spark, dir) => {
+    val (qv, model) = ivfTrainedModel(spark, dir)
+    val assigned = qv.select(col("vec_id").as("c_id"),
+      IvfIndex.intCellOf(col("q"), model).as("cell"))
+    ivfTrainedGrade(spark, dir, qv, model, assigned)
+  }
+
+  /** The trainer half of [[vsIvfTrained]]: staged int8-grid quantized
+    * corpus (column `q`) + the integer-Lloyd model. Shared with the
+    * store/load lifecycle so the persisted index is THE trained one. */
+  private def ivfTrainedModel(spark: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.IntModel) = {
     val e = emb(spark, dir)
     val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
     // (vec_id, q): int8-grid quantization, same arithmetic as vs_quant_search.
@@ -1120,9 +1131,17 @@ object VectorSearch {
       e.crossJoin(broadcast(mx)).select(col("vec_id"),
         transform(col("embedding"), x =>
           round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
-    val model = IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 2)
-    val assigned = qv.select(col("vec_id").as("c_id"),
-      IvfIndex.intCellOf(col("q"), model).as("cell"))
+    (qv, IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 2))
+  }
+
+  /** The grading half of [[vsIvfTrained]]: nprobe cell pick from the
+    * model's broadcast centroid literals, exact-cosine rerank, recall@5
+    * vs brute force. `assigned` is the (c_id, cell) index table — the
+    * trained key passes the freshly-assigned frame, [[vsIvfLoad]] the
+    * RELOADED catalog table, and both must grade identically. */
+  private def ivfTrainedGrade(spark: SparkSession, dir: String, qv: DataFrame,
+      model: IvfIndex.IntModel, assigned: DataFrame): DataFrame = {
+    val e = emb(spark, dir)
     val probeStructs = model.centroids.map { case (cid, cv) =>
       struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
     }
@@ -1253,6 +1272,118 @@ object VectorSearch {
         AS below_floor
     FROM hits, tot ORDER BY q_id"""
   }
+
+  // ── vs_ivf_store / vs_ivf_load — the IVF index as a STORED artifact ──
+  /** The IVF half of the stored-index lifecycle (r15 — same posture as
+    * [[vsNngStore]]/[[vsNngLoad]]; the r14 verdict named "the IVF
+    * assignment table" as one of the memo-resident index artifacts):
+    * [[vsIvfStore]] persists the trained integer-Lloyd model as two
+    * catalog parquet tables — the 8-row centroid table and the
+    * (c_id, cell) assignment table bucketed by `cell`, the probe-join
+    * key, so a serving cluster's probe join reads only the probed
+    * buckets' files — and hashes a per-cell MANIFEST (occupancy +
+    * exact centroid norm²) computed from the RELOADED tables.
+    * [[vsIvfLoad]] serves [[vsIvfTrained]]'s full grading contract
+    * through the reloaded artifacts (model rebuilt from the centroid
+    * table rows, assignment read from the catalog — no trainer run,
+    * no memo lineage); oracle = the trained oracle verbatim. Written
+    * once per (context, dir), like the lake layouts. */
+  final val IvfStoreBuckets = 8
+  private lazy val ivfStoreRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfstore").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val ivfStoreWritten =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
+  private def ensureIvfStored(spark: SparkSession, dir: String): Unit = {
+    ivfStoreWritten.compute(spark.sparkContext, (_, prev) => {
+      if (prev != dir) {
+        val (qv, model) = ivfTrainedModel(spark, dir)
+        val sess = spark
+        import sess.implicits._
+        model.centroids.map { case (cid, cv) => (cid, cv.toSeq) }
+          .toDF("cid", "c")
+          .coalesce(1).write.mode("overwrite").format("parquet")
+          .option("path", s"$ivfStoreRoot/centroids")
+          .saveAsTable("graft_ivf_centroids")
+        graft.sources.Sinks.writeBucketedAt(
+          qv.select(col("vec_id").as("c_id"),
+            IvfIndex.intCellOf(col("q"), model).as("cell")),
+          "graft_ivf_assign", "cell", IvfStoreBuckets, s"$ivfStoreRoot/assign")
+      }
+      dir
+    })
+    ()
+  }
+
+  def vsIvfStore: Q = (spark, dir) => {
+    ensureIvfStored(spark, dir)
+    val cents = spark.table("graft_ivf_centroids")
+      .select(col("cid").cast("long").as("cell"),
+        aggregate(col("c"), lit(0L), (a, x) => a + x * x).as("centroid_norm2"))
+    val occ = spark.table("graft_ivf_assign")
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"))
+    cents.join(occ, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("centroid_norm2"))
+      .orderBy("cell")
+  }
+
+  /** Manifest oracle: the shared quantize + unrolled-Lloyd CTEs, then
+    * the assignment histogram and the exact centroid norms (the
+    * store/load round-trip is value-preserving). */
+  val vsIvfStoreSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qv")
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    qv AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM e, mx),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qv ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    df AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qv t, c2 c),
+    af AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+      WHERE rn = 1),
+    occ AS (SELECT cell, COUNT(*) AS n FROM af GROUP BY 1)
+    SELECT CAST(c.cid AS BIGINT) AS cell,
+      CAST(COALESCE(o.n, 0) AS BIGINT) AS n_vecs,
+      CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT) AS centroid_norm2
+    FROM c2 c LEFT JOIN occ o ON o.cell = c.cid
+    ORDER BY cell"""
+  }
+
+  def vsIvfLoad: Q = (spark, dir) => {
+    ensureIvfStored(spark, dir)
+    val model = IvfIndex.IntModel(
+      spark.table("graft_ivf_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq)
+    val assigned = spark.table("graft_ivf_assign")
+    // Only the query slice needs re-quantizing — the index side comes
+    // entirely from the stored tables.
+    val e = emb(spark, dir)
+    val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+    val qv = graft.util.Persist.stage(
+      e.crossJoin(broadcast(mx)).select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")),
+      eager = false)
+    ivfTrainedGrade(spark, dir, qv, model, assigned)
+  }
+  val vsIvfLoadSql: String = vsIvfTrainedSql
 
   // ── vs_ivf_upsert — IVF append maintenance (assign, no retrain) ──────
   /** Batch-incremental maintenance of the TRAINED IVF index — the
@@ -1786,6 +1917,78 @@ object VectorSearch {
     FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
     WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
     ORDER BY a_id, b_id"""
+
+  // ── vs_lsh_store / vs_lsh_load — the LSH band table as a STORED artifact ─
+  /** The LSH third of the stored-index lifecycle (r15 — completes the
+    * r14 verdict's enumeration: NNG edge frames, IVF assignment table,
+    * LSH band table): [[vsLshStore]] persists the tuned-geometry band
+    * signature frame (vec_id, band_idx, band_val) as a catalog parquet
+    * table bucketed by `band_val` — the candidate self-join key, so a
+    * serving cluster's pair join reads co-bucketed files — and hashes
+    * a MANIFEST (row/bucket counts, max bucket size, Σ band_val·n
+    * content checksum) computed from the RELOADED table. [[vsLshLoad]]
+    * serves [[vsLshTuned]]'s full near-dup contract (capped self-pairs
+    * → exact cosine verify) from the reloaded table; oracle = the
+    * tuned oracle verbatim. Signature hashing — the linear price of
+    * the 0.9@0.8 design point — is paid ONCE at store time instead of
+    * per query, which is the point of persisting this index. */
+  final val LshStoreBuckets = 8
+  private lazy val lshStoreRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-lshstore").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val lshStoreWritten =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
+  private def ensureLshStored(spark: SparkSession, dir: String): Unit = {
+    lshStoreWritten.compute(spark.sparkContext, (_, prev) => {
+      if (prev != dir) {
+        val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
+          geo = lshTunedGeo)
+        graft.sources.Sinks.writeBucketedAt(bandsDf, "graft_lsh_bands",
+          "band_val", LshStoreBuckets, s"$lshStoreRoot/bands")
+      }
+      dir
+    })
+    ()
+  }
+
+  def vsLshStore: Q = (spark, dir) => {
+    ensureLshStored(spark, dir)
+    spark.table("graft_lsh_bands")
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_buckets"),
+        max("n").as("max_bucket"),
+        sum(col("band_val") * col("n")).as("sum_band_val"))
+  }
+
+  /** Manifest oracle: the shared adaptive-band CTEs at the tuned
+    * geometry, then the same bucket aggregates. */
+  val vsLshStoreSql: String = s"""
+    WITH e AS ($eSql),
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo)},
+    sizes AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(MAX(n) AS BIGINT) AS max_bucket,
+      CAST(SUM(band_val * n) AS BIGINT) AS sum_band_val
+    FROM sizes"""
+
+  def vsLshLoad: Q = (spark, dir) => {
+    ensureLshStored(spark, dir)
+    val e = emb(spark, dir)
+    val cand = graft.util.Skew.cappedSelfPairs(spark.table("graft_lsh_bands"),
+      "vec_id", Seq("band_idx", "band_val"), LshBucketCap)
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+  val vsLshLoadSql: String = vsLshTunedSql
 
   // ── vs_hybrid_search — lexical + semantic retrieval, fused score ─────
   /** The vector-DB "hybrid search" pattern: score = ½·cosine(embedding)
@@ -3413,6 +3616,8 @@ object VectorSearch {
     "vs_ivf_search" -> vsIvfSearch,
     "vs_recall_eval" -> vsRecallEval,
     "vs_ivf_trained" -> vsIvfTrained,
+    "vs_ivf_store" -> vsIvfStore,
+    "vs_ivf_load" -> vsIvfLoad,
     "vs_ivf_upsert" -> vsIvfUpsert,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
@@ -3421,6 +3626,8 @@ object VectorSearch {
     "vs_ivfpq_search" -> vsIvfPqSearch,
     "vs_lsh_search" -> vsLshSearch,
     "vs_lsh_tuned" -> vsLshTuned,
+    "vs_lsh_store" -> vsLshStore,
+    "vs_lsh_load" -> vsLshLoad,
     "vs_nng_search" -> vsNngSearch,
     "vs_nng_store" -> vsNngStore,
     "vs_nng_load" -> vsNngLoad,
@@ -3438,6 +3645,8 @@ object VectorSearch {
   private val oraclesStatic: Map[String, String] = Map(
     "vs_diversify" -> vsDiversifySql,
     "vs_ivf_trained" -> vsIvfTrainedSql,
+    "vs_ivf_store" -> vsIvfStoreSql,
+    "vs_ivf_load" -> vsIvfLoadSql,
     "vs_ivf_upsert" -> vsIvfUpsertSql,
     "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,
@@ -3462,6 +3671,8 @@ object VectorSearch {
     "vs_maxsim_search" -> vsMaxsimSearchSql,
     "vs_ivfpq_search" -> vsIvfPqSearchSql,
     "vs_lsh_search" -> vsLshSearchSql,
+    "vs_lsh_store" -> vsLshStoreSql,
+    "vs_lsh_load" -> vsLshLoadSql,
     "vs_nng_search" -> vsNngSearchSql,
     "vs_nng_store" -> vsNngStoreSql,
     "vs_nng_load" -> vsNngLoadSql,
