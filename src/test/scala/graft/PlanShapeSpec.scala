@@ -383,6 +383,22 @@ class PlanShapeSpec extends SparkSpec {
       "cold-start serve planned a cartesian product")
   }
 
+  test("vs_ivf_load / vs_lsh_load: cold serves plan no cartesian anywhere") {
+    // FileScan provenance of the store tables is asserted in
+    // IvfStoreSpec/LshStoreSpec via spark.table (the serve pipelines
+    // stage intermediates, which truncates lineage in the tail plan);
+    // here the contract is join shape only.
+    for ((fn, tag) <- Seq(
+        (VectorSearch.vsIvfLoad, "ivf"),
+        (VectorSearch.vsLshLoad, "lsh"))) {
+      val df = fn(spark, sf)
+      df.collect()
+      val nodes = executedNodes(df)
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$tag cold serve planned a cartesian product")
+    }
+  }
+
   test("vs_planned_stats: routing reads the stats table — no extra corpus scan for the decision") {
     val nodes = executedNodes(VectorSearch.vsPlannedStats(spark, sf))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
