@@ -96,4 +96,19 @@ class W2vSpec extends SparkSpec {
     assert(ops.VectorSearch.oracles.contains("vs_ingest_w2v"),
       "w2v oracle entry missing after the key ran")
   }
+
+  test("the freeze's premise: two independent fits produce identical vocabulary vectors") {
+    // The oracle literal is generated from the SAME memo the query read,
+    // so within-run consistency never depends on refit stability — but
+    // the determinism claim (fixed seed, sorted single-partition input)
+    // should hold on its own. Pin it: two fresh fits, identical vectors.
+    def vecs() = VectorStore.fitW2v(plantedDocs, "doc_id", "text",
+        dim = 16, seed = 7L, minCount = 1, maxIter = 2).getVectors
+      .select(col("word"),
+        org.apache.spark.ml.functions.vector_to_array(col("vector")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val a = vecs()
+    val b = vecs()
+    assert(a.nonEmpty && a == b, "refit produced different vocabulary vectors")
+  }
 }
