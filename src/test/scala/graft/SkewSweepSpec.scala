@@ -78,6 +78,31 @@ class SkewSweepSpec extends SparkSpec {
       s"verified pairs $pairs below the family's ${family * (family - 1) / 2}")
   }
 
+  test("committed skew artifacts track the audit registry (ArtifactSyncSpec's discipline)") {
+    // A new Audits entry must not silently lag the committed hostile
+    // sweeps: always — the artifacts carry no unknown audit keys;
+    // under the freeze flag — exact key equality, so adding an audit
+    // forces a skew-sweep regeneration the way adding a query forces
+    // a bench regeneration.
+    val registry = Audits.audits.keySet
+    for (path <- Seq("skew_sweep.json", "skew_sweep_sf1.json")) {
+      val f = new java.io.File(path)
+      assert(f.isFile, s"$path missing — run graft.tools.SkewSweep")
+      val txt = {
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        try s.mkString finally s.close()
+      }
+      val keys = """"([a-z0-9_.]+)"\s*:\s*\{\s*"baseline_count"""".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      assert(keys.nonEmpty, s"$path: no audit entries parsed")
+      assert((keys -- registry).isEmpty,
+        s"$path carries unknown audits: ${(keys -- registry).toSeq.sorted}")
+      if (sys.env.get("SPARK_GRAFT_FREEZE").contains("1"))
+        assert(keys == registry,
+          s"$path lags the audit registry: missing ${(registry -- keys).toSeq.sorted}")
+    }
+  }
+
   test("every other audit holds its bound on the hostile corpus") {
     // The guards' division of labor: the mega-family is SUPPOSED to trip
     // the minhash/content-volume alarms; everything else (n-adaptive
