@@ -3401,10 +3401,16 @@ object VectorSearch {
     * own mean-of-in-vocab composition, in integers — cosine is
     * scale-invariant so the integer mean ranks like the float mean),
     * and its exact integer norm². Output: one row per document
-    * (vec_id, n_terms, norm2, dvec); zero-vocab docs keep the zero
-    * sentinel (n_terms 0, zero vector), mirroring the store leg's NULL
-    * contract. W2vSpec still pins the retrieval semantics of the float
-    * leg (planted two-topic corpus).
+    * (vec_id, n_terms, norm2, wsum) — the vector itself rides as TWO
+    * scalar fingerprints (norm2 = Σ dvec[i]², wsum = Σ (i+1)·dvec[i],
+    * the position-weighted checksum, so a permutation or sign flip of
+    * any component changes the hash) rather than a raw array column:
+    * the driver's pandas compare hashes scalar cells only (r15 verdict
+    * #1 — an array<bigint> column errors the whole key), and the
+    * `vs_nng_store` manifest keys set the same precedent. Zero-vocab
+    * docs keep the zero sentinel (n_terms 0, both fingerprints 0),
+    * mirroring the store leg's NULL contract. W2vSpec still pins the
+    * retrieval semantics of the float leg (planted two-topic corpus).
     *
     * Scale shape: fit on the 1-in-4 id-keyed sample (the documented
     * train-on-a-sample posture; serial SGD bounded by the sample —
@@ -3446,7 +3452,11 @@ object VectorSearch {
       }.sortBy(_._1).toSeq
     })
 
-  def vsIngestW2v: Q = (spark, dir) => {
+  /** The frozen-transform chain up to the doc vector itself
+    * (vec_id, n_terms, dvec) — the registered key reduces `dvec` to its
+    * two scalar fingerprints; W2vSpec reads THIS frame to pin the
+    * fingerprint arithmetic against the actual vectors. */
+  private[graft] def w2vDocFrame(spark: SparkSession, dir: String): DataFrame = {
     val frozen = w2vFrozen(spark, dir)
     w2vLastDir = Some(dir)
     val dim = graft.VectorStore.Dim
@@ -3478,9 +3488,20 @@ object VectorSearch {
       .select(col("vec_id"),
         coalesce(col("n_terms"), lit(0L)).as("n_terms"),
         coalesce(col("dvec"), array_repeat(lit(0L), dim)).as("dvec"))
+  }
+
+  def vsIngestW2v: Q = (spark, dir) => {
+    val dim = graft.VectorStore.Dim
+    w2vDocFrame(spark, dir)
       .withColumn("norm2",
         aggregate(col("dvec"), lit(0L), (a, x) => a + x * x))
-      .select("vec_id", "n_terms", "norm2", "dvec")
+      // Position-weighted checksum Σ (i+1)·dvec[i] (1-based weights):
+      // scalar stand-in for the vector itself — catches any component
+      // change OR reorder that norm2 alone would miss.
+      .withColumn("wsum",
+        aggregate(zip_with(col("dvec"), sequence(lit(1L), lit(dim.toLong)),
+          (x, i) => x * i), lit(0L), (a, x) => a + x))
+      .select("vec_id", "n_terms", "norm2", "wsum")
       .orderBy("vec_id")
   }
 
@@ -3490,13 +3511,19 @@ object VectorSearch {
     * exact integer SQL. Present only once the key has run in this JVM;
     * a filtered Verify that skipped the key degrades to rows-only for
     * it, never to a stale literal. */
-  private def w2vOracleEntry: Map[String, String] =
+  private def w2vOracleEntry: Map[String, String] = {
+    // Guard against the multi-dir-in-one-JVM hazard (r15 advice):
+    // w2vLastDir is a single slot, so if TWO dirs populated the memo the
+    // dumped literal could be the wrong dir's freeze — degrade to
+    // rows-only (drop the entry) rather than risk a stale-literal
+    // compare. Verify runs one dir per invocation, so the full-round
+    // path always has exactly one memo entry.
+    if (w2vFrozenMemo.size != 1) return Map.empty
     w2vLastDir.flatMap(d => Option(w2vFrozenMemo.get(d))).map { frozen =>
       val dim = graft.VectorStore.Dim
       val values = frozen
         .map { case (w, q) => s"('$w', [${q.mkString(",")}])" }
         .mkString(",\n      ")
-      val zeros = Seq.fill(dim)("0").mkString(",")
       Map("vs_ingest_w2v" -> s"""
     WITH vocab(word, qw) AS (VALUES $values),
     toks AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
@@ -3511,17 +3538,18 @@ object VectorSearch {
       FROM j, dims GROUP BY 1, 2),
     m AS (SELECT s.vec_id, s.i, CAST(sv // n_terms AS BIGINT) AS mv
       FROM s JOIN n USING (vec_id)),
-    dv AS (SELECT vec_id, list(mv ORDER BY i) AS dvec,
-        CAST(SUM(mv * mv) AS BIGINT) AS norm2 FROM m GROUP BY 1)
+    dv AS (SELECT vec_id, CAST(SUM(mv * mv) AS BIGINT) AS norm2,
+        CAST(SUM(i * mv) AS BIGINT) AS wsum FROM m GROUP BY 1)
     SELECT CAST(d.doc_id AS BIGINT) AS vec_id,
       COALESCE(n.n_terms, 0) AS n_terms,
       COALESCE(dv.norm2, 0) AS norm2,
-      COALESCE(dv.dvec, CAST([$zeros] AS BIGINT[])) AS dvec
+      COALESCE(dv.wsum, 0) AS wsum
     FROM documents d
     LEFT JOIN n ON n.vec_id = d.doc_id
     LEFT JOIN dv ON dv.vec_id = d.doc_id
     ORDER BY vec_id""")
     }.getOrElse(Map.empty)
+  }
 
   // ── vs_sparse_search — sparse-vector MIPS via posting-list join ──────
   /** Sparse-vector retrieval — the pgvector `sparsevec` column family

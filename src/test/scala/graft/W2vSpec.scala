@@ -74,21 +74,34 @@ class W2vSpec extends SparkSpec {
     }
   }
 
-  test("vs_ingest_w2v frozen transform: one row per doc, norm2 consistent, vocab hit") {
+  test("vs_ingest_w2v frozen transform: one row per doc, fingerprints consistent, vocab hit") {
     val df = SparkEntry.queries("vs_ingest_w2v")(spark, sf)
     val out = df.collect()
     val nDocs = Tables.documents(spark, sf).count()
     assert(out.length == nDocs)
-    // Independent replay of norm2 and the zero sentinel from the row's
-    // own dvec (the oracle replays the full chain; this pins internal
-    // consistency without re-training).
+    // The registered key emits SCALAR fingerprints only (the driver's
+    // pandas hasher can't hash array cells — r15 verdict #1). Replay
+    // norm2 = Σ dvec² and wsum = Σ (i+1)·dvec[i] in plain Scala from
+    // the chain's own doc-vector frame, plus the zero sentinel.
+    val dvecs = ops.VectorSearch.w2vDocFrame(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("dvec"))).toMap
     for (r <- out) {
+      val id = r.getLong(0)
       val nTerms = r.getAs[Long]("n_terms")
-      val dvec = r.getSeq[Long](r.fieldIndex("dvec"))
+      val dvec = dvecs(id)
       assert(dvec.length == VectorStore.Dim)
       assert(r.getAs[Long]("norm2") == dvec.map(x => x * x).sum)
-      if (nTerms == 0L) assert(dvec.forall(_ == 0L), s"zero-vocab doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("wsum") ==
+        dvec.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum, s"doc $id wsum")
+      if (nTerms == 0L) assert(dvec.forall(_ == 0L), s"zero-vocab doc $id")
     }
+    // no array/map/struct column may reach the registered output
+    assert(df.schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }), "vs_ingest_w2v output must be all-scalar")
     // the synthetic corpus has a dense shared vocabulary: every doc
     // should hit the frozen top-256 vocab
     assert(out.forall(_.getAs[Long]("n_terms") > 0L))

@@ -18,13 +18,23 @@ def canon(rows, cols):
     out = [tuple(r[i] for i in order) for r in rows]
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in order]
 
+def nonscalar_cols(df):
+    """Columns holding list/array/dict cells. The DRIVER's pandas hasher
+    cannot sort/factorize such cells and errors the whole key (r15:
+    vs_ingest_w2v shipped green locally because eq() stringified arrays,
+    then red in the driver) — so the local gate must FAIL them loudly,
+    never stringify-pass them."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype.kind == "O" and any(
+                hasattr(x, "__len__") and not isinstance(x, (str, bytes))
+                for x in df[c] if x is not None):
+            bad.append(c)
+    return bad
+
 def eq(a, b):
     if a is None or b is None:
         return a is None and b is None
-    # non-scalar cells (numpy arrays from list columns): compare rendered
-    if (hasattr(a, "__len__") and not isinstance(a, (str, bytes))) or \
-       (hasattr(b, "__len__") and not isinstance(b, (str, bytes))):
-        return str(a) == str(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -59,6 +69,12 @@ def main(sf_dir, out_dir):
         sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
         scols = list(sdf.columns)
         srows = [tuple(r) for r in sdf.itertuples(index=False)]
+        ns = sorted(set(nonscalar_cols(sdf)) | set(nonscalar_cols(odf)))
+        if ns:
+            print(f"FAIL {name}: non-scalar cells in {ns} — the driver's "
+                  f"pandas hasher cannot hash array/map/struct columns")
+            n_fail += 1
+            continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1

@@ -10,12 +10,16 @@ def canon(rows, cols):
     out = [tuple(r[i] for i in order) for r in rows]
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in order]
 
+def nonscalar_cols(df):
+    """Columns holding list/array/dict cells — the driver's pandas hasher
+    errors on these (r15: vs_ingest_w2v), so FAIL them loudly."""
+    return [c for c in df.columns if df[c].dtype.kind == "O" and any(
+        hasattr(x, "__len__") and not isinstance(x, (str, bytes))
+        for x in df[c] if x is not None)]
+
 def eq(a, b):
     if a is None or b is None:
         return a is None and b is None
-    if (hasattr(a, "__len__") and not isinstance(a, (str, bytes))) or \
-       (hasattr(b, "__len__") and not isinstance(b, (str, bytes))):
-        return str(a) == str(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -39,6 +43,9 @@ def main(sf_dir, out_dir, keys):
         orows, ocols = canon(odf.values.tolist(), list(odf.columns))
         sdf = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         srows, scols = canon(sdf.values.tolist(), list(sdf.columns))
+        ns = sorted(set(nonscalar_cols(sdf)) | set(nonscalar_cols(odf)))
+        if ns:
+            print(f"FAIL {name}: non-scalar cells in {ns} — driver-unhashable"); rc = 1; continue
         if ocols != scols:
             print(f"FAIL {name}: schema {scols} vs oracle {ocols}"); rc = 1; continue
         if len(orows) != len(srows):
