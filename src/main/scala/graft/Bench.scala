@@ -119,7 +119,9 @@ object Bench {
       f"[bench] CALIBRATION DRIFT: spin $calBefore%.3f s before vs $calAfter%.3f s after " +
       f"(ratio $calRatio%.2f > ${graft.util.Calibrate.DriftLimit}) - " +
       "host load changed DURING the sweep; treat per-key deltas as suspect")
-    def fmt(d: Double) = if (d < 0) "-1.0" else f"$d%.4f"
+    // Locale-fixed (Jnum): this JSON is machine-parsed; f"%.4f" renders
+    // a comma decimal on comma-locale JVMs (r15 advice).
+    def fmt(d: Double) = if (d < 0) "-1.0" else graft.util.Jnum.f4(d)
     // Env-controlled paths are interpolated into JSON → escape them (a
     // quote or backslash in a value would break the driver's parse).
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -132,6 +134,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val repJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Median-of-reps per key, alongside the min headline (r15 verdict
+    // #8): one-shot mins on this host swing up to 3.6× under roaming
+    // stalls while medians stay tight, so the artifact carries BOTH —
+    // a judge adjudicates a suspect regression from the median without
+    // a re-run (SweepDiff prefers this block when present).
+    val medJson = results.map { case (k, ts) =>
+      val v = if (ts.contains(-1.0)) -1.0
+              else { val s = ts.sorted; s(s.size / 2) }
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else fmt(v))
     }.mkString("{", ",", "}")
     // Candidate-volume telemetry (graft.Audits): counted AFTER the timed
     // sweep, emitted in the detail JSON so a superlinear candidate drift
@@ -185,9 +197,10 @@ object Bench {
         val qps = nBatches.toLong * batchSize / lats.sum
         System.err.println(
           f"[bench] serving stream_search_ivf: p50=$p50%.3f s p95=$p95%.3f s qps=$qps%.1f")
-        f"""{"query":"stream_search_ivf","n_batches":$nBatches,"batch_size":$batchSize,""" +
-          f""""p50_s":$p50%.4f,"p95_s":$p95%.4f,"qps":$qps%.1f,""" +
-          s""""lat_s":[${lats.map(l => f"$l%.4f").mkString(",")}]}"""
+        import graft.util.Jnum.{f1, f4}
+        s"""{"query":"stream_search_ivf","n_batches":$nBatches,"batch_size":$batchSize,""" +
+          s""""p50_s":${f4(p50)},"p95_s":${f4(p95)},"qps":${f1(qps)},""" +
+          s""""lat_s":[${lats.map(f4).mkString(",")}]}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] serving harness failed: ${e.getMessage}")
         "null"
@@ -195,11 +208,14 @@ object Bench {
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
-    val calJson = f"""{"before_s":$calBefore%.4f,"after_s":$calAfter%.4f,"ratio":$calRatio%.3f}"""
+    val calJson = {
+      import graft.util.Jnum.{f3, f4}
+      s"""{"before_s":${f4(calBefore)},"after_s":${f4(calAfter)},"ratio":${f3(calRatio)}}"""
+    }
     // HEAD stamp (r14 verdict #6): the freeze gate asserts no product
     // source changed between this SHA and the HEAD under test.
     val gitSha = graft.util.GitInfo.headSha().getOrElse("unknown")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"serving":$servingJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"medians":$medJson,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"serving":$servingJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
@@ -229,7 +245,7 @@ object Bench {
       "\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else fmt(ts.min))))
       .mkString("{", ",", "}")
     val nFail = mins.count(_ < 0)
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_failed":$nFail,"cal_ratio":${f"$calRatio%.3f"},"detail":${jstr(out)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_failed":$nFail,"cal_ratio":${graft.util.Jnum.f3(calRatio)},"detail":${jstr(out)}}"""
     println(compact)
     spark.stop()
   }

@@ -1289,41 +1289,51 @@ object VectorSearch {
     * no memo lineage); oracle = the trained oracle verbatim. Written
     * once per (context, dir), like the lake layouts. */
   final val IvfStoreBuckets = 8
+  /** Catalog table name for a stored-index artifact, keyed by corpus
+    * dir (r15 advice: the previous fixed names were swapped out by the
+    * last-written dir per context, so two sessions querying different
+    * dirs on one context could LAZILY read the other dir's index
+    * between plan construction and execution; per-dir names make the
+    * binding permanent — a table, once written, always serves the dir
+    * it was built from). Specs and the streaming cold-start legs
+    * resolve names through here. */
+  private[graft] def storedTable(base: String, dir: String): String =
+    base + "_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
   private lazy val ivfStoreRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-ivfstore").toFile
     graft.util.Persist.deleteOnExit(d)
     d.toString
   }
   private val ivfStoreWritten =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
   private def ensureIvfStored(spark: SparkSession, dir: String): Unit = {
-    ivfStoreWritten.compute(spark.sparkContext, (_, prev) => {
-      if (prev != dir) {
-        val (qv, model) = ivfTrainedModel(spark, dir)
-        val sess = spark
-        import sess.implicits._
-        model.centroids.map { case (cid, cv) => (cid, cv.toSeq) }
-          .toDF("cid", "c")
-          .coalesce(1).write.mode("overwrite").format("parquet")
-          .option("path", s"$ivfStoreRoot/centroids")
-          .saveAsTable("graft_ivf_centroids")
-        graft.sources.Sinks.writeBucketedAt(
-          qv.select(col("vec_id").as("c_id"),
-            IvfIndex.intCellOf(col("q"), model).as("cell")),
-          "graft_ivf_assign", "cell", IvfStoreBuckets, s"$ivfStoreRoot/assign")
-      }
-      dir
+    ivfStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val t = storedTable("graft_ivf_assign", dir)
+      val (qv, model) = ivfTrainedModel(spark, dir)
+      val sess = spark
+      import sess.implicits._
+      model.centroids.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "c")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .option("path", s"$ivfStoreRoot/centroids-${t.split('_').last}")
+        .saveAsTable(storedTable("graft_ivf_centroids", dir))
+      graft.sources.Sinks.writeBucketedAt(
+        qv.select(col("vec_id").as("c_id"),
+          IvfIndex.intCellOf(col("q"), model).as("cell")),
+        t, "cell", IvfStoreBuckets, s"$ivfStoreRoot/assign-${t.split('_').last}")
+      true
     })
     ()
   }
 
   def vsIvfStore: Q = (spark, dir) => {
     ensureIvfStored(spark, dir)
-    val cents = spark.table("graft_ivf_centroids")
+    val cents = spark.table(storedTable("graft_ivf_centroids", dir))
       .select(col("cid").cast("long").as("cell"),
         aggregate(col("c"), lit(0L), (a, x) => a + x * x).as("centroid_norm2"))
-    val occ = spark.table("graft_ivf_assign")
+    val occ = spark.table(storedTable("graft_ivf_assign", dir))
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .select(col("cell").cast("long").as("cell"), col("n_vecs"))
     cents.join(occ, Seq("cell"), "left")
@@ -1368,10 +1378,10 @@ object VectorSearch {
   def vsIvfLoad: Q = (spark, dir) => {
     ensureIvfStored(spark, dir)
     val model = IvfIndex.IntModel(
-      spark.table("graft_ivf_centroids").collect()
+      spark.table(storedTable("graft_ivf_centroids", dir)).collect()
         .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
         .sortBy(_._1).toIndexedSeq)
-    val assigned = spark.table("graft_ivf_assign")
+    val assigned = spark.table(storedTable("graft_ivf_assign", dir))
     // Only the query slice needs re-quantizing — the index side comes
     // entirely from the stored tables.
     val e = emb(spark, dir)
@@ -1939,24 +1949,23 @@ object VectorSearch {
     d.toString
   }
   private val lshStoreWritten =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
   private def ensureLshStored(spark: SparkSession, dir: String): Unit = {
-    lshStoreWritten.compute(spark.sparkContext, (_, prev) => {
-      if (prev != dir) {
-        val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
-          geo = lshTunedGeo)
-        graft.sources.Sinks.writeBucketedAt(bandsDf, "graft_lsh_bands",
-          "band_val", LshStoreBuckets, s"$lshStoreRoot/bands")
-      }
-      dir
+    lshStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val t = storedTable("graft_lsh_bands", dir)
+      val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
+        geo = lshTunedGeo)
+      graft.sources.Sinks.writeBucketedAt(bandsDf, t,
+        "band_val", LshStoreBuckets, s"$lshStoreRoot/bands-${t.split('_').last}")
+      true
     })
     ()
   }
 
   def vsLshStore: Q = (spark, dir) => {
     ensureLshStored(spark, dir)
-    spark.table("graft_lsh_bands")
+    spark.table(storedTable("graft_lsh_bands", dir))
       .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
       .agg(sum("n").as("n_rows"), count(lit(1)).as("n_buckets"),
         max("n").as("max_bucket"),
@@ -1978,7 +1987,7 @@ object VectorSearch {
   def vsLshLoad: Q = (spark, dir) => {
     ensureLshStored(spark, dir)
     val e = emb(spark, dir)
-    val cand = graft.util.Skew.cappedSelfPairs(spark.table("graft_lsh_bands"),
+    val cand = graft.util.Skew.cappedSelfPairs(spark.table(storedTable("graft_lsh_bands", dir)),
       "vec_id", Seq("band_idx", "band_val"), LshBucketCap)
     cand
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
@@ -2390,23 +2399,22 @@ object VectorSearch {
     d.toString
   }
   private val nngStoreWritten =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
   /** Build (memo-shared with the other lifecycle keys) and persist the
     * full-corpus graph index once per (context, dir). Catalog tables,
     * like the lake copies, are context-shared: `newSession()` clones
     * see them — exactly the cross-session serving shape under test. */
   private def ensureNngStored(spark: SparkSession, dir: String): Unit = {
-    nngStoreWritten.compute(spark.sparkContext, (_, prev) => {
-      if (prev != dir) {
-        val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
-        val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
-        graft.sources.Sinks.writeBucketedAt(refined, "graft_nng_refined",
-          "src", NngStoreBuckets, s"$nngStoreRoot/refined")
-        graft.sources.Sinks.writeBucketedAt(init, "graft_nng_init",
-          "src", NngStoreBuckets, s"$nngStoreRoot/init")
-      }
-      dir
+    nngStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val tag = storedTable("x", dir).split('_').last
+      val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+      val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
+      graft.sources.Sinks.writeBucketedAt(refined, storedTable("graft_nng_refined", dir),
+        "src", NngStoreBuckets, s"$nngStoreRoot/refined-$tag")
+      graft.sources.Sinks.writeBucketedAt(init, storedTable("graft_nng_init", dir),
+        "src", NngStoreBuckets, s"$nngStoreRoot/init-$tag")
+      true
     })
     ()
   }
@@ -2426,8 +2434,8 @@ object VectorSearch {
         .select(lit(part).as("part"), col("n_rows"), col("n_src"),
           col("max_deg"), col("sum_d2"))
     }
-    manifest(spark.table("graft_nng_refined"), "refined", hasD2 = true)
-      .unionByName(manifest(spark.table("graft_nng_init"), "init", hasD2 = false))
+    manifest(spark.table(storedTable("graft_nng_refined", dir)), "refined", hasD2 = true)
+      .unionByName(manifest(spark.table(storedTable("graft_nng_init", dir)), "init", hasD2 = false))
       .orderBy("part")
   }
 
@@ -2457,8 +2465,8 @@ object VectorSearch {
     * verbatim: a lossy store would break the hash. */
   def vsNngLoad: Q = (spark, dir) => {
     ensureNngStored(spark, dir)
-    val refined = spark.table("graft_nng_refined")
-    val init = spark.table("graft_nng_init")
+    val refined = spark.table(storedTable("graft_nng_refined", dir))
+    val init = spark.table(storedTable("graft_nng_init", dir))
     val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
     val qs = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
@@ -3083,31 +3091,30 @@ object VectorSearch {
     d.toString
   }
   private val plannerStatsWritten =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
   /** ANALYZE: one scan of the joined planner corpus stacked into
     * (col_name, value, cnt) histogram rows plus the `_total` row,
     * persisted as an external parquet catalog table once per
     * (context, dir). */
   private def ensurePlannerStats(spark: SparkSession, dir: String): Unit = {
-    plannerStatsWritten.compute(spark.sparkContext, (_, prev) => {
-      if (prev != dir) {
-        val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-        val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-        val ep = e.join(d, col("vec_id") === col("doc_id"))
-        val hist = ep.select(explode(array(
-            struct(lit("label").as("col_name"), col("label").cast("string").as("value")),
-            struct(lit("lang").as("col_name"), col("lang").as("value")))).as("s"))
-          .select(col("s.col_name").as("col_name"), col("s.value").as("value"))
-          .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
-        val total = ep.agg(count(lit(1)).as("cnt"))
-          .select(lit("_total").as("col_name"), lit("n").as("value"), col("cnt"))
-        hist.unionByName(total).coalesce(1)
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"$plannerStatsRoot/stats")
-          .saveAsTable(PlannerStatsTable)
-      }
-      dir
+    plannerStatsWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val t = storedTable(PlannerStatsTable, dir)
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      val ep = e.join(d, col("vec_id") === col("doc_id"))
+      val hist = ep.select(explode(array(
+          struct(lit("label").as("col_name"), col("label").cast("string").as("value")),
+          struct(lit("lang").as("col_name"), col("lang").as("value")))).as("s"))
+        .select(col("s.col_name").as("col_name"), col("s.value").as("value"))
+        .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+      val total = ep.agg(count(lit(1)).as("cnt"))
+        .select(lit("_total").as("col_name"), lit("n").as("value"), col("cnt"))
+      hist.unionByName(total).coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$plannerStatsRoot/stats-${t.split('_').last}")
+        .saveAsTable(t)
+      true
     })
     ()
   }
@@ -3115,8 +3122,8 @@ object VectorSearch {
   /** Plan-time lookup: collect the persisted histogram (tiny) and
     * evaluate the three predicates' estimates in exact Long arithmetic
     * mirrored by the oracle's `//` chains. */
-  private[graft] def plannerStatsEstimates(spark: SparkSession): Map[String, Long] = {
-    val rows = spark.table(PlannerStatsTable).collect()
+  private[graft] def plannerStatsEstimates(spark: SparkSession, dir: String): Map[String, Long] = {
+    val rows = spark.table(storedTable(PlannerStatsTable, dir)).collect()
     def histOf(cn: String): Map[String, Long] = rows
       .filter(_.getString(0) == cn)
       .map(r => r.getString(1) -> r.getLong(2)).toMap
@@ -3133,7 +3140,7 @@ object VectorSearch {
 
   def vsPlannedStats: Q = (spark, dir) => {
     ensurePlannerStats(spark, dir)
-    val est = plannerStatsEstimates(spark)
+    val est = plannerStatsEstimates(spark, dir)
     vsSearchPlannedWith(spark, dir, PlanBruteCutoff,
       routeStat = Some((tag, _) => est(tag)), emitRouteStat = true)
   }

@@ -90,7 +90,7 @@ object SkewSweep {
     val base = auditLine(src)
     val host = auditLine(hostileDir)
 
-    def fmt(d: Double) = f"$d%.3f"
+    def fmt(d: Double) = graft.util.Jnum.f3(d) // locale-fixed: machine-parsed JSON
     val auditJson = graft.Audits.audits.keys.toSeq.sorted.map { name =>
       val (bc, br, bAlarm) = base(name)
       val (hc, hr, hAlarm) = host(name)

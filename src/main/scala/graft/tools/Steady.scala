@@ -65,7 +65,7 @@ object Steady {
         .map(s => "\"_git_sha\":\"" + s + "\",").getOrElse("")
       val json = "{" + shaEntry + (medians ++ Seq(
           "_cal_before_s" -> calBefore, "_cal_after_s" -> calAfter))
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .map { case (k, v) => "\"" + k + "\":" + graft.util.Jnum.f4(v) }
         .mkString(",") + "}"
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -20,31 +20,48 @@ package graft.tools
   * `"calibration":{...}` sibling).
   */
 object SweepDiff {
-  private def parse(path: String): (Map[String, Double], Option[Double]) = {
+  private def flatBlock(txt: String, path: String, name: String): Option[Map[String, Double]] =
+    (s""""$name"\\s*:\\s*\\{([^}]*)\\}""").r.findFirstMatchIn(txt).map { m =>
+      val qBlock = m.group(1)
+      // The first-closing-brace regex silently truncates if the object
+      // ever gains a nested object (r14 advice) — in that case the
+      // captured block would contain the nested '{'; fail loudly instead
+      // of under-reading the artifact.
+      require(!qBlock.contains("{"),
+        s"$path: $name object contains a nested '{' — the flat-object parse would truncate it")
+      """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(qBlock)
+        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+    }
+
+  private def parse(path: String)
+      : (Map[String, Double], Option[Map[String, Double]], Option[Double]) = {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-    val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse(
-        sys.error(s"$path: no \"queries\" object found"))
-    // The first-closing-brace regex silently truncates if the queries
-    // object ever gains a nested object (r14 advice) — in that case the
-    // captured block would contain the nested '{'; fail loudly instead
-    // of under-reading the artifact.
-    require(!qBlock.contains("{"),
-      s"$path: queries object contains a nested '{' — the flat-object parse would truncate it")
-    val qs = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(qBlock)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val qs = flatBlock(txt, path, "queries").getOrElse(
+      sys.error(s"$path: no \"queries\" object found"))
+    // The per-key MEDIANS block (r16: Bench emits median-of-reps beside
+    // the min headline) — one-shot mins swing up to 3.6× under this
+    // host's roaming stalls, so median-vs-median is the
+    // adjudication-grade comparison when BOTH artifacts carry it.
+    val meds = flatBlock(txt, path, "medians")
     val cal = """"calibration"\s*:\s*\{[^}]*"before_s"\s*:\s*([0-9.eE+]+)[^}]*"after_s"\s*:\s*([0-9.eE+]+)""".r
       .findFirstMatchIn(txt)
       .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
-    (qs, cal)
+    (qs, meds, cal)
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: SweepDiff <old.json> <new.json> [outlierFactor]")
     val outlier = if (args.length > 2) args(2).toDouble else 1.5
-    val (oldQ, oldCal) = parse(args(0))
-    val (newQ, newCal) = parse(args(1))
+    val (oldMin, oldMed, oldCal) = parse(args(0))
+    val (newMin, newMed, newCal) = parse(args(1))
+    // Medians only when both sides have them — a median-vs-min mix
+    // would manufacture a systematic ratio shift.
+    val (oldQ, newQ, basis) = (oldMed, newMed) match {
+      case (Some(a), Some(b)) => (a, b, "median")
+      case _ => (oldMin, newMin, "min")
+    }
+    println(s"SWEEPDIFF basis=$basis")
     val ambient = (oldCal, newCal) match {
       case (Some(a), Some(b)) => b / a
       case _ => 1.0

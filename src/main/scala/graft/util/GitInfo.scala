@@ -32,8 +32,24 @@ object GitInfo {
   def changedProductSources(since: String): Option[Seq[String]] =
     for {
       committed <- run("git", "diff", "--name-only", s"$since..HEAD", "--", "src/main")
-      // --porcelain lines are "XY <path>"; strip the 3-char status.
       worktree <- run("git", "status", "--porcelain", "--", "src/main")
     } yield (committed.split('\n').map(_.trim) ++
-      worktree.split('\n').map(_.drop(3).trim)).filter(_.nonEmpty).toSeq.distinct
+      worktree.split('\n').map(porcelainPath)).filter(_.nonEmpty).toSeq.distinct
+
+  /** Path from one `git status --porcelain` line: strip the "XY " status,
+    * keep the NEW side of a rename ("R  old -> new"), and unquote git's
+    * C-style quoting of paths with special chars (r15 advice: a rename
+    * line surviving drop(3) verbatim reported a garbage pseudo-path —
+    * the gate still failed, conservatively, but named the wrong file). */
+  private[util] def porcelainPath(line: String): String = {
+    val p0 = line.drop(3).trim
+    val p1 = p0.lastIndexOf(" -> ") match {
+      case -1 => p0
+      case i  => p0.substring(i + 4).trim
+    }
+    if (p1.length >= 2 && p1.head == '"' && p1.last == '"')
+      p1.substring(1, p1.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    else p1
+  }
 }

@@ -46,9 +46,9 @@ class IvfStoreSpec extends SparkSpec {
   test("the reloaded assignment is a bucketed parquet FileScan of the external store") {
     SparkEntry.queries("vs_ivf_store")(spark, sf).collect()
     val cold = spark.newSession()
-    val plan = cold.table("graft_ivf_assign").queryExecution.executedPlan.toString()
+    val plan = cold.table(VectorSearch.storedTable("graft_ivf_assign", sf)).queryExecution.executedPlan.toString()
     assert(plan.contains("FileScan parquet"), s"not a FileScan:\n$plan")
-    val desc = cold.sql("DESCRIBE FORMATTED graft_ivf_assign").collect()
+    val desc = cold.sql("DESCRIBE FORMATTED " + VectorSearch.storedTable("graft_ivf_assign", sf)).collect()
     val loc = desc.find(_.getString(0).trim == "Location").map(_.getString(1)).getOrElse("")
     assert(loc.contains("graft-ivfstore"), s"location '$loc' not the external store")
     val buckets = desc.find(_.getString(0).trim.startsWith("Num Buckets")).map(_.getString(1))

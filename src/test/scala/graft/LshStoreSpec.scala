@@ -41,9 +41,9 @@ class LshStoreSpec extends SparkSpec {
   test("the reloaded band table is a bucketed parquet FileScan of the external store") {
     SparkEntry.queries("vs_lsh_store")(spark, sf).collect()
     val cold = spark.newSession()
-    val plan = cold.table("graft_lsh_bands").queryExecution.executedPlan.toString()
+    val plan = cold.table(VectorSearch.storedTable("graft_lsh_bands", sf)).queryExecution.executedPlan.toString()
     assert(plan.contains("FileScan parquet"), s"not a FileScan:\n$plan")
-    val desc = cold.sql("DESCRIBE FORMATTED graft_lsh_bands").collect()
+    val desc = cold.sql("DESCRIBE FORMATTED " + VectorSearch.storedTable("graft_lsh_bands", sf)).collect()
     val loc = desc.find(_.getString(0).trim == "Location").map(_.getString(1)).getOrElse("")
     assert(loc.contains("graft-lshstore"), s"location '$loc' not the external store")
     val buckets = desc.find(_.getString(0).trim.startsWith("Num Buckets")).map(_.getString(1))

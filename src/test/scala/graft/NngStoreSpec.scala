@@ -49,7 +49,7 @@ class NngStoreSpec extends SparkSpec {
   test("the reloaded index is a parquet FileScan of the external store, not a memo frame") {
     SparkEntry.queries("vs_nng_store")(spark, sf).collect()
     val cold = spark.newSession()
-    for (t <- Seq("graft_nng_refined", "graft_nng_init")) {
+    for (t <- Seq(VectorSearch.storedTable("graft_nng_refined", sf), VectorSearch.storedTable("graft_nng_init", sf))) {
       val plan = cold.table(t).queryExecution.executedPlan.toString()
       assert(plan.contains("FileScan parquet"),
         s"$t does not plan as a parquet FileScan:\n$plan")

@@ -89,7 +89,7 @@ class PlannedSpec extends SparkSpec {
     // histogram estimate must be EXACT; the conjunctions stay within
     // a generous independence band (the synthetic label/lang columns
     // are independent by construction).
-    val est = VectorSearch.plannerStatsEstimates(spark)
+    val est = VectorSearch.plannerStatsEstimates(spark, sf)
     for ((tag, pass) <- VectorSearch.plannerPreds(spark, sf)) {
       val n = pass.count()
       if (tag == "p3_fat") assert(est(tag) == n, s"$tag: $est vs $n")
