@@ -1598,6 +1598,181 @@ object VectorSearch {
     ORDER BY q_id"""
   }
 
+  // ── vs_ivf_delete — IVF tombstone deletion + occupancy-drop report ───
+  /** The delete leg of the IVF lifecycle (r15 verdict #4 — completes
+    * the maintenance matrix: NNG has upsert+delete+merge, IVF had only
+    * upsert): every 40th vector ([[DeleteMod]], the same victim rule as
+    * [[vsNngDelete]]) is tombstoned out of the TRAINED index. Unlike
+    * the graph, an inverted file needs no edge repair — deletion is ONE
+    * anti-join of the assignment table against the tombstone set
+    * (pgvector ivfflat DELETE removes the tuple from its list the same
+    * way; FAISS `remove_ids` compacts the invlist). The index-
+    * maintenance signal is the OCCUPANCY DROP: a cell losing a large
+    * share of its members degrades nprobe coverage (probing 3 of 8
+    * cells now returns fewer candidates), so the report is per cell —
+    * (n_before, n_deleted, n_after) with the (unchanged) centroid
+    * norm² — the histogram a store alarms on to schedule retraining,
+    * exactly [[vsIvfUpsert]]'s drift_ppm posture from the other
+    * direction.
+    *
+    * Deletion cleanliness is by construction: the serving grade scores
+    * candidates from the SURVIVOR assignment only (anti-join), so a
+    * victim id cannot appear in any probe result in either engine.
+    * Grade: survivor queries (vec_id % 100 = 5 — odd, provably
+    * disjoint from the %40 victims) probe nprobe=3 trained cells over
+    * the pruned assignment, exact-cosine rerank, recall@5 vs exact
+    * top-5 over survivors; the mean (ppm, exact integers) and its
+    * floor flag ride on every report row. Cost shape: the anti-join is
+    * map-side (broadcastable tombstone set at any victim rate on the
+    * id-hash), the report is one groupBy over the n-row assignment,
+    * and the grade is the |Q|-bounded contract shared by the whole IVF
+    * family.
+    *
+    * Floor: 500000 ppm, BELOW the trained key's 600000 — measured with
+    * the %5 survivor slice: 520000 / 680000 / 730000 ppm at
+    * sf0.001/0.01/0.1. The sf0.001 dip is small-sample geometry, not a
+    * maintenance defect: 5 queries × 5 neighbors = 25 grading points,
+    * so ONE boundary query swings the mean by 200000 ppm, and recall
+    * RISES with corpus (the nprobe=3/8 coverage argument only
+    * stabilizes once cells hold >60 vectors). The floor still alarms
+    * on what it exists for — a pruning bug (victims served, survivors
+    * dropped) collapses recall far below ½. */
+  final val IvfDeleteRecallFloorPpm = 500000L
+  def vsIvfDelete: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val (qv, model) = ivfTrainedModel(spark, dir)
+    def vic(c: Column): Column = c % DeleteMod === 0
+    val assigned = graft.util.Persist.stage(
+      qv.select(col("vec_id").as("c_id"),
+        IvfIndex.intCellOf(col("q"), model).as("cell")), eager = false)
+    val alive = assigned.filter(!vic(col("c_id")))
+    // Per-cell occupancy drop (8 rows; cells that lost everything keep
+    // their row — the left join is against the centroid table).
+    val before = assigned.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val dead = assigned.filter(vic(col("c_id")))
+      .groupBy("cell").agg(count(lit(1)).as("n_deleted"))
+    val sess = spark
+    import sess.implicits._
+    val cents = model.centroids.map { case (cid, cv) =>
+      (cid.toLong, cv.map(x => x * x).sum) }.toDF("cell", "centroid_norm2")
+    val report = cents
+      .join(before.select(col("cell").cast("long").as("cell"), col("n_before")), Seq("cell"), "left")
+      .join(dead.select(col("cell").cast("long").as("cell"), col("n_deleted")), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        (coalesce(col("n_before"), lit(0L))
+          - coalesce(col("n_deleted"), lit(0L))).as("n_after"),
+        col("centroid_norm2"))
+    // Serving grade over survivors through the pruned index.
+    val sur = e.filter(!vic(col("vec_id")))
+    val probeStructs = model.centroids.map { case (cid, cv) =>
+      struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+    }
+    val probes = qv.filter(col("vec_id") % 100 === 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .select(col("q_id"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, IvfTrainedNprobe)).as("p"))
+      .select(col("q_id"), col("p.cid").as("cell"))
+    val qraw = sur.filter(col("vec_id") % 100 === 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val approx = alive.join(broadcast(probes), "cell")
+      .join(sur.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qraw), "q_id")
+      .select(col("q_id"), col("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val exact = sur.crossJoin(broadcast(qraw))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val tot = exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))), count(lit(1))).head()
+    require(tot.getLong(1) > 0,
+      "IVF delete has no survivor queries to grade")
+    val ppm = 1000000L * tot.getLong(0) / tot.getLong(1)
+    report
+      .withColumn("mean_recall_ppm", lit(ppm))
+      .withColumn("below_floor",
+        lit(if (ppm < IvfDeleteRecallFloorPpm) 1L else 0L))
+      .orderBy("cell")
+  }
+
+  /** Full SQL replay of [[vsIvfDelete]]: shared quantize + unrolled
+    * Lloyd on the FULL corpus (the trained artifact), assignment,
+    * tombstone split, per-cell occupancy report, survivor-only probe +
+    * exact-cosine rerank, recall grade over survivors. */
+  val vsIvfDeleteSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qv")
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    qv AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM e, mx),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qv ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    df AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qv t, c2 c),
+    af AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+      WHERE rn = 1),
+    alive AS (SELECT c_id, cell FROM af WHERE c_id % $DeleteMod <> 0),
+    nb AS (SELECT cell, COUNT(*) AS n_before FROM af GROUP BY 1),
+    nd AS (SELECT cell, COUNT(*) AS n_deleted FROM af
+      WHERE c_id % $DeleteMod = 0 GROUP BY 1),
+    rep AS (SELECT CAST(c.cid AS BIGINT) AS cell,
+        CAST(COALESCE(nb.n_before, 0) AS BIGINT) AS n_before,
+        CAST(COALESCE(nd.n_deleted, 0) AS BIGINT) AS n_deleted,
+        CAST(COALESCE(nb.n_before, 0) - COALESCE(nd.n_deleted, 0) AS BIGINT) AS n_after,
+        CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT) AS centroid_norm2
+      FROM c2 c LEFT JOIN nb ON nb.cell = c.cid LEFT JOIN nd ON nd.cell = c.cid),
+    qs AS (SELECT vec_id AS q_id, q FROM qv WHERE vec_id % 100 = 5),
+    pd AS (SELECT t.q_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qs t, c2 c),
+    probe AS (SELECT q_id, cid AS cell FROM (
+        SELECT q_id, cid,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd)
+      WHERE rn <= $IvfTrainedNprobe),
+    sur AS (SELECT vec_id, v FROM e WHERE vec_id % $DeleteMod <> 0),
+    qraw AS (SELECT vec_id AS q_id, v FROM sur WHERE vec_id % 100 = 5),
+    araw AS (SELECT p.q_id, a.c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM probe p JOIN alive a ON a.cell = p.cell
+        JOIN sur ec ON ec.vec_id = a.c_id
+        JOIN qraw eq ON eq.q_id = p.q_id),
+    approx AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM araw)
+      WHERE rn <= 5),
+    eraw AS (SELECT eq.q_id, ec.vec_id AS c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM sur ec, qraw eq),
+    exact AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM eraw)
+      WHERE rn <= 5),
+    tot AS (SELECT CAST((1000000 * SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT) AS ppm
+      FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.c_id = x.c_id)
+    SELECT rep.cell, rep.n_before, rep.n_deleted, rep.n_after, rep.centroid_norm2,
+      ppm AS mean_recall_ppm,
+      CAST(CASE WHEN ppm < $IvfDeleteRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT)
+        AS below_floor
+    FROM rep, tot ORDER BY cell"""
+  }
+
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
   /** Random-hyperplane LSH at the n-ADAPTIVE geometry (round 12 — see
     * [[lshAdaptiveGeometry]]): band width r grows with log₂(corpus), so
@@ -1817,13 +1992,13 @@ object VectorSearch {
     * fixed-geometry mirror's bare `1 <<` would overflow INT32 at the
     * table's widest bands). */
   private[graft] def lshBandsAdaptiveSql(src: String, idCol: String,
-      geo: Seq[(Int, Int)] = lshAdaptGeo): String = {
+      geo: Seq[(Int, Int)] = lshAdaptGeo, geoSrc: String = null): String = {
     val geoVals = geo.map { case (r, b) => s"($r,$b)" }.mkString(",")
     val maxPlanes = geo.map { case (r, b) => r * b }.max
     val (rMax, bMax) = geo.last
     s"""
     geo0 AS (SELECT * FROM (VALUES $geoVals) t(r, b)),
-    nn AS (SELECT COUNT(*) AS n FROM $src),
+    nn AS (SELECT COUNT(*) AS n FROM ${Option(geoSrc).getOrElse(src)}),
     geopick AS (SELECT r, b FROM geo0, nn
       WHERE n * b <= $LshAdaptCandsPerRow * (CAST(1 AS BIGINT) << (r + 1))
       ORDER BY r LIMIT 1),
@@ -1998,6 +2173,90 @@ object VectorSearch {
       .orderBy("a_id", "b_id")
   }
   val vsLshLoadSql: String = vsLshTunedSql
+
+  // ── vs_lsh_upsert — LSH append at the FROZEN stored geometry ─────────
+  /** The maintenance leg the LSH family lacked (r15 verdict #4 — NNG
+    * has upsert+delete+merge, IVF upsert+delete, LSH had none): absorb
+    * a batch of new vectors into the stored band table WITHOUT
+    * re-banding the corpus. Every 50th vector ([[UpsertMod]], the
+    * shared batch rule) is the append; the band table is built on the
+    * base 98% at the geometry [[lshAdaptiveGeometry]] picks for THAT
+    * count — the n-adaptive (r, b) is frozen AT STORE TIME, part of
+    * the index artifact exactly like [[vsIvfUpsert]]'s quantization
+    * grid: new data hashes onto the stored planes, it never reshapes
+    * them (a different r would change every existing band_val — that
+    * IS a rebuild). The append itself is map-only signature hashing of
+    * the batch at the frozen geometry plus a bucketed append — no
+    * shuffle of existing signatures, the posture that makes nightly
+    * LSH maintenance O(|batch|) at 100 TB.
+    *
+    * The RETRAIN SIGNAL mirrors the IVF leg's drift_ppm: the adaptive
+    * table is re-consulted at the grown count, and `reband_due` = 1
+    * when n_total's pick differs from the frozen geometry — the corpus
+    * has outgrown the stored (r, b) and candidate volume is drifting
+    * off the designed 2/row bound, time to re-band (the documented
+    * threshold; LshUpsertSpec drives the flip by crossing a table
+    * boundary). Output: ONE manifest row hashing the merged table —
+    * counts, the frozen geometry, post-append bucket stats (max bucket
+    * is what degrades pair-join cost), a content checksum of the
+    * APPENDED signatures (Σ band_val over batch rows — a mis-hashed
+    * append breaks it), and the flag. Serving proof (appended vectors
+    * actually pair with base near-dups through the merged table) is
+    * spec-asserted on a planted pair, like NngUpsertSpec. */
+  def vsLshUpsert: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val isNew = col("vec_id") % UpsertMod === 0
+    val nBase = e.filter(!isNew).count()
+    val nNew = e.filter(isNew).count()
+    val (r, b) = lshAdaptiveGeometry(nBase, lshTunedGeo)
+    val (r2, b2) = lshAdaptiveGeometry(nBase + nNew, lshTunedGeo)
+    val rebandDue = if ((r2, b2) != (r, b)) 1L else 0L
+    val bands = lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b)
+      .withColumn("is_new", (col("vec_id") % UpsertMod === 0).cast("long"))
+    bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n"), sum("is_new").as("k_new"))
+      .agg(sum("n").as("n_rows_after"),
+        count(lit(1)).as("n_buckets_after"),
+        max("n").as("max_bucket_after"),
+        sum(col("band_val") * col("k_new")).as("sum_band_val_new"))
+      .select(lit(nBase).as("n_base"), lit(nNew).as("n_new"),
+        lit(r.toLong).as("geo_r"), lit(b.toLong).as("geo_b"),
+        col("n_rows_after"), col("n_buckets_after"), col("max_bucket_after"),
+        col("sum_band_val_new"), lit(rebandDue).as("reband_due"))
+  }
+
+  /** Manifest oracle: the shared adaptive-band CTEs hashing the FULL
+    * corpus at the geometry picked from the BASE count (geoSrc), a
+    * second geometry pick at the grown count for the reband flag, then
+    * the same bucket aggregates. */
+  val vsLshUpsertSql: String = {
+    val geoVals = lshTunedGeo.map { case (r, b) => s"($r,$b)" }.mkString(",")
+    val (rMax, bMax) = lshTunedGeo.last
+    s"""
+    WITH e AS ($eSql),
+    ebase AS (SELECT * FROM e WHERE vec_id % $UpsertMod <> 0),
+    enew AS (SELECT * FROM e WHERE vec_id % $UpsertMod = 0),
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo, geoSrc = "ebase")},
+    nn2 AS (SELECT COUNT(*) AS n FROM e),
+    geopick2 AS (SELECT r, b FROM geo0, nn2
+      WHERE n * b <= $LshAdaptCandsPerRow * (CAST(1 AS BIGINT) << (r + 1))
+      ORDER BY r LIMIT 1),
+    geo2 AS (SELECT coalesce((SELECT r FROM geopick2), $rMax) AS r,
+                    coalesce((SELECT b FROM geopick2), $bMax) AS b),
+    sizes AS (SELECT band_idx, band_val, COUNT(*) AS n,
+        SUM(CASE WHEN vec_id % $UpsertMod = 0 THEN 1 ELSE 0 END) AS k_new
+      FROM bands GROUP BY 1, 2)
+    SELECT CAST((SELECT COUNT(*) FROM ebase) AS BIGINT) AS n_base,
+      CAST((SELECT COUNT(*) FROM enew) AS BIGINT) AS n_new,
+      CAST(geo.r AS BIGINT) AS geo_r, CAST(geo.b AS BIGINT) AS geo_b,
+      CAST((SELECT SUM(n) FROM sizes) AS BIGINT) AS n_rows_after,
+      CAST((SELECT COUNT(*) FROM sizes) AS BIGINT) AS n_buckets_after,
+      CAST((SELECT MAX(n) FROM sizes) AS BIGINT) AS max_bucket_after,
+      CAST((SELECT SUM(band_val * k_new) FROM sizes) AS BIGINT) AS sum_band_val_new,
+      CAST(CASE WHEN geo2.r <> geo.r OR geo2.b <> geo.b THEN 1 ELSE 0 END AS BIGINT)
+        AS reband_due
+    FROM geo, geo2"""
+  }
 
   // ── vs_hybrid_search — lexical + semantic retrieval, fused score ─────
   /** The vector-DB "hybrid search" pattern: score = ½·cosine(embedding)
@@ -3654,6 +3913,7 @@ object VectorSearch {
     "vs_ivf_store" -> vsIvfStore,
     "vs_ivf_load" -> vsIvfLoad,
     "vs_ivf_upsert" -> vsIvfUpsert,
+    "vs_ivf_delete" -> vsIvfDelete,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
     "vs_pq_rerank" -> vsPqRerank,
@@ -3663,6 +3923,7 @@ object VectorSearch {
     "vs_lsh_tuned" -> vsLshTuned,
     "vs_lsh_store" -> vsLshStore,
     "vs_lsh_load" -> vsLshLoad,
+    "vs_lsh_upsert" -> vsLshUpsert,
     "vs_nng_search" -> vsNngSearch,
     "vs_nng_store" -> vsNngStore,
     "vs_nng_load" -> vsNngLoad,
@@ -3683,6 +3944,7 @@ object VectorSearch {
     "vs_ivf_store" -> vsIvfStoreSql,
     "vs_ivf_load" -> vsIvfLoadSql,
     "vs_ivf_upsert" -> vsIvfUpsertSql,
+    "vs_ivf_delete" -> vsIvfDeleteSql,
     "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,
     "vs_hybrid_search" -> vsHybridSearchSql,
@@ -3708,6 +3970,7 @@ object VectorSearch {
     "vs_lsh_search" -> vsLshSearchSql,
     "vs_lsh_store" -> vsLshStoreSql,
     "vs_lsh_load" -> vsLshLoadSql,
+    "vs_lsh_upsert" -> vsLshUpsertSql,
     "vs_nng_search" -> vsNngSearchSql,
     "vs_nng_store" -> vsNngStoreSql,
     "vs_nng_load" -> vsNngLoadSql,
