@@ -1773,6 +1773,120 @@ object VectorSearch {
     FROM rep, tot ORDER BY cell"""
   }
 
+  // ── vs_index_vacuum — compaction of a tombstoned stored-index table ──
+  /** The vacuum leg of the stored-index lifecycle (r15 verdict #7):
+    * after [[vsIvfDelete]]-style tombstoning, a stored assignment/band/
+    * edge table accumulates dead rows AND small files (every nightly
+    * append lands its own file set per bucket — pgvector's answer is
+    * autovacuum; Delta/Iceberg call it compaction/rewrite). This key
+    * runs the full generation cycle on the IVF assignment table:
+    *
+    *   gen-0: the assignment written as TWO bucketed appends (the base
+    *   ingest, then the %50 batch segment — the multi-file state a
+    *   store accumulates), THEN tombstoned at the %40 victim rule.
+    *   gen-1 (the vacuum): survivors anti-joined and REWRITTEN as one
+    *   fresh bucketed table — same `lake_compact` posture, one file
+    *   set per bucket, bucketing preserved so serving keeps pruning.
+    *
+    * Hashed output = ONE manifest row computed from the RELOADED
+    * generations (round-trip verified like the store keys): row counts
+    * before/dead/after plus Σ cell content checksums of both
+    * generations — a vacuum that dropped a survivor, resurrected a
+    * victim, or scrambled an assignment breaks the hash. The FILE
+    * economics (gen-1 strictly fewer files than gen-0) are asserted by
+    * IndexVacuumSpec from the filesystem — file counts are real but
+    * not SQL-replayable. Cost shape: one anti-join + one bucketed
+    * write, never a retrain; the manifest is two index-sized scans. */
+  final val IvfVacuumBuckets = 8
+  private lazy val ivfVacuumRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfvacuum").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val ivfVacuumWritten =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
+
+  /** Write gen-0 (two appends) and the vacuumed gen-1 once per
+    * (context, dir); returns (gen0, gen1) table names and their data
+    * paths for the spec's file accounting. */
+  private[graft] def ensureIvfVacuum(spark: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val g0 = storedTable("graft_ivf_gen0", dir)
+    val g1 = storedTable("graft_ivf_gen1", dir)
+    val tag = g0.split('_').last
+    val (p0, p1) = (s"$ivfVacuumRoot/gen0-$tag", s"$ivfVacuumRoot/gen1-$tag")
+    ivfVacuumWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val (qv, model) = ivfTrainedModel(spark, dir)
+      val assigned = qv.select(col("vec_id").as("c_id"),
+        IvfIndex.intCellOf(col("q"), model).as("cell"))
+      graft.sources.Sinks.writeBucketedAt(
+        assigned.filter(col("c_id") % UpsertMod =!= 0), g0, "cell",
+        IvfVacuumBuckets, p0)
+      // The appended segment: its own file set in the same table.
+      assigned.filter(col("c_id") % UpsertMod === 0)
+        .write.mode("append").format("parquet")
+        .bucketBy(IvfVacuumBuckets, "cell").sortBy("cell").saveAsTable(g0)
+      // VACUUM: survivors rewritten as a fresh compact generation.
+      graft.sources.Sinks.writeBucketedAt(
+        spark.table(g0).filter(col("c_id") % DeleteMod =!= 0), g1, "cell",
+        IvfVacuumBuckets, p1)
+      true
+    })
+    (g0, g1, p0, p1)
+  }
+
+  def vsIndexVacuum: Q = (spark, dir) => {
+    val (g0, g1, _, _) = ensureIvfVacuum(spark, dir)
+    val before = spark.table(g0)
+      .agg(count(lit(1)).as("n_rows_before"),
+        sum(col("cell").cast("long")).as("cellsum_before"),
+        sum((col("c_id") % DeleteMod === 0).cast("long")).as("n_rows_dead"))
+    val after = spark.table(g1)
+      .agg(count(lit(1)).as("n_rows_after"),
+        sum(col("cell").cast("long")).as("cellsum_after"))
+    before.crossJoin(after)
+      .select("n_rows_before", "n_rows_dead", "n_rows_after",
+        "cellsum_before", "cellsum_after")
+  }
+
+  /** Manifest oracle: the shared Lloyd CTEs (the trained assignment is
+    * gen-0's content regardless of its physical two-append layout),
+    * then the tombstone arithmetic — the vacuum round-trip is
+    * value-preserving, so the reloaded generations' stats equal the
+    * logical ones. */
+  val vsIndexVacuumSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qv")
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    qv AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM e, mx),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qv ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    df AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qv t, c2 c),
+    af AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+      WHERE rn = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_before,
+      CAST(SUM(CASE WHEN c_id % $DeleteMod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rows_dead,
+      CAST(SUM(CASE WHEN c_id % $DeleteMod <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rows_after,
+      CAST(SUM(cell) AS BIGINT) AS cellsum_before,
+      CAST(SUM(CASE WHEN c_id % $DeleteMod <> 0 THEN cell ELSE 0 END) AS BIGINT)
+        AS cellsum_after
+    FROM af"""
+  }
+
   // ── vs_lsh_search — random-hyperplane LSH bucketed pair search ───────
   /** Random-hyperplane LSH at the n-ADAPTIVE geometry (round 12 — see
     * [[lshAdaptiveGeometry]]): band width r grows with log₂(corpus), so
@@ -3914,6 +4028,7 @@ object VectorSearch {
     "vs_ivf_load" -> vsIvfLoad,
     "vs_ivf_upsert" -> vsIvfUpsert,
     "vs_ivf_delete" -> vsIvfDelete,
+    "vs_index_vacuum" -> vsIndexVacuum,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
     "vs_pq_rerank" -> vsPqRerank,
@@ -3945,6 +4060,7 @@ object VectorSearch {
     "vs_ivf_load" -> vsIvfLoadSql,
     "vs_ivf_upsert" -> vsIvfUpsertSql,
     "vs_ivf_delete" -> vsIvfDeleteSql,
+    "vs_index_vacuum" -> vsIndexVacuumSql,
     "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,
     "vs_hybrid_search" -> vsHybridSearchSql,
