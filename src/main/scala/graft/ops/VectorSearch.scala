@@ -3256,6 +3256,37 @@ object VectorSearch {
     * lookups that never touch the frame ([[vsPlannedStats]]). Grading,
     * escalation rules, and the emitted `n_pass` always use the exact
     * count — only the brute-vs-graph choice consults `routeStat`. */
+  /** The planner family's GRAPH arm, shared verbatim by the two-way
+    * keys and the three-way router ([[vsPlannedRoute]]): base-hop
+    * survivors ∩ pass, survivor census, [[vsNngFiltered]]'s
+    * count + coverage escalation, top-K cut. */
+  private def plannerGraphApprox(qv: DataFrame, qs: DataFrame,
+      fcorp: DataFrame, nPass: Long, tag: String,
+      wQ: org.apache.spark.sql.expressions.WindowSpec,
+      graphParts: => (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (refined, init, base) = graphParts
+    val baseSurv = graft.util.Persist.stage(
+      base.join(fcorp.select(col("vec_id").as("c_id")), "c_id")
+        .select("q_id", "c_id", "d2"),
+      eager = false)
+    val coverageOk: Column =
+      if (nPass <= FilterCoverageCap) col("n_surv") * 2L >= nPass
+      else lit(true)
+    val sufficient = baseSurv.groupBy("q_id")
+      .agg(countDistinct("c_id").as("n_surv"))
+      .filter(col("n_surv") >= FilterMinSurvivors && coverageOk)
+      .select("q_id")
+    val deficient = qs.join(sufficient, Seq("q_id"), "left_anti")
+    val escSurv = NnGraph.search(refined, init, qv, deficient,
+        NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops)
+      .join(fcorp.select(col("vec_id").as("c_id")), "c_id")
+      .select("q_id", "c_id", "d2")
+    baseSurv.unionByName(escSurv).distinct()
+      .withColumn("pred", lit(tag))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= NnGraph.TopK).select("pred", "q_id", "c_id")
+  }
+
   private[graft] def vsSearchPlannedWith(
       spark: SparkSession, dir: String, cutoff: Long,
       routeStat: Option[(String, DataFrame) => Long] = None,
@@ -3274,30 +3305,8 @@ object VectorSearch {
       val nRoute = routeStat.fold(nPass)(f => f(tag, fcorp))
       val (plan, approx) =
         if (nRoute <= cutoff) ("brute", exact)
-        else {
-          val (refined, init, base) = graphParts
-          val baseSurv = graft.util.Persist.stage(
-            base.join(fcorp.select(col("vec_id").as("c_id")), "c_id")
-              .select("q_id", "c_id", "d2"),
-            eager = false)
-          val coverageOk: Column =
-            if (nPass <= FilterCoverageCap) col("n_surv") * 2L >= nPass
-            else lit(true)
-          val sufficient = baseSurv.groupBy("q_id")
-            .agg(countDistinct("c_id").as("n_surv"))
-            .filter(col("n_surv") >= FilterMinSurvivors && coverageOk)
-            .select("q_id")
-          val deficient = qs.join(sufficient, Seq("q_id"), "left_anti")
-          val escSurv = NnGraph.search(refined, init, qv, deficient,
-              NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops)
-            .join(fcorp.select(col("vec_id").as("c_id")), "c_id")
-            .select("q_id", "c_id", "d2")
-          val surv = baseSurv.unionByName(escSurv).distinct()
-            .withColumn("pred", lit(tag))
-          ("graph", surv
-            .withColumn("rn", row_number().over(wQ))
-            .filter(col("rn") <= NnGraph.TopK).select("pred", "q_id", "c_id"))
-        }
+        else ("graph",
+          plannerGraphApprox(qv, qs, fcorp, nPass, tag, wQ, graphParts))
       exact.join(approx.withColumn("hit", lit(1L)),
           Seq("pred", "q_id", "c_id"), "left")
         .groupBy("pred", "q_id")
@@ -3329,32 +3338,38 @@ object VectorSearch {
     * hash. Coverage/sufficiency rules always read the EXACT count —
     * only the brute-vs-graph choice consults the routing scalar,
     * mirroring the Scala contract. */
+  /** The three planner predicates (tag, SQL condition) — shared by
+    * every planner-family oracle builder. */
+  private val plannerPredsSqlDefs = Seq(
+    ("p1_thin", "label = 7 AND lang = 'de'"),
+    ("p2_tiny", "label = 9 AND lang = 'zh' AND vec_id % 4 = 1"),
+    ("p3_fat", "label >= 5"))
+  /** Histogram + total CTE text (the SQL replay of the persisted
+    * ANALYZE table) and the per-predicate independence-assumption
+    * estimates (|A∧B| ≈ |A|·|B|/N, the %4 conjunct contributes 1/4,
+    * single-column p3 exact from its histogram) — shared by the
+    * stats-routed and three-way-routed oracles. */
+  private val plannerStatsCtesSql = s""",
+    hl AS (SELECT label, COUNT(*) AS c FROM ep GROUP BY 1),
+    hg AS (SELECT lang, COUNT(*) AS c FROM ep GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM ep)"""
+  private val plannerStatsRtSql = Map(
+    1 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label = 7)
+          * (SELECT COALESCE(SUM(c), 0) FROM hg WHERE lang = 'de')
+          // (SELECT n FROM nt) AS BIGINT)""",
+    2 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label = 9)
+          * (SELECT COALESCE(SUM(c), 0) FROM hg WHERE lang = 'zh')
+          // (SELECT n FROM nt) // 4 AS BIGINT)""",
+    3 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label >= 5)
+          AS BIGINT)""")
+
   private def plannedSqlWith(routing: String): String = {
-    val preds = Seq(
-      ("p1_thin", "label = 7 AND lang = 'de'"),
-      ("p2_tiny", "label = 9 AND lang = 'zh' AND vec_id % 4 = 1"),
-      ("p3_fat", "label >= 5"))
+    val preds = plannerPredsSqlDefs
     val emitEst = routing != "exact"
     val estCols = if (emitEst) ", rt.np AS n_est" else ""
     val estNames = if (emitEst) ", n_est" else ""
-    // Per-column histogram + total CTEs for stats routing — the SQL
-    // replay of the PERSISTED ANALYZE table [[vsPlannedStats]] reads.
-    val statsCtes = if (routing == "stats") s""",
-    hl AS (SELECT label, COUNT(*) AS c FROM ep GROUP BY 1),
-    hg AS (SELECT lang, COUNT(*) AS c FROM ep GROUP BY 1),
-    nt AS (SELECT COUNT(*) AS n FROM ep)""" else ""
-    // Independence-assumption estimates (the textbook CBO rule):
-    // |A∧B| ≈ |A|·|B|/N; the extra %4 conjunct contributes 1/4; the
-    // single-column p3 is exact from its histogram.
-    val statsRt = Map(
-      1 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label = 7)
-            * (SELECT COALESCE(SUM(c), 0) FROM hg WHERE lang = 'de')
-            // (SELECT n FROM nt) AS BIGINT)""",
-      2 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label = 9)
-            * (SELECT COALESCE(SUM(c), 0) FROM hg WHERE lang = 'zh')
-            // (SELECT n FROM nt) // 4 AS BIGINT)""",
-      3 -> s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl WHERE label >= 5)
-            AS BIGINT)""")
+    val statsCtes = if (routing == "stats") plannerStatsCtesSql else ""
+    val statsRt = plannerStatsRtSql
     val perPred = preds.zipWithIndex.map { case ((tag, cond), ix) =>
       val i = ix + 1
       val rtCte = routing match {
@@ -3518,6 +3533,218 @@ object VectorSearch {
       routeStat = Some((tag, _) => est(tag)), emitRouteStat = true)
   }
   val vsPlannedStatsSql: String = plannedSqlWith("stats")
+
+  /** Corpus cardinality from the persisted ANALYZE table's `_total`
+    * row — the other number the cost rule reads without a scan. */
+  private[graft] def plannerStatsTotalN(spark: SparkSession, dir: String): Long = {
+    val n = spark.table(storedTable(PlannerStatsTable, dir))
+      .filter(col("col_name") === "_total").head().getLong(2)
+    require(n > 0, "planner stats _total row is empty")
+    n
+  }
+
+  // ── vs_planned_route — the full three-arm cost-based router ─────────
+  /** The complete cost-based-planner loop the `lake_analyze` →
+    * `vs_planned_stats` chain built toward (r15 verdict #6): the engine
+    * serves THREE physical access paths — exact brute scan, IVF probe,
+    * graph walk — and this key routes each predicate across all three
+    * from PERSISTED statistics only (the histogram estimate + the
+    * `_total` cardinality; zero corpus scans per routing decision).
+    * The cost model is the operator arithmetic, not a tuned constant:
+    *
+    *   cost(brute) = \|pass\|-estimate       (rows the exact arm scores)
+    *   cost(IVF)   = n·nprobe/k = 3n/8     (rows nprobe cells hold)
+    *   cost(graph) = entries + hops·beam·K (the walk's visited budget,
+    *                 = [[PlanBruteCutoff]], selectivity-independent)
+    *
+    * plan = argmin, ties preferring brute > IVF > graph (exactness,
+    * then the cheaper index). The arms CROSS at real corpus sizes:
+    * at n=500 (oracle SFs) IVF costs 187 so the fat predicate routes
+    * IVF while thin ones stay brute; at n=20k (sf1) IVF costs 7500 >
+    * the graph's 6400 so the fat predicate flips to the graph — the
+    * sf1 sweep exercises brute + graph, the oracle SFs brute + IVF,
+    * and PlannedRouteSpec drives all three through cutoff overrides.
+    * The IVF arm trains [[IvfIndex.fitInt]] on the SHARED int8 grid
+    * (same quantization as the exact/graph arms — one corpus
+    * representation, three indexes over it) and scores probed-cell ∩
+    * pass candidates with the same integer d2 as the grading truth.
+    * Output contract = [[vsPlannedKmv]]'s, with `plan` ∈ {brute, ivf,
+    * graph} hashed per predicate — a cost-model regression reroutes a
+    * predicate and breaks the hash. */
+  final val PlanIvfCells = 8
+  def vsPlannedRoute: Q = (spark, dir) => {
+    ensurePlannerStats(spark, dir)
+    vsPlannedRouteWith(spark, dir,
+      plannerStatsTotalN(spark, dir) * IvfTrainedNprobe / PlanIvfCells,
+      PlanBruteCutoff)
+  }
+
+  /** Cost inputs injectable so PlannedRouteSpec can force every arm at
+    * a single SF; the registered key always passes the real
+    * stats-derived costs. */
+  private[graft] def vsPlannedRouteWith(spark: SparkSession, dir: String,
+      costIvf: Long, costGraph: Long): DataFrame = {
+    ensurePlannerStats(spark, dir)
+    val est = plannerStatsEstimates(spark, dir)
+    val (qv, qs, preds) = plannerArtifacts(spark, dir)
+    val wQ = Window.partitionBy("pred", "q_id").orderBy(col("d2"), col("c_id"))
+    lazy val graphParts = {
+      val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
+      val base = graft.util.Persist.stage(
+        NnGraph.search(refined, init, qv, qs), eager = false)
+      (refined, init, base)
+    }
+    // IVF arm machinery, built lazily like the graph's: a run where no
+    // predicate routes to IVF never trains.
+    lazy val ivfParts = {
+      val model = IvfIndex.fitInt(qv, "vec_id", "qd", k = PlanIvfCells, iters = 2)
+      val assigned = graft.util.Persist.stage(
+        qv.select(col("vec_id").as("c_id"),
+          IvfIndex.intCellOf(col("qd"), model).as("cell")), eager = false)
+      val probeStructs = model.centroids.map { case (cid, cv) =>
+        struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+      }
+      val probes = qs.select(col("q_id"),
+          explode(slice(array_sort(array(probeStructs: _*)), 1, IvfTrainedNprobe)).as("p"))
+        .select(col("q_id"), col("p.cid").as("cell"))
+      (assigned, probes)
+    }
+    val arms = preds.map { case (tag, fcorp, nPass, exact) =>
+      val nEst = est(tag)
+      val (plan, approx) =
+        if (nEst <= costIvf && nEst <= costGraph) ("brute", exact)
+        else if (costIvf <= costGraph) {
+          val (assigned, probes) = ivfParts
+          ("ivf", assigned.join(broadcast(probes), "cell")
+            .join(fcorp.select(col("vec_id").as("c_id"), col("qd")), "c_id")
+            .join(broadcast(qs), "q_id")
+            .select(lit(tag).as("pred"), col("q_id"), col("c_id"),
+              NnGraph.intD2(col("qd"), col("qq")).as("d2"))
+            .withColumn("rn", row_number().over(wQ))
+            .filter(col("rn") <= NnGraph.TopK)
+            .select("pred", "q_id", "c_id"))
+        } else ("graph",
+          plannerGraphApprox(qv, qs, fcorp, nPass, tag, wQ, graphParts))
+      exact.join(approx.withColumn("hit", lit(1L)),
+          Seq("pred", "q_id", "c_id"), "left")
+        .groupBy("pred", "q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("plan", lit(plan))
+        .withColumn("n_pass", lit(nPass))
+        .withColumn("n_est", lit(nEst))
+    }
+    arms.reduce(_ unionByName _)
+      .select(Seq("pred", "plan", "n_pass", "n_est", "q_id", "n_exact", "n_hits")
+        .map(col): _*)
+      .orderBy("pred", "q_id")
+  }
+
+  /** Full SQL replay of [[vsPlannedRoute]]: shared stats CTEs + the
+    * three-way cost rule (`costs`/`plan$i`), the graph build PREFIXED
+    * `z` (the Lloyd CTEs need the unprefixed d/a/s/u/c names), the
+    * shared unrolled integer-Lloyd trainer on the same int8 grid, the
+    * per-query nprobe probe, and per predicate all three arms with the
+    * grade's hit CASE switching on the replayed plan choice. */
+  val vsPlannedRouteSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qvv")
+    val perPred = plannerPredsSqlDefs.zipWithIndex.map { case ((tag, cond), ix) =>
+      val i = ix + 1
+      s"""
+    pass$i AS (SELECT vec_id FROM ep WHERE $cond),
+    np$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pass$i),
+    rt$i AS (SELECT ${plannerStatsRtSql(i)} AS np),
+    plan$i AS (SELECT CASE
+        WHEN rt.np <= costs.c_ivf AND rt.np <= costs.c_graph THEN 'brute'
+        WHEN costs.c_ivf <= costs.c_graph THEN 'ivf'
+        ELSE 'graph' END AS plan FROM rt$i rt, costs),
+    fc$i AS MATERIALIZED (SELECT q.vec_id, q.qd FROM quant q
+      JOIN pass$i p ON p.vec_id = q.vec_id),
+    ex$i AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+          ${NngSql.d2Sql("c.qd", "q.qq")} AS d2,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY ${NngSql.d2Sql("c.qd", "q.qq")}, c.vec_id) AS rn
+        FROM fc$i c, qs q) WHERE rn <= ${NnGraph.TopK}),
+    iv$i AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, a.c_id, row_number() OVER (PARTITION BY p.q_id
+            ORDER BY ${NngSql.d2Sql("c.qd", "q.qq")}, a.c_id) AS rn
+        FROM probe0 p JOIN af a ON a.cell = p.cell
+          JOIN fc$i c ON c.vec_id = a.c_id
+          JOIN qs q ON q.q_id = p.q_id)
+      WHERE rn <= ${NnGraph.TopK}),
+    bs$i AS (SELECT v.q_id, v.c_id, v.d2 FROM fv${NnGraph.Hops} v
+      JOIN pass$i p ON p.vec_id = v.c_id, plan$i pl
+      WHERE pl.plan = 'graph'),
+    ns$i AS (SELECT q_id, COUNT(DISTINCT c_id) AS n_surv FROM bs$i GROUP BY q_id),
+    q2$i AS MATERIALIZED (SELECT q.q_id, q.qq FROM qs q
+      LEFT JOIN ns$i ns ON ns.q_id = q.q_id, np$i np, plan$i pl
+      WHERE pl.plan = 'graph'
+        AND (COALESCE(ns.n_surv, 0) < $FilterMinSurvivors
+             OR (np.np <= $FilterCoverageCap
+                 AND 2 * COALESCE(ns.n_surv, 0) < np.np))),
+    ${NngSql.hopCtes(s"w$i", "zgs", s"q2$i", "quant", "quant",
+        NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops)},
+    ws$i AS (SELECT v.q_id, v.c_id, v.d2 FROM w${i}v${NnGraph.EscHops} v
+      JOIN pass$i p ON p.vec_id = v.c_id),
+    ga$i AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, d2,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+        FROM (SELECT DISTINCT q_id, c_id, d2 FROM
+          (SELECT * FROM bs$i UNION ALL SELECT * FROM ws$i)))
+      WHERE rn <= ${NnGraph.TopK}),
+    gr$i AS (SELECT '$tag' AS pred, pl.plan, np.np AS n_pass,
+        rt.np AS n_est, x.q_id,
+        COUNT(*) AS n_exact,
+        CAST(SUM(CASE WHEN pl.plan = 'brute' THEN 1
+                      WHEN pl.plan = 'ivf' THEN
+                        CASE WHEN v.c_id IS NOT NULL THEN 1 ELSE 0 END
+                      ELSE CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END
+                 END) AS BIGINT) AS n_hits
+      FROM ex$i x
+        LEFT JOIN iv$i v ON v.q_id = x.q_id AND v.c_id = x.c_id
+        LEFT JOIN ga$i a ON a.q_id = x.q_id AND a.c_id = x.c_id,
+        np$i np, rt$i rt, plan$i pl
+      GROUP BY ALL)"""
+    }.mkString(",")
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    qs AS MATERIALIZED (SELECT vec_id AS q_id, qd AS qq FROM quant
+      WHERE vec_id % 100 = 9),
+    ep AS (SELECT e2.vec_id, e2.label, d.lang FROM embeddings e2
+      JOIN documents d ON e2.vec_id = d.doc_id)$plannerStatsCtesSql,
+    costs AS (SELECT CAST(n * $IvfTrainedNprobe // $PlanIvfCells AS BIGINT) AS c_ivf,
+        CAST($PlanBruteCutoff AS BIGINT) AS c_graph FROM nt),
+    ${NngSql.buildCtes("quant", "z")},
+    ${NngSql.hopCtes("f", "zgs", "qs", "quant", "quant")},
+    qvv AS (SELECT vec_id, qd AS q FROM quant),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qvv ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id
+      LIMIT $PlanIvfCells),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    dfq AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qvv t, c2 c),
+    af AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dfq)
+      WHERE rn = 1),
+    pd0 AS (SELECT q.q_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(q.qq) + 1),
+          d -> (q.qq[d] - c.c[d]) * (q.qq[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qs q, c2 c),
+    probe0 AS (SELECT q_id, cid AS cell FROM (
+        SELECT q_id, cid,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd0)
+      WHERE rn <= $IvfTrainedNprobe),
+    $perPred
+    SELECT pred, plan, n_pass, n_est, q_id, n_exact, n_hits
+    FROM (SELECT * FROM gr1 UNION ALL SELECT * FROM gr2 UNION ALL SELECT * FROM gr3)
+    ORDER BY pred, q_id"""
+  }
 
   // ── vs_nng_merge — segment-merge of two graph indexes ───────────────
   /** Merge two independently-built graph indexes WITHOUT a rebuild —
@@ -4049,6 +4276,7 @@ object VectorSearch {
     "vs_search_planned" -> vsSearchPlanned,
     "vs_planned_kmv" -> vsPlannedKmv,
     "vs_planned_stats" -> vsPlannedStats,
+    "vs_planned_route" -> vsPlannedRoute,
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
@@ -4097,6 +4325,7 @@ object VectorSearch {
     "vs_search_planned" -> vsSearchPlannedSql,
     "vs_planned_kmv" -> vsPlannedKmvSql,
     "vs_planned_stats" -> vsPlannedStatsSql,
+    "vs_planned_route" -> vsPlannedRouteSql,
     "vs_sparse_search" -> vsSparseSearchSql)
 
   /** A `def`, not a `val`: the vs_ingest_w2v oracle inlines the
