@@ -1308,7 +1308,7 @@ object VectorSearch {
   private val ivfStoreWritten =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
-  private def ensureIvfStored(spark: SparkSession, dir: String): Unit = {
+  private[graft] def ensureIvfStored(spark: SparkSession, dir: String): Unit = {
     ivfStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
       val t = storedTable("graft_ivf_assign", dir)
       val (qv, model) = ivfTrainedModel(spark, dir)
@@ -1319,9 +1319,13 @@ object VectorSearch {
         .coalesce(1).write.mode("overwrite").format("parquet")
         .option("path", s"$ivfStoreRoot/centroids-${t.split('_').last}")
         .saveAsTable(storedTable("graft_ivf_centroids", dir))
+      // The quantized vector rides in the assignment table (r16: the
+      // pgvector posture — the indexed table holds the vectors), so a
+      // serving cluster rescores candidates from the SAME FileScan it
+      // probes, never re-quantizing the corpus.
       graft.sources.Sinks.writeBucketedAt(
         qv.select(col("vec_id").as("c_id"),
-          IvfIndex.intCellOf(col("q"), model).as("cell")),
+          IvfIndex.intCellOf(col("q"), model).as("cell"), col("q").as("qd")),
         t, "cell", IvfStoreBuckets, s"$ivfStoreRoot/assign-${t.split('_').last}")
       true
     })

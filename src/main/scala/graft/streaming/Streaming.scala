@@ -1105,7 +1105,11 @@ object Streaming {
   def serveIvfRate(spark: SparkSession, dir: String,
       nBatches: Int, batchSize: Int): Seq[Double] = {
     val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
-    val (model, assigned) = searchIvfIndex(spark, dir)
+    // Since r16 the rate harness serves through the STORED index path
+    // (reloaded catalog tables — the deployment shape; the serving
+    // cluster never trains). The serve chain itself is unchanged, so
+    // rates stay comparable round-over-round.
+    val (model, assigned) = storedIvfIndex(spark, dir)
     // Query pool: real corpus vectors, collected once (bounded —
     // (nBatches+1)·batchSize rows of Dim doubles on the driver, the
     // client side of a serving benchmark).
@@ -1137,8 +1141,16 @@ object Streaming {
     * index-serving pipeline under the driver's DuckDB hash gate (the
     * oracle replays the Lloyd trainer the way vs_ivf_trained's does,
     * then the probe join). */
-  def vsSearchIvfBatch(spark: SparkSession, dir: String): DataFrame = {
-    val (model, assigned) = searchIvfIndex(spark, dir)
+  def vsSearchIvfBatch(spark: SparkSession, dir: String): DataFrame =
+    searchServeBatch(spark, dir, searchIvfIndex(spark, dir))
+
+  /** The shared serve-and-emit tail of the two batch twins: probe pick
+    * from the model's broadcast literals, cell join against `assigned`
+    * (which carries `qd` — in-memory staged or the reloaded catalog
+    * table), exact integer rescore, bounded top-k, ranked rows. */
+  private def searchServeBatch(spark: SparkSession, dir: String,
+      index: (graft.ops.IvfIndex.IntModel, DataFrame)): DataFrame = {
+    val (model, assigned) = index
     val qs = graft.ops.VectorSearch.int8Grid(spark, dir)
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
@@ -1155,6 +1167,52 @@ object Streaming {
         col("hit.c_id").as("c_id"), col("hit.d2").as("d2"))
       .orderBy("q_id", "rank")
   }
+
+  // ── Serving from the STORED index — the cluster never trains (r16) ──
+  /** `stream_search_ivf` trains its codebook batch-side in the same
+    * JVM — correct math, wrong deployment shape: a serving cluster
+    * reloads artifacts, it never trains (r15 verdict #5). This leg
+    * composes the serve chain with the `vs_ivf_store` catalog tables:
+    * centroid literals COLLECTED from the reloaded 8-row centroid
+    * table, the assignment read as the bucketed FileScan (it carries
+    * `qd`, so candidates rescore from the same scan they are probed
+    * from — no corpus re-quantize), staged once like a serving node's
+    * index load. The grid scalar for incoming-query quantization is
+    * the one number a deployment stores beside the index
+    * ([[graft.ops.VectorSearch.gridMaxAbs]], a driver scalar here).
+    * StreamStoredSpec proves the full loop from a COLD `newSession()`:
+    * stream ≡ batch ≡ the in-memory-trained key, with the assignment
+    * side a FileScan. Oracle = `stream_search_ivf`'s verbatim (the
+    * store round-trip is value-preserving — the vs_*_load contract). */
+  private[graft] def storedIvfIndex(spark: SparkSession, dir: String)
+      : (graft.ops.IvfIndex.IntModel, DataFrame) = {
+    graft.ops.VectorSearch.ensureIvfStored(spark, dir)
+    val model = graft.ops.IvfIndex.IntModel(
+      spark.table(graft.ops.VectorSearch.storedTable("graft_ivf_centroids", dir))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq)
+    val assigned = graft.util.Persist.stage(
+      spark.table(graft.ops.VectorSearch.storedTable("graft_ivf_assign", dir)),
+      eager = false)
+    (model, assigned)
+  }
+
+  /** Always-on indexed Search from the RELOADED index. */
+  def vsSearchStoredStream(spark: SparkSession, dir: String): DataFrame = {
+    val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
+    val (model, assigned) = storedIvfIndex(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    ivfServeChain(
+      spark.readStream.schema(sch)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding")),
+      ma, model, assigned)
+  }
+
+  /** Registered batch twin (`stream_search_stored`). */
+  def vsSearchStoredBatch(spark: SparkSession, dir: String): DataFrame =
+    searchServeBatch(spark, dir, storedIvfIndex(spark, dir))
 
   /** Full SQL replay: quantize → hash-coin-seeded integer Lloyd (2
     * unrolled rounds, the vs_ivf_trained technique) → cell assignment →
@@ -1535,6 +1593,7 @@ object Streaming {
     "stream_vs_ingest" -> (vsIngestAssignBatch _),
     "stream_search" -> (vsSearchServeBatch _),
     "stream_search_ivf" -> (vsSearchIvfBatch _),
+    "stream_search_stored" -> (vsSearchStoredBatch _),
     "stream_decontaminate" -> (decontGateBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_heavy_hitters" -> (heavyHittersBatch _),
@@ -1553,6 +1612,7 @@ object Streaming {
     "stream_vs_ingest" -> vsIngestAssignSql,
     "stream_search" -> vsSearchServeSql,
     "stream_search_ivf" -> vsSearchIvfSql,
+    "stream_search_stored" -> vsSearchIvfSql,
     // Output ≡ text_fuzzy_decontaminate by construction — same oracle.
     "stream_decontaminate" -> graft.ops.TextAnalysis.textFuzzyDecontaminateSql,
     "stream_quantile" -> quantileSketchSql,
