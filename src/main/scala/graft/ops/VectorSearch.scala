@@ -2147,10 +2147,10 @@ object VectorSearch {
     * buckets. Column names for the pair output are parameterized so
     * [[Dedup.dedupEmbeddingSql]] can reuse it. */
   private[graft] def lshCandSql(idCol: String, aName: String, bName: String,
-      cap: Long = LshBucketCap): String = s"""
-    bsizes AS (SELECT band_idx, band_val FROM bands
+      cap: Long = LshBucketCap, src: String = "bands"): String = s"""
+    bsizes AS (SELECT band_idx, band_val FROM $src
                GROUP BY 1, 2 HAVING COUNT(*) <= $cap),
-    kept AS (SELECT b.* FROM bands b JOIN bsizes USING (band_idx, band_val)),
+    kept AS (SELECT b.* FROM $src b JOIN bsizes USING (band_idx, band_val)),
     cand AS (SELECT DISTINCT x.$idCol AS $aName, y.$idCol AS $bName
       FROM kept x JOIN kept y
         ON x.band_idx = y.band_idx AND x.band_val = y.band_val
@@ -2375,6 +2375,55 @@ object VectorSearch {
         AS reband_due
     FROM geo, geo2"""
   }
+
+  // ── vs_lsh_delete — LSH tombstone deletion at the frozen geometry ────
+  /** The delete half of LSH maintenance (pairs with [[vsLshUpsert]],
+    * completing the matrix: NNG upsert+delete+merge, IVF upsert+delete,
+    * LSH upsert+delete): every 40th vector ([[DeleteMod]]) is
+    * tombstoned out of the band table with ONE anti-join on vec_id —
+    * like the IVF case there is no graph to repair, and like the
+    * upsert the geometry stays FROZEN at its store-time pick (the full
+    * corpus count): deletion never re-bands, because a different (r,b)
+    * would rewrite every surviving signature — that's the re-band the
+    * `reband_due` signal schedules, not a per-delete cost.
+    *
+    * The hashed contract is the SERVED near-dup output over survivors
+    * — [[vsLshTuned]]'s capped-pair + exact-cosine-verify chain through
+    * the pruned band table — so deletion cleanliness is by
+    * construction in both engines (a victim has no band rows and no
+    * embedding row on the verify join; it cannot appear in any pair).
+    * LshDeleteSpec plants a victim twin and proves the pair vanishes
+    * exactly when the tombstone lands. Cost: the anti-join is map-side
+    * on the bucketed store; the pair join is the standing serve. */
+  def vsLshDelete: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    def vic(c: Column): Column = c % DeleteMod === 0
+    val (r, b) = lshAdaptiveGeometry(e.count(), lshTunedGeo)
+    val pruned = lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b)
+      .filter(!vic(col("vec_id")))
+    val sur = e.filter(!vic(col("vec_id")))
+    val cand = graft.util.Skew.cappedSelfPairs(pruned, "vec_id",
+      Seq("band_idx", "band_val"), LshBucketCap)
+    cand
+      .join(sur.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(sur.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        r6(cosine_similarity(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+  /** Oracle: the shared adaptive-band CTEs at the geometry picked from
+    * the FULL count (frozen at store time), pruned by the tombstone
+    * rule, then the tuned pair contract over survivors. */
+  val vsLshDeleteSql: String = s"""
+    WITH e AS ($eSql),
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo)},
+    pruned AS (SELECT * FROM bands WHERE vec_id % $DeleteMod <> 0),
+    ${lshCandSql("vec_id", "a_id", "b_id", src = "pruned")}
+    SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
+    FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+    WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+    ORDER BY a_id, b_id"""
 
   // ── vs_hybrid_search — lexical + semantic retrieval, fused score ─────
   /** The vector-DB "hybrid search" pattern: score = ½·cosine(embedding)
@@ -4270,6 +4319,7 @@ object VectorSearch {
     "vs_lsh_store" -> vsLshStore,
     "vs_lsh_load" -> vsLshLoad,
     "vs_lsh_upsert" -> vsLshUpsert,
+    "vs_lsh_delete" -> vsLshDelete,
     "vs_nng_search" -> vsNngSearch,
     "vs_nng_store" -> vsNngStore,
     "vs_nng_load" -> vsNngLoad,
@@ -4319,6 +4369,7 @@ object VectorSearch {
     "vs_lsh_store" -> vsLshStoreSql,
     "vs_lsh_load" -> vsLshLoadSql,
     "vs_lsh_upsert" -> vsLshUpsertSql,
+    "vs_lsh_delete" -> vsLshDeleteSql,
     "vs_nng_search" -> vsNngSearchSql,
     "vs_nng_store" -> vsNngStoreSql,
     "vs_nng_load" -> vsNngLoadSql,

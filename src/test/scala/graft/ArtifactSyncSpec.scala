@@ -89,8 +89,14 @@ class ArtifactSyncSpec extends AnyFunSuite {
     // only if src/main is IDENTICAL between that SHA and the tree under
     // test (commits that touch only tests/docs/artifacts stay legal —
     // the snapshot commit itself doesn't trip it).
+    // r15 verdict #3 / advice: the skew sweeps shipped one-commit-stale
+    // twice (3ed8f96 / 870400d vs the bench artifacts' fa6ea5a) because
+    // only the bench artifacts were SHA-gated. The hostile-audit
+    // evidence is a product claim like any other — gate all four.
     for ((path, key) <- Seq(("bench_steady.json", "_git_sha"),
-                            ("bench_sf1.json", "git_sha"))) {
+                            ("bench_sf1.json", "git_sha"),
+                            ("skew_sweep.json", "git_sha"),
+                            ("skew_sweep_sf1.json", "git_sha"))) {
       val sha = shaOf(path, key)
       assert(sha.isDefined,
         s"$path carries no $key stamp — regenerate with the r15+ Steady/Bench")
