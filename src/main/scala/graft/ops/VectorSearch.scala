@@ -2393,13 +2393,17 @@ object VectorSearch {
     * construction in both engines (a victim has no band rows and no
     * embedding row on the verify join; it cannot appear in any pair).
     * LshDeleteSpec plants a victim twin and proves the pair vanishes
-    * exactly when the tombstone lands. Cost: the anti-join is map-side
-    * on the bucketed store; the pair join is the standing serve. */
+    * exactly when the tombstone lands. Cost: the signatures come from
+    * the STORED band table ([[ensureLshStored]] — hashed once per
+    * (context, dir) at exactly the full-count geometry this key's
+    * contract freezes), so the delete pays one map-side anti-join on
+    * the bucketed FileScan plus the standing pair serve — never a
+    * re-hash of the corpus. */
   def vsLshDelete: Q = (spark, dir) => {
     val e = emb(spark, dir)
     def vic(c: Column): Column = c % DeleteMod === 0
-    val (r, b) = lshAdaptiveGeometry(e.count(), lshTunedGeo)
-    val pruned = lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b)
+    ensureLshStored(spark, dir)
+    val pruned = spark.table(storedTable("graft_lsh_bands", dir))
       .filter(!vic(col("vec_id")))
     val sur = e.filter(!vic(col("vec_id")))
     val cand = graft.util.Skew.cappedSelfPairs(pruned, "vec_id",
