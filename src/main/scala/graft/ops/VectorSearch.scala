@@ -2329,7 +2329,20 @@ object VectorSearch {
     val (r, b) = lshAdaptiveGeometry(nBase, lshTunedGeo)
     val (r2, b2) = lshAdaptiveGeometry(nBase + nNew, lshTunedGeo)
     val rebandDue = if ((r2, b2) != (r, b)) 1L else 0L
-    val bands = lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b)
+    // Fast path — and it is EXACTLY the reband_due signal: when the
+    // grown count's pick equals the frozen base pick, the stored band
+    // table ([[ensureLshStored]], hashed at the full-count geometry)
+    // carries bit-identical signatures for every row, so the merged
+    // table is a FileScan read, not a corpus re-hash. When reband IS
+    // due the geometries differ and the key hashes at the frozen base
+    // pick — the honest degraded arm the flag tells the operator to
+    // schedule away.
+    val bands0 =
+      if (rebandDue == 0L) {
+        ensureLshStored(spark, dir)
+        spark.table(storedTable("graft_lsh_bands", dir))
+      } else lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b)
+    val bands = bands0
       .withColumn("is_new", (col("vec_id") % UpsertMod === 0).cast("long"))
     bands.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("n"), sum("is_new").as("k_new"))
