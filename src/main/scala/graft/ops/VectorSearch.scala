@@ -1777,6 +1777,174 @@ object VectorSearch {
     FROM rep, tot ORDER BY cell"""
   }
 
+  // ── vs_ivf_merge — segment-merge of two IVF indexes ──────────────────
+  /** The merge leg of the IVF lifecycle (r16 — with it the maintenance
+    * matrix is symmetric: NNG and IVF both have upsert+delete+merge,
+    * LSH has upsert+delete with re-band as its merge/retrain story):
+    * consolidate a fresh segment (every 3rd vector, [[vsNngMerge]]'s
+    * split) into the base index WITHOUT retraining. The published
+    * posture is FAISS `merge_into` / Lucene's segment merge: when the
+    * codebooks differ, the smaller segment's vectors are REASSIGNED
+    * onto the surviving (base) centroids — one map-only argmin pass
+    * over the fresh slice against 8 broadcast-literal centroids — and
+    * its own centroids are discarded. Both segments share the corpus
+    * quantization grid (maxabs over the full corpus — the
+    * one-representation posture of [[vsPlannedRoute]]); the BASE
+    * trainer runs on the base slice only, exactly the stored artifact
+    * a deployment holds.
+    *
+    * Output: the consolidation report — per base cell (n_base,
+    * n_fresh, n_merged, centroid_norm2) — plus the serving grade on
+    * every row: queries (vec_id % 100 = 3, a mix of base and fresh
+    * ids) probed nprobe=3 through the MERGED assignment, exact-cosine
+    * rerank, recall@5 vs exact over the full corpus. Floor 500000 ppm
+    * ([[IvfDeleteRecallFloorPpm]] — same small-sample geometry at the
+    * oracle SFs; a merge that loses the fresh segment collapses far
+    * below it because a third of every exact top-5 goes missing). */
+  def vsIvfMerge: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+    val qAll = graft.util.Persist.stage(
+      e.crossJoin(broadcast(mx)).select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
+    val qb = qAll.filter(col("vec_id") % 3 =!= 0)
+    val qf = qAll.filter(col("vec_id") % 3 === 0)
+    val model = IvfIndex.fitInt(qb, "vec_id", "q", k = 8, iters = 2)
+    def assign(src: DataFrame): DataFrame = src.select(col("vec_id").as("c_id"),
+      IvfIndex.intCellOf(col("q"), model).as("cell"))
+    val aBase = graft.util.Persist.stage(assign(qb), eager = false)
+    val aFresh = graft.util.Persist.stage(assign(qf), eager = false)
+    val merged = aBase.unionByName(aFresh)
+    val sess = spark
+    import sess.implicits._
+    val cents = model.centroids.map { case (cid, cv) =>
+      (cid.toLong, cv.map(x => x * x).sum) }.toDF("cell", "centroid_norm2")
+    val report = cents
+      .join(aBase.groupBy("cell").agg(count(lit(1)).as("n_base"))
+        .select(col("cell").cast("long").as("cell"), col("n_base")), Seq("cell"), "left")
+      .join(aFresh.groupBy("cell").agg(count(lit(1)).as("n_fresh"))
+        .select(col("cell").cast("long").as("cell"), col("n_fresh")), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        (coalesce(col("n_base"), lit(0L))
+          + coalesce(col("n_fresh"), lit(0L))).as("n_merged"),
+        col("centroid_norm2"))
+    val probeStructs = model.centroids.map { case (cid, cv) =>
+      struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+    }
+    val probes = qAll.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .select(col("q_id"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, IvfTrainedNprobe)).as("p"))
+      .select(col("q_id"), col("p.cid").as("cell"))
+    val qraw = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val approx = merged.join(broadcast(probes), "cell")
+      .join(e.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qraw), "q_id")
+      .select(col("q_id"), col("c_id"), dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val exact = e.crossJoin(broadcast(qraw))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val tot = exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))), count(lit(1))).head()
+    require(tot.getLong(1) > 0, "IVF merge has no queries to grade")
+    val ppm = 1000000L * tot.getLong(0) / tot.getLong(1)
+    report
+      .withColumn("mean_recall_ppm", lit(ppm))
+      .withColumn("below_floor",
+        lit(if (ppm < IvfDeleteRecallFloorPpm) 1L else 0L))
+      .orderBy("cell")
+  }
+
+  /** Full SQL replay of [[vsIvfMerge]]: full-grid quantize → unrolled
+    * Lloyd on the BASE slice → base + fresh reassignment onto the base
+    * centroids → per-cell consolidation report → merged nprobe probe →
+    * exact-cosine rerank → grade over the full corpus. */
+  val vsIvfMergeSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qb")
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+    qv AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM e, mx),
+    qb AS (SELECT * FROM qv WHERE vec_id % 3 <> 0),
+    qf AS (SELECT * FROM qv WHERE vec_id % 3 = 0),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qb ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    db AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qb t, c2 c),
+    ab AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM db)
+      WHERE rn = 1),
+    dn AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qf t, c2 c),
+    an AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dn)
+      WHERE rn = 1),
+    nb AS (SELECT cell, COUNT(*) AS n_base FROM ab GROUP BY 1),
+    nf AS (SELECT cell, COUNT(*) AS n_fresh FROM an GROUP BY 1),
+    rep AS (SELECT CAST(c.cid AS BIGINT) AS cell,
+        CAST(COALESCE(nb.n_base, 0) AS BIGINT) AS n_base,
+        CAST(COALESCE(nf.n_fresh, 0) AS BIGINT) AS n_fresh,
+        CAST(COALESCE(nb.n_base, 0) + COALESCE(nf.n_fresh, 0) AS BIGINT) AS n_merged,
+        CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT) AS centroid_norm2
+      FROM c2 c LEFT JOIN nb ON nb.cell = c.cid LEFT JOIN nf ON nf.cell = c.cid),
+    merged AS (SELECT c_id, cell FROM ab UNION ALL SELECT c_id, cell FROM an),
+    qs AS (SELECT vec_id AS q_id, q FROM qv WHERE vec_id % 100 = 3),
+    pd AS (SELECT t.q_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qs t, c2 c),
+    probe AS (SELECT q_id, cid AS cell FROM (
+        SELECT q_id, cid,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd)
+      WHERE rn <= $IvfTrainedNprobe),
+    qraw AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 3),
+    araw AS (SELECT p.q_id, m.c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM probe p JOIN merged m ON m.cell = p.cell
+        JOIN e ec ON ec.vec_id = m.c_id
+        JOIN qraw eq ON eq.q_id = p.q_id),
+    approx AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM araw)
+      WHERE rn <= 5),
+    eraw AS (SELECT eq.q_id, ec.vec_id AS c_id, ${distSql("ec.v", "eq.v")} AS dist
+      FROM e ec, qraw eq),
+    exact AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM eraw)
+      WHERE rn <= 5),
+    tot AS (SELECT CAST((1000000 * SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT) AS ppm
+      FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.c_id = x.c_id)
+    SELECT rep.cell, rep.n_base, rep.n_fresh, rep.n_merged, rep.centroid_norm2,
+      ppm AS mean_recall_ppm,
+      CAST(CASE WHEN ppm < $IvfDeleteRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT)
+        AS below_floor
+    FROM rep, tot ORDER BY cell"""
+  }
+
   // ── vs_index_vacuum — compaction of a tombstoned stored-index table ──
   /** The vacuum leg of the stored-index lifecycle (r15 verdict #7):
     * after [[vsIvfDelete]]-style tombstoning, a stored assignment/band/
@@ -4325,6 +4493,7 @@ object VectorSearch {
     "vs_ivf_load" -> vsIvfLoad,
     "vs_ivf_upsert" -> vsIvfUpsert,
     "vs_ivf_delete" -> vsIvfDelete,
+    "vs_ivf_merge" -> vsIvfMerge,
     "vs_index_vacuum" -> vsIndexVacuum,
     "vs_quant_search" -> vsQuantSearch,
     "vs_pq_search" -> vsPqSearch,
@@ -4359,6 +4528,7 @@ object VectorSearch {
     "vs_ivf_load" -> vsIvfLoadSql,
     "vs_ivf_upsert" -> vsIvfUpsertSql,
     "vs_ivf_delete" -> vsIvfDeleteSql,
+    "vs_ivf_merge" -> vsIvfMergeSql,
     "vs_index_vacuum" -> vsIndexVacuumSql,
     "vs_lsh_tuned" -> vsLshTunedSql,
     "vs_count" -> vsCountSql,
