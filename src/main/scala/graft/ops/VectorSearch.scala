@@ -2610,6 +2610,92 @@ object VectorSearch {
     WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
     ORDER BY a_id, b_id"""
 
+  // ── vs_lsh_vacuum — compaction of the tombstoned LSH band table ──────
+  /** The vacuum leg for the LSH family (r16 — makes compaction uniform
+    * across all three stored-index families: [[vsIndexVacuum]] covers
+    * the IVF assignment, [[vsNngVacuum]] the graph edges): gen-0 is the
+    * tuned-geometry band signature table written as TWO bucketed
+    * appends (base ingest + the %[[UpsertMod]] batch segment — the
+    * multi-file state [[vsLshUpsert]]'s nightly appends accumulate),
+    * then tombstoned at the shared %[[DeleteMod]] victim rule
+    * ([[vsLshDelete]]'s anti-join leaves the dead signatures in the
+    * files); the vacuum rewrites survivors as ONE fresh generation
+    * bucketed by `band_val` so the pair-join serving path keeps
+    * pruning. Hashed manifest from the RELOADED generations: row
+    * counts before/dead/after + Σ band_val content checksums of both —
+    * a vacuum that drops a survivor, resurrects a victim, or corrupts
+    * a signature breaks the hash; the file-count drop and row-exact
+    * survivor preservation are LshVacuumSpec's filesystem assertions.
+    * Cost: one anti-join + one bucketed write at the geometry FROZEN
+    * from store time — never a re-hash of the corpus. */
+  private lazy val lshVacuumRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-lshvacuum").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val lshVacuumWritten =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
+
+  /** Write gen-0 (two appends, then logically tombstoned) and the
+    * vacuumed gen-1 once per (context, dir); returns (gen0, gen1)
+    * table names and data paths for the spec's file accounting. */
+  private[graft] def ensureLshVacuum(spark: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val g0 = storedTable("graft_lsh_gen0", dir)
+    val g1 = storedTable("graft_lsh_gen1", dir)
+    val tag = g0.split('_').last
+    val (p0, p1) = (s"$lshVacuumRoot/gen0-$tag", s"$lshVacuumRoot/gen1-$tag")
+    lshVacuumWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
+        geo = lshTunedGeo)
+      graft.sources.Sinks.writeBucketedAt(
+        bandsDf.filter(col("vec_id") % UpsertMod =!= 0), g0, "band_val",
+        LshStoreBuckets, p0)
+      // The appended segment: its own file set in the same table.
+      bandsDf.filter(col("vec_id") % UpsertMod === 0)
+        .write.mode("append").format("parquet")
+        .bucketBy(LshStoreBuckets, "band_val").sortBy("band_val").saveAsTable(g0)
+      // VACUUM: survivors rewritten as a fresh compact generation.
+      graft.sources.Sinks.writeBucketedAt(
+        spark.table(g0).filter(col("vec_id") % DeleteMod =!= 0), g1,
+        "band_val", LshStoreBuckets, p1)
+      true
+    })
+    (g0, g1, p0, p1)
+  }
+
+  def vsLshVacuum: Q = (spark, dir) => {
+    val (g0, g1, _, _) = ensureLshVacuum(spark, dir)
+    val before = spark.table(g0)
+      .agg(count(lit(1)).as("n_rows_before"),
+        sum(col("band_val")).as("bandsum_before"),
+        sum((col("vec_id") % DeleteMod === 0).cast("long")).as("n_rows_dead"))
+    val after = spark.table(g1)
+      .agg(count(lit(1)).as("n_rows_after"),
+        sum(col("band_val")).as("bandsum_after"))
+    before.crossJoin(after)
+      .select("n_rows_before", "n_rows_dead", "n_rows_after",
+        "bandsum_before", "bandsum_after")
+  }
+
+  /** Manifest oracle: the shared adaptive-band CTEs at the full-count
+    * tuned geometry (gen-0's logical content regardless of its
+    * physical two-append layout), then the tombstone arithmetic — the
+    * vacuum round-trip is value-preserving, so the reloaded
+    * generations' stats equal the logical ones. */
+  val vsLshVacuumSql: String = s"""
+    WITH e AS ($eSql),
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_before,
+      CAST(SUM(CASE WHEN vec_id % $DeleteMod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rows_dead,
+      CAST(SUM(CASE WHEN vec_id % $DeleteMod <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rows_after,
+      CAST(SUM(band_val) AS BIGINT) AS bandsum_before,
+      CAST(SUM(CASE WHEN vec_id % $DeleteMod <> 0 THEN band_val ELSE 0 END)
+        AS BIGINT) AS bandsum_after
+    FROM bands"""
+
   // ── vs_hybrid_search — lexical + semantic retrieval, fused score ─────
   /** The vector-DB "hybrid search" pattern: score = ½·cosine(embedding)
     * + ½·token-set Jaccard, top-10. Semantic side uses the hashing-trick
@@ -3351,6 +3437,92 @@ object VectorSearch {
       WHERE vec_id % 100 = 5),
     ${NngSql.hopCtes("d", "gd", "qs", "sur", "sur")},
     ${NngSql.gradeSql("d", "qs", "sur")}"""
+
+  // ── vs_nng_vacuum — compaction of the tombstoned NNG edge table ──────
+  /** The vacuum leg for the graph family (r16 — with [[vsIndexVacuum]]
+    * and [[vsLshVacuum]] every stored-index family now has compaction):
+    * gen-0 is the refined k-NN edge table written as TWO bucketed
+    * appends (src-split at %[[UpsertMod]] — the multi-file state
+    * [[vsNngUpsert]]'s nightly patches accumulate), then tombstoned at
+    * [[vsNngDelete]]'s edge rule: an edge dies when EITHER endpoint is
+    * a %[[DeleteMod]] victim (the delete's anti-join filters them at
+    * serve time; their rows stay in the files until vacuumed). The
+    * vacuum rewrites surviving edges as ONE fresh generation bucketed
+    * by `src` — the hop-join key, so beam serving keeps bucket-pruning.
+    * Hashed manifest from the RELOADED generations: edge counts
+    * before/dead/after + exact Σ d2 content checksums of both — a
+    * dropped survivor, resurrected victim edge, or corrupted distance
+    * breaks the hash; file-count drop + row-exact survivor
+    * preservation are NngVacuumSpec's filesystem assertions. Cost: one
+    * anti-join + one bucketed write over the n·K edge table (index-
+    * sized, never the corpus) — no rebuild, no re-descent. */
+  private lazy val nngVacuumRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-nngvacuum").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val nngVacuumWritten =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
+
+  /** Write gen-0 (two appends, logically tombstoned) and the vacuumed
+    * gen-1 once per (context, dir); returns (gen0, gen1) table names
+    * and data paths for the spec's file accounting. */
+  private[graft] def ensureNngVacuum(spark: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val g0 = storedTable("graft_nng_gen0", dir)
+    val g1 = storedTable("graft_nng_gen1", dir)
+    val tag = g0.split('_').last
+    val (p0, p1) = (s"$nngVacuumRoot/gen0-$tag", s"$nngVacuumRoot/gen1-$tag")
+    nngVacuumWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+      val (refined, _) = NnGraph.buildShared(qv, s"$dir#full")
+      graft.sources.Sinks.writeBucketedAt(
+        refined.filter(col("src") % UpsertMod =!= 0), g0, "src",
+        NngStoreBuckets, p0)
+      // The appended segment: its own file set in the same table.
+      refined.filter(col("src") % UpsertMod === 0)
+        .write.mode("append").format("parquet")
+        .bucketBy(NngStoreBuckets, "src").sortBy("src").saveAsTable(g0)
+      // VACUUM: surviving edges rewritten as a fresh compact generation.
+      graft.sources.Sinks.writeBucketedAt(
+        spark.table(g0).filter(col("src") % DeleteMod =!= 0 &&
+          col("dst") % DeleteMod =!= 0), g1, "src", NngStoreBuckets, p1)
+      true
+    })
+    (g0, g1, p0, p1)
+  }
+
+  def vsNngVacuum: Q = (spark, dir) => {
+    val (g0, g1, _, _) = ensureNngVacuum(spark, dir)
+    def dead(s: Column, d: Column): Column =
+      s % DeleteMod === 0 || d % DeleteMod === 0
+    val before = spark.table(g0)
+      .agg(count(lit(1)).as("n_edges_before"),
+        sum(col("d2")).as("d2sum_before"),
+        sum(dead(col("src"), col("dst")).cast("long")).as("n_edges_dead"))
+    val after = spark.table(g1)
+      .agg(count(lit(1)).as("n_edges_after"),
+        sum(col("d2")).as("d2sum_after"))
+    before.crossJoin(after)
+      .select("n_edges_before", "n_edges_dead", "n_edges_after",
+        "d2sum_before", "d2sum_after")
+  }
+
+  /** Manifest oracle: the shared build CTEs (the refined graph is
+    * gen-0's logical content regardless of its physical two-append
+    * layout), then the either-endpoint tombstone arithmetic. */
+  val vsNngVacuumSql: String =
+    int8GridCtes.replaceFirst("quant AS \\(", "quant AS MATERIALIZED (") + s""",
+    ${NngSql.buildCtes("quant")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_before,
+      CAST(SUM(CASE WHEN src % $DeleteMod = 0 OR dst % $DeleteMod = 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_dead,
+      CAST(SUM(CASE WHEN src % $DeleteMod <> 0 AND dst % $DeleteMod <> 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_after,
+      CAST(SUM(d2) AS BIGINT) AS d2sum_before,
+      CAST(SUM(CASE WHEN src % $DeleteMod <> 0 AND dst % $DeleteMod <> 0
+        THEN d2 ELSE 0 END) AS BIGINT) AS d2sum_after
+    FROM g${NnGraph.Rounds}"""
 
   // ── vs_search_planned — selectivity-adaptive filtered-search planner ─
   /** The PLAN CHOICE a real vector store makes per filtered query —
@@ -4506,6 +4678,8 @@ object VectorSearch {
     "vs_lsh_load" -> vsLshLoad,
     "vs_lsh_upsert" -> vsLshUpsert,
     "vs_lsh_delete" -> vsLshDelete,
+    "vs_lsh_vacuum" -> vsLshVacuum,
+    "vs_nng_vacuum" -> vsNngVacuum,
     "vs_nng_search" -> vsNngSearch,
     "vs_nng_store" -> vsNngStore,
     "vs_nng_load" -> vsNngLoad,
@@ -4557,6 +4731,8 @@ object VectorSearch {
     "vs_lsh_load" -> vsLshLoadSql,
     "vs_lsh_upsert" -> vsLshUpsertSql,
     "vs_lsh_delete" -> vsLshDeleteSql,
+    "vs_lsh_vacuum" -> vsLshVacuumSql,
+    "vs_nng_vacuum" -> vsNngVacuumSql,
     "vs_nng_search" -> vsNngSearchSql,
     "vs_nng_store" -> vsNngStoreSql,
     "vs_nng_load" -> vsNngLoadSql,
