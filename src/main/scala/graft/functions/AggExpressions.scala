@@ -502,6 +502,7 @@ case class MisraGries(child: Expression, k: Int,
   * 16·k bytes of state per in-flight query, never a window sort.
   * Emits array<struct<d2, c_id>> sorted ascending (rank order). */
 case class TopKMinPairs(left: Expression, right: Expression, k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PriorityQueue[(Long, Long)]]
   with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
@@ -538,6 +539,14 @@ case class TopKMinPairs(left: Expression, right: Expression, k: Int,
     new PriorityQueue[(Long, Long)](k, cmp)
 
   private def insert(heap: PriorityQueue[(Long, Long)], v: (Long, Long)): Unit = {
+    if (distinct) {
+      // Duplicate candidates (e.g. a pair colliding in several LSH
+      // bands) carry an IDENTICAL (dist, id) tuple — the distance is a
+      // deterministic function of the pair — so tuple equality IS id
+      // dedup. O(k) scan per insert; k is the serving cut (10ish).
+      val it = heap.iterator()
+      while (it.hasNext) if (it.next() == v) return
+    }
     if (heap.size() < k) { heap.add(v); () }
     else {
       val worst = heap.peek()

@@ -37,6 +37,11 @@ package object functions {
   /** Aggregate: k smallest (d2, id) pairs, bounded k-pair state. */
   def top_k_min_pairs(d: Column, id: Column, k: Int): Column =
     col(TopKMinPairs(expr(d), expr(id), k).toAggregateExpression())
+  /** [[top_k_min_pairs]] skipping exact-duplicate (dist, id) tuples —
+    * the serving cut when the candidate stream can repeat a pair (e.g.
+    * multi-band LSH collisions); state stays ≤ k pairs per group. */
+  def top_k_min_pairs_distinct(d: Column, id: Column, k: Int): Column =
+    col(TopKMinPairs(expr(d), expr(id), k, distinct = true).toAggregateExpression())
   /** Aggregate: SimHash 4×16-bit chunk signature from token hashes. */
   def simhash_chunks(c: Column): Column =
     col(SimhashChunks(expr(c)).toAggregateExpression())

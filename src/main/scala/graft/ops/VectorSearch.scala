@@ -29,14 +29,14 @@ object VectorSearch {
     Tables.embeddings(spark, dir).select("vec_id", "embedding")
 
   /** SQL: embeddings projected to DOUBLE[] (exact float→double widening). */
-  private val eSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+  private[graft] val eSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
   /** SQL dot product — DuckDB list_inner_product is bit-identical to the
     * kernels' sequential double accumulation (verified empirically). */
   private def dotSql(a: String, b: String) = s"list_inner_product($a, $b)"
   /** SQL cosine similarity spelled out to match the kernel exactly:
     * dot/sqrt(|a|²·|b|²). (DuckDB's list_cosine_similarity uses a
     * different op order and is NOT bit-identical.) */
-  private def cosSql(a: String, b: String) =
+  private[graft] def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
   private def distSql(a: String, b: String) = s"round(1 - ${cosSql(a, b)}, 6)"
 
@@ -2412,7 +2412,7 @@ object VectorSearch {
   private val lshStoreWritten =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
-  private def ensureLshStored(spark: SparkSession, dir: String): Unit = {
+  private[graft] def ensureLshStored(spark: SparkSession, dir: String): Unit = {
     lshStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
       val t = storedTable("graft_lsh_bands", dir)
       val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",

@@ -1214,6 +1214,113 @@ object Streaming {
   def vsSearchStoredBatch(spark: SparkSession, dir: String): DataFrame =
     searchServeBatch(spark, dir, storedIvfIndex(spark, dir))
 
+  // ── Serving from the STORED LSH index (r16) ──────────────────────────
+  /** With the IVF leg above, both BUCKET-indexed families now serve as
+    * pure streaming plans from reloaded artifacts (the NNG beam search
+    * is inherently multi-hop — N chained stateful cuts per query — so
+    * its serving story is the batch cold-load, `vs_nng_load`). The LSH
+    * serve is the more streaming-shaped of the two: the query signature
+    * is a STATELESS kernel call at the geometry frozen at store time
+    * (the (r, b) pick and its derived hyperplanes are part of the index
+    * artifact, like the IVF grid scalar), so a micro-batch pays one
+    * stream-static hash join on (band_idx, band_val) against the
+    * reloaded band table, an exact-cosine rescore joined from the
+    * corpus scan BY CANDIDATE ID (point lookups, never a corpus scan
+    * per batch), and one bounded top-k cut. Multi-band collisions
+    * repeat a (query, candidate) pair with an identical distance, so
+    * the cut uses the DISTINCT TopKMinPairs variant — state stays ≤ k
+    * pairs per in-flight query, duplicates never double-fill the k. */
+  private[graft] def storedLshIndex(spark: SparkSession, dir: String)
+      : (Array[Double], Int, Int, DataFrame) = {
+    graft.ops.VectorSearch.ensureLshStored(spark, dir)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val (r, b) = graft.ops.VectorSearch.lshAdaptiveGeometry(n,
+      graft.ops.VectorSearch.lshTunedGeo)
+    val flat = graft.ops.VectorSearch.planes(r * b).flatten.toArray
+    val bands = graft.util.Persist.stage(
+      spark.table(graft.ops.VectorSearch.storedTable("graft_lsh_bands", dir)),
+      eager = false)
+    (flat, r, b, bands)
+  }
+
+  /** Scaled-integer cosine distance for the serving cut: the micro
+    * precision every pair key already compares at (`r6`), shifted so
+    * smaller = nearer and BIGINT-exact in both engines. */
+  private def lshNd(qv: Column, cv: Column): Column =
+    (lit(1000000L) -
+      round(graft.functions.cosine_similarity(qv, cv) * 1000000.0)
+        .cast("long")).as("nd")
+
+  /** The serving transformation both the stream and its batch twin run:
+    * (q_id, qv) queries → stateless signature at the frozen stored
+    * geometry → stream-static join on the band key → candidate-id
+    * rescore join → distinct bounded top-k. */
+  private def lshServeChain(queries: DataFrame, flat: Array[Double],
+      r: Int, b: Int, bands: DataFrame, corpus: DataFrame): DataFrame =
+    queries
+      .select(col("q_id"), col("qv"),
+        posexplode(graft.functions.lsh_band_vals(col("qv"), flat, 64, r, b))
+          .as(Seq("band_idx", "band_val")))
+      .join(bands, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(corpus, "vec_id")
+      .select(col("q_id"), col("vec_id").as("c_id"), lshNd(col("qv"), col("cv")))
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs_distinct(col("nd"), col("c_id"),
+        SearchTopK).as("top"))
+
+  private def lshCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("cv"))
+
+  /** Always-on LSH-indexed search from the RELOADED band table. */
+  def vsSearchLshStream(spark: SparkSession, dir: String): DataFrame = {
+    val (flat, r, b, bands) = storedLshIndex(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    lshServeChain(
+      spark.readStream.schema(sch)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      flat, r, b, bands, lshCorpus(spark, dir))
+  }
+
+  /** Registered batch twin (`stream_search_lsh`): identical stored
+    * geometry, identical band join and distinct cut, ranked rows. */
+  def vsSearchLshBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (flat, r, b, bands) = storedLshIndex(spark, dir)
+    val qs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    lshServeChain(qs, flat, r, b, bands, lshCorpus(spark, dir))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1L).as("rank"),
+        col("hit.c_id").as("c_id"), col("hit.d2").as("nd"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Full SQL replay: the shared adaptive-band CTEs at the full-count
+    * tuned geometry (= the stored table's content), query slice, band
+    * collision join with self excluded, DISTINCT candidate pairs (the
+    * kernel side's distinct cut), exact-cosine rescore at micro scale,
+    * row_number top-k. */
+  val vsSearchLshSql: String = s"""
+    WITH e AS (${graft.ops.VectorSearch.eSql}),
+    ${graft.ops.VectorSearch.lshBandsAdaptiveSql("e", "vec_id",
+      geo = graft.ops.VectorSearch.lshTunedGeo)},
+    qb AS (SELECT vec_id AS q_id, band_idx, band_val FROM bands
+      WHERE vec_id % 100 = 0),
+    cand AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id
+      FROM qb q JOIN bands c USING (band_idx, band_val)
+      WHERE c.vec_id <> q.q_id),
+    sc AS (SELECT q_id, c_id,
+        CAST(1000000 - round(${graft.ops.VectorSearch.cosSql("a.v", "b.v")}
+          * 1000000) AS BIGINT) AS nd
+      FROM cand JOIN e a ON a.vec_id = q_id JOIN e b ON b.vec_id = c_id)
+    SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, nd FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY nd, c_id) AS rn
+      FROM sc) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
+
   /** Full SQL replay: quantize → hash-coin-seeded integer Lloyd (2
     * unrolled rounds, the vs_ivf_trained technique) → cell assignment →
     * per-query nprobe cell pick → cell join → exact rescore → top-k. */
@@ -1594,6 +1701,7 @@ object Streaming {
     "stream_search" -> (vsSearchServeBatch _),
     "stream_search_ivf" -> (vsSearchIvfBatch _),
     "stream_search_stored" -> (vsSearchStoredBatch _),
+    "stream_search_lsh" -> (vsSearchLshBatch _),
     "stream_decontaminate" -> (decontGateBatch _),
     "stream_quantile" -> (quantileSketchBatch _),
     "stream_heavy_hitters" -> (heavyHittersBatch _),
@@ -1613,6 +1721,7 @@ object Streaming {
     "stream_search" -> vsSearchServeSql,
     "stream_search_ivf" -> vsSearchIvfSql,
     "stream_search_stored" -> vsSearchIvfSql,
+    "stream_search_lsh" -> vsSearchLshSql,
     // Output ≡ text_fuzzy_decontaminate by construction — same oracle.
     "stream_decontaminate" -> graft.ops.TextAnalysis.textFuzzyDecontaminateSql,
     "stream_quantile" -> quantileSketchSql,

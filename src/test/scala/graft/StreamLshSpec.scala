@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Streaming serve from the STORED LSH index (`stream_search_lsh`):
+  * signature hashing at the geometry frozen at store time, band-key
+  * stream-static join against the reloaded band table, candidate-id
+  * rescore, DISTINCT bounded top-k (multi-band collisions must not
+  * double-fill the k), cold-session reproducibility.
+  */
+class StreamLshSpec extends SparkSpec {
+
+  private def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+
+  test("cold session: stored-band batch twin reproduces the warm run; band table is a FileScan") {
+    SparkEntry.queries("vs_lsh_store")(spark, sf).collect()
+    val warm = SparkEntry.queries("stream_search_lsh")(spark, sf).collect()
+    val cold = spark.newSession()
+    val served = SparkEntry.queries("stream_search_lsh")(cold, sf).collect()
+    assert(served.nonEmpty && served.map(key).toSeq == warm.map(key).toSeq,
+      "stored-band serve diverged across sessions")
+    val plan = cold.table(
+      graft.ops.VectorSearch.storedTable("graft_lsh_bands", sf))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("FileScan parquet"), s"not a FileScan:\n$plan")
+  }
+
+  test("the STREAM leg over the stored band table ≡ its batch twin") {
+    SparkEntry.queries("vs_lsh_store")(spark, sf).collect()
+    val cold = spark.newSession()
+    val q = Streaming.vsSearchLshStream(cold, sf).writeStream
+      .format("memory").queryName("stream_lsh")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = cold.table("stream_lsh")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1L).as("rank"),
+        col("hit.c_id"), col("hit.d2"))
+      .collect().map(key).toSet
+    val batch = SparkEntry.queries("stream_search_lsh")(cold, sf)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "stored-band streaming serve diverged from its batch twin")
+  }
+
+  test("the distinct cut: no candidate appears twice in a query's top-k, no self-hits") {
+    val rows = SparkEntry.queries("stream_search_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getLong(0))
+    for ((q, rs) <- perQ) {
+      val cids = rs.map(_.getLong(2)).toSeq
+      assert(cids.distinct == cids, s"q=$q served a duplicate candidate: $cids")
+      assert(!cids.contains(q), s"q=$q served itself")
+      assert(rs.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq,
+        s"q=$q ranks not contiguous")
+    }
+  }
+
+  test("top_k_min_pairs_distinct drops exact duplicates; the plain cut keeps them") {
+    import spark.implicits._
+    // duplicates of the BEST pair must not evict distinct worse pairs
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("d", "id")
+    val dis = df.agg(graft.functions.top_k_min_pairs_distinct(
+        col("d"), col("id"), 3).as("top"))
+      .select(explode(col("top")).as("h")).select(col("h.c_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(dis == Seq(10L, 20L, 30L), s"distinct cut: $dis")
+    val plain = df.agg(graft.functions.top_k_min_pairs(
+        col("d"), col("id"), 3).as("top"))
+      .select(explode(col("top")).as("h")).select(col("h.c_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(10L, 10L, 10L), s"plain cut: $plain")
+  }
+}
