@@ -185,26 +185,31 @@ object Bench {
     // record per-micro-batch latency (p50/p95) + throughput. Counted
     // AFTER the timed sweep; never kills the bench. Disable with
     // SPARK_GRAFT_BENCH_SERVING=0.
-    val servingJson: String =
+    def rateBlock(name: String,
+        run: (SparkSession, String, Int, Int) => Seq[Double]): String =
       if (sys.env.get("SPARK_GRAFT_BENCH_SERVING").contains("0")) "null"
       else try {
         val nBatches = 8
         val batchSize = 64
-        val lats = streaming.Streaming.serveIvfRate(spark, sfDir, nBatches, batchSize)
+        val lats = run(spark, sfDir, nBatches, batchSize)
         val sorted = lats.sorted
         val p50 = sorted(sorted.size / 2)
         val p95 = sorted(((sorted.size - 1) * 95) / 100)
         val qps = nBatches.toLong * batchSize / lats.sum
         System.err.println(
-          f"[bench] serving stream_search_ivf: p50=$p50%.3f s p95=$p95%.3f s qps=$qps%.1f")
+          f"[bench] serving $name: p50=$p50%.3f s p95=$p95%.3f s qps=$qps%.1f")
         import graft.util.Jnum.{f1, f4}
-        s"""{"query":"stream_search_ivf","n_batches":$nBatches,"batch_size":$batchSize,""" +
+        s"""{"query":${jstr(name)},"n_batches":$nBatches,"batch_size":$batchSize,""" +
           s""""p50_s":${f4(p50)},"p95_s":${f4(p95)},"qps":${f1(qps)},""" +
           s""""lat_s":[${lats.map(f4).mkString(",")}]}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] serving harness failed: ${e.getMessage}")
+        System.err.println(s"[bench] serving harness $name failed: ${e.getMessage}")
         "null"
       }
+    val servingJson = rateBlock("stream_search_ivf", streaming.Streaming.serveIvfRate)
+    // The LSH family's stored serve, same harness shape — the two
+    // bucket-indexed families' serving economics side by side.
+    val servingLshJson = rateBlock("stream_search_lsh", streaming.Streaming.serveLshRate)
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
@@ -215,7 +220,7 @@ object Bench {
     // HEAD stamp (r14 verdict #6): the freeze gate asserts no product
     // source changed between this SHA and the HEAD under test.
     val gitSha = graft.util.GitInfo.headSha().getOrElse("unknown")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"medians":$medJson,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"serving":$servingJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"medians":$medJson,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"serving":$servingJson,"serving_lsh":$servingLshJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

@@ -1285,6 +1285,38 @@ object Streaming {
       flat, r, b, bands, lshCorpus(spark, dir))
   }
 
+  /** Serving-RATE harness for the stored-LSH serve (mirrors
+    * [[serveIvfRate]]): `nBatches` micro-batches of `batchSize` fresh
+    * queries each through a MemoryStream against the RELOADED band
+    * table (update mode, noop sink; one warmup batch un-timed). Query
+    * vectors stay `array<float>` — the exact registered-key path. */
+  def serveLshRate(spark: SparkSession, dir: String,
+      nBatches: Int, batchSize: Int): Seq[Double] = {
+    val (flat, r, b, bands) = storedLshIndex(spark, dir)
+    val corpus = lshCorpus(spark, dir)
+    val pool = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit((nBatches + 1) * batchSize)
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1)))
+    require(pool.length == (nBatches + 1) * batchSize,
+      s"corpus too small for ${(nBatches + 1) * batchSize} serving queries")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val out = lshServeChain(ms.toDF().toDF("q_id", "qv"), flat, r, b, bands, corpus)
+    val q = out.writeStream.format("noop").outputMode("update").start()
+    try {
+      (0 to nBatches).map { batch =>
+        val slice = pool.slice(batch * batchSize, (batch + 1) * batchSize)
+        val t0 = System.nanoTime()
+        ms.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1) // warmup batch un-timed
+    } finally q.stop()
+  }
+
   /** Registered batch twin (`stream_search_lsh`): identical stored
     * geometry, identical band join and distinct cut, ranked rows. */
   def vsSearchLshBatch(spark: SparkSession, dir: String): DataFrame = {

@@ -60,6 +60,11 @@ class StreamLshSpec extends SparkSpec {
     }
   }
 
+  test("the serving-rate harness drives micro-batches through the stored band table") {
+    val lats = Streaming.serveLshRate(spark, sf, nBatches = 2, batchSize = 8)
+    assert(lats.size == 2 && lats.forall(_ > 0.0), s"lats=$lats")
+  }
+
   test("top_k_min_pairs_distinct drops exact duplicates; the plain cut keeps them") {
     import spark.implicits._
     // duplicates of the BEST pair must not evict distinct worse pairs
