@@ -65,6 +65,46 @@ class StreamLshSpec extends SparkSpec {
     assert(lats.size == 2 && lats.forall(_ > 0.0), s"lats=$lats")
   }
 
+  test("serve semantics: exact rescore, design-point recall, no wide-plan shapes") {
+    import org.apache.spark.sql.expressions.Window
+    val served = SparkEntry.queries("stream_search_lsh")(spark, sf)
+    // plan shape: band-key hash joins only — a serving chain must never
+    // degrade to a cartesian/BNL under optimizer drift
+    val plan = served.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"wide join in serve plan:\n$plan")
+    val rows = served.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val exact = e.crossJoin(
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (lit(1000000L) - round(graft.functions.cosine_similarity(
+          col("embedding"), col("qv")) * 1000000.0).cast("long")).as("nd"))
+    val exactMap = exact.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // (a) every served pair carries the EXACT brute-rescored distance —
+    // the bucketed candidate path must never corrupt a score
+    for ((q, c, nd) <- rows)
+      assert(exactMap((q, c)) == nd, s"served ($q,$c) nd=$nd != exact ${exactMap((q, c))}")
+    // (b) the DESIGN-POINT guarantee, serve-level: every truly-high-sim
+    // pair (sim >= 0.8, the tuned 0.9@0.8 S-curve regime) must be
+    // served. On the isotropic test corpus this set is usually empty —
+    // true top-10 neighbors sit near cosine 0.4, far below the collision
+    // regime, which is WHY exact-top-10 recall reads only 2-4% here
+    // (measured 40000/20000 ppm at sf0.001/0.01): the serve answers
+    // "near-duplicates of the query", not "best of isotropic noise".
+    // The assertion is armed for any corpus with real near-dups, and
+    // LshRecallSpec pins the S-curve that backs it at the band level.
+    val mustServe = exactMap.filter(_._2 <= 200000L).keySet
+    val servedSet = rows.map(t => (t._1, t._2)).toSet
+    assert(mustServe.forall(servedSet.contains),
+      s"high-sim pairs missed by the serve: ${mustServe -- servedSet}")
+    info(s"exact pairs=${exactMap.size}, served=${rows.length}, " +
+      s"high-sim(>=0.8) pairs=${mustServe.size} all served")
+  }
+
   test("top_k_min_pairs_distinct drops exact duplicates; the plain cut keeps them") {
     import spark.implicits._
     // duplicates of the BEST pair must not evict distinct worse pairs
