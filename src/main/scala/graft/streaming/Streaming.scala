@@ -1224,9 +1224,15 @@ object Streaming {
     * (the (r, b) pick and its derived hyperplanes are part of the index
     * artifact, like the IVF grid scalar), so a micro-batch pays one
     * stream-static hash join on (band_idx, band_val) against the
-    * reloaded band table, an exact-cosine rescore joined from the
-    * corpus scan BY CANDIDATE ID (point lookups, never a corpus scan
-    * per batch), and one bounded top-k cut. Multi-band collisions
+    * reloaded band table, an exact-cosine rescore joined BY CANDIDATE
+    * ID against the staged corpus copy, and one bounded top-k cut.
+    * The bounded QUERY side broadcasts into both joins — the corpus is
+    * never shuffled — but like every Spark stream-static join (the IVF
+    * serve's assignment table included) the static side is re-read
+    * each micro-batch; both static frames are staged
+    * (localCheckpoint), so a warm serving node re-reads cache, not
+    * parquet. That re-read is the documented micro-batch floor of
+    * Spark serving, not a point lookup. Multi-band collisions
     * repeat a (query, candidate) pair with an identical distance, so
     * the cut uses the DISTINCT TopKMinPairs variant — state stays ≤ k
     * pairs per in-flight query, duplicates never double-fill the k. */
@@ -1269,9 +1275,13 @@ object Streaming {
       .agg(graft.functions.top_k_min_pairs_distinct(col("nd"), col("c_id"),
         SearchTopK).as("top"))
 
+  /** The rescore copy of the corpus, staged like the IVF serve's
+    * assignment table: per-batch re-reads hit the checkpoint cache. */
   private def lshCorpus(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("cv"))
+    graft.util.Persist.stage(
+      graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("cv")),
+      eager = false)
 
   /** Always-on LSH-indexed search from the RELOADED band table. */
   def vsSearchLshStream(spark: SparkSession, dir: String): DataFrame = {
