@@ -71,6 +71,40 @@ class ArtifactSyncSpec extends AnyFunSuite {
         s"-${(sf1 -- registry).toSeq.sorted}")
   }
 
+  test("freeze gate: CATALOG.md registration lines are in sync (SPARK_GRAFT_FREEZE=1)") {
+    assume(sys.env.get("SPARK_GRAFT_FREEZE").contains("1"),
+      "mid-round run: CatalogSpec is the standing guard; this tier makes the " +
+        "end-of-round freeze command catch doc drift too")
+    // r16 verdict #1: the final product commit (35e7607) shifted
+    // Streaming.scala registration lines AFTER the last CATALOG.md
+    // regeneration, and the freeze ritual only ran ArtifactSyncSpec —
+    // so sbt test shipped red. Duplicate CatalogSpec's line-pin check
+    // here so the ONE end-of-round command covers it.
+    val rowRe = """\| `([a-z0-9_]+)` \| .+ \| ([^|: ]+):(\d+) \|""".r
+    val rows = {
+      val s = scala.io.Source.fromFile("CATALOG.md", "UTF-8")
+      try s.getLines().collect { case rowRe(k, f, l) => (k, f, l.toInt) }.toList
+      finally s.close()
+    }
+    val lineCache = scala.collection.mutable.Map.empty[String, Map[String, Int]]
+    def registrations(file: String): Map[String, Int] =
+      lineCache.getOrElseUpdate(file, {
+        val s = scala.io.Source.fromFile(file, "UTF-8")
+        val re = """"([a-z0-9_]+)" -> """.r.unanchored
+        try s.getLines().zipWithIndex.collect {
+          case (re(k), i) => k -> (i + 1)
+        }.toList.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+        finally s.close()
+      })
+    val drifted = rows.collect {
+      case (k, f, l) if registrations(f).get(k) != Some(l) =>
+        s"$k ($f: catalog $l vs actual ${registrations(f).getOrElse(k, -1)})"
+    }
+    assert(drifted.isEmpty,
+      s"CATALOG.md stale — run `sbt \"runMain graft.tools.CatalogRepin\"`: " +
+        drifted.take(5).mkString("; "))
+  }
+
   private def shaOf(path: String, key: String): Option[String] = {
     val txt = {
       val s = scala.io.Source.fromFile(path, "UTF-8")
