@@ -2419,6 +2419,19 @@ object VectorSearch {
         geo = lshTunedGeo)
       graft.sources.Sinks.writeBucketedAt(bandsDf, t,
         "band_val", LshStoreBuckets, s"$lshStoreRoot/bands-${t.split('_').last}")
+      // Rescore side-table (r16 verdict #2): the serve's exact-cosine
+      // rescore used to join candidates against a full STAGED corpus
+      // copy — an assumption that dies at 100× (you cannot pin 100 TB
+      // of vectors in executor memory per serving node). Persist the
+      // (vec_id, cv) projection as a vec_id-bucketed catalog table
+      // beside the band table, so a micro-batch rescores from a
+      // column-pruned bucketed FileScan — the same artifact shape the
+      // IVF serve reads (its assignment table carries `qd`). Storage
+      // is 1× the corpus, vs ×b if the vector rode on every band row.
+      graft.sources.Sinks.writeBucketedAt(
+        emb(spark, dir).select(col("vec_id"), col("embedding").as("cv")),
+        storedTable("graft_lsh_vecs", dir),
+        "vec_id", LshStoreBuckets, s"$lshStoreRoot/vecs-${t.split('_').last}")
       true
     })
     ()

@@ -1225,13 +1225,16 @@ object Streaming {
     * artifact, like the IVF grid scalar), so a micro-batch pays one
     * stream-static hash join on (band_idx, band_val) against the
     * reloaded band table, an exact-cosine rescore joined BY CANDIDATE
-    * ID against the staged corpus copy, and one bounded top-k cut.
-    * The bounded QUERY side broadcasts into both joins — the corpus is
-    * never shuffled — but like every Spark stream-static join (the IVF
-    * serve's assignment table included) the static side is re-read
-    * each micro-batch; both static frames are staged
-    * (localCheckpoint), so a warm serving node re-reads cache, not
-    * parquet. That re-read is the documented micro-batch floor of
+    * ID against the vec_id-bucketed rescore table written beside the
+    * bands at store time ([[lshCorpus]]), and one bounded top-k cut.
+    * The bounded QUERY side broadcasts into both joins — neither
+    * static side is ever shuffled — and like every Spark stream-static
+    * join the static sides are re-read each micro-batch: the narrow
+    * band table from the staged copy (localCheckpoint — int triples,
+    * cacheable at any corpus size worth banding), the VECTOR side from
+    * its column-pruned bucketed FileScan, never a pinned in-memory
+    * corpus copy (r16 verdict: the staged-corpus assumption dies at
+    * 100×). That re-read is the documented micro-batch floor of
     * Spark serving, not a point lookup. Multi-band collisions
     * repeat a (query, candidate) pair with an identical distance, so
     * the cut uses the DISTINCT TopKMinPairs variant — state stays ≤ k
@@ -1260,7 +1263,11 @@ object Streaming {
   /** The serving transformation both the stream and its batch twin run:
     * (q_id, qv) queries → stateless signature at the frozen stored
     * geometry → stream-static join on the band key → candidate-id
-    * rescore join → distinct bounded top-k. */
+    * rescore join → distinct bounded top-k. A zero-norm vector has no
+    * cosine (the kernel yields NULL); such rows are dropped EXPLICITLY
+    * so the engine and the oracle agree by construction instead of
+    * relying on the aggregate's silent null-skip vs the oracle's
+    * NULLS-LAST ranking (r16 advice). */
   private def lshServeChain(queries: DataFrame, flat: Array[Double],
       r: Int, b: Int, bands: DataFrame, corpus: DataFrame): DataFrame =
     queries
@@ -1271,17 +1278,24 @@ object Streaming {
       .filter(col("vec_id") =!= col("q_id"))
       .join(corpus, "vec_id")
       .select(col("q_id"), col("vec_id").as("c_id"), lshNd(col("qv"), col("cv")))
+      .filter(col("nd").isNotNull)
       .groupBy("q_id")
       .agg(graft.functions.top_k_min_pairs_distinct(col("nd"), col("c_id"),
         SearchTopK).as("top"))
 
-  /** The rescore copy of the corpus, staged like the IVF serve's
-    * assignment table: per-batch re-reads hit the checkpoint cache. */
-  private def lshCorpus(spark: SparkSession, dir: String): DataFrame =
-    graft.util.Persist.stage(
-      graft.Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").as("cv")),
-      eager = false)
+  /** The rescore side of the serve: the (vec_id, cv) catalog table
+    * written BESIDE the band table at store time, bucketed by the
+    * rescore join key (r16 verdict #2). A micro-batch's candidate join
+    * reads this column-pruned bucketed FileScan — never a staged
+    * in-memory corpus copy, which is an assumption that cannot survive
+    * 100× (the IVF sibling reads its stored assignment scan the same
+    * way). The per-batch static-side re-read is the documented
+    * micro-batch floor; here it is 2 columns of bucketed parquet, not
+    * a re-materialized corpus. */
+  private def lshCorpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.VectorSearch.ensureLshStored(spark, dir)
+    spark.table(graft.ops.VectorSearch.storedTable("graft_lsh_vecs", dir))
+  }
 
   /** Always-on LSH-indexed search from the RELOADED band table. */
   def vsSearchLshStream(spark: SparkSession, dir: String): DataFrame = {
@@ -1361,7 +1375,7 @@ object Streaming {
       FROM cand JOIN e a ON a.vec_id = q_id JOIN e b ON b.vec_id = c_id)
     SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, nd FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY nd, c_id) AS rn
-      FROM sc) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
+      FROM sc WHERE nd IS NOT NULL) WHERE rn <= $SearchTopK ORDER BY q_id, rank"""
 
   /** Full SQL replay: quantize → hash-coin-seeded integer Lloyd (2
     * unrolled rounds, the vs_ivf_trained technique) → cell assignment →

@@ -27,6 +27,23 @@ class StreamLshSpec extends SparkSpec {
     assert(plan.contains("FileScan parquet"), s"not a FileScan:\n$plan")
   }
 
+  test("the rescore side reads the bucketed vecs FileScan, not a staged corpus copy") {
+    // r16 verdict #2: the exact-cosine rescore must come from the
+    // (vec_id, cv) catalog table written beside the bands at store
+    // time — a column-pruned bucketed FileScan — never from a pinned
+    // in-memory corpus copy (which cannot survive 100×).
+    val served = SparkEntry.queries("stream_search_lsh")(spark, sf)
+    val vecsTable = graft.ops.VectorSearch.storedTable("graft_lsh_vecs", sf)
+    val plan = served.queryExecution.executedPlan.toString()
+    assert(plan.contains(vecsTable),
+      s"serve plan does not read $vecsTable:\n$plan")
+    val vecsPlan = spark.table(vecsTable).queryExecution.executedPlan.toString()
+    assert(vecsPlan.contains("FileScan parquet"), s"not a FileScan:\n$vecsPlan")
+    assert(spark.catalog.listColumns(vecsTable)
+      .collect().exists(c => c.name == "vec_id" && c.isBucket),
+      s"$vecsTable is not bucketed by vec_id")
+  }
+
   test("the STREAM leg over the stored band table ≡ its batch twin") {
     SparkEntry.queries("vs_lsh_store")(spark, sf).collect()
     val cold = spark.newSession()
