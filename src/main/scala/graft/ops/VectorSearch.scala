@@ -2276,38 +2276,41 @@ object VectorSearch {
     * generated to the table max and filtered to r·b — DuckDB's range()
     * takes constants only — and every shift is explicitly BIGINT (the
     * fixed-geometry mirror's bare `1 <<` would overflow INT32 at the
-    * table's widest bands). */
+    * table's widest bands). `sfx` suffixes every CTE name so two band
+    * tables at two geometry picks can coexist in one oracle (the
+    * reband key's before/after manifest). */
   private[graft] def lshBandsAdaptiveSql(src: String, idCol: String,
-      geo: Seq[(Int, Int)] = lshAdaptGeo, geoSrc: String = null): String = {
+      geo: Seq[(Int, Int)] = lshAdaptGeo, geoSrc: String = null,
+      sfx: String = ""): String = {
     val geoVals = geo.map { case (r, b) => s"($r,$b)" }.mkString(",")
     val maxPlanes = geo.map { case (r, b) => r * b }.max
     val (rMax, bMax) = geo.last
     s"""
-    geo0 AS (SELECT * FROM (VALUES $geoVals) t(r, b)),
-    nn AS (SELECT COUNT(*) AS n FROM ${Option(geoSrc).getOrElse(src)}),
-    geopick AS (SELECT r, b FROM geo0, nn
+    geo0$sfx AS (SELECT * FROM (VALUES $geoVals) t(r, b)),
+    nn$sfx AS (SELECT COUNT(*) AS n FROM ${Option(geoSrc).getOrElse(src)}),
+    geopick$sfx AS (SELECT r, b FROM geo0$sfx, nn$sfx
       WHERE n * b <= $LshAdaptCandsPerRow * (CAST(1 AS BIGINT) << (r + 1))
       ORDER BY r LIMIT 1),
-    geo AS (SELECT coalesce((SELECT r FROM geopick), $rMax) AS r,
-                   coalesce((SELECT b FROM geopick), $bMax) AS b),
-    pidx AS (
+    geo$sfx AS (SELECT coalesce((SELECT r FROM geopick$sfx), $rMax) AS r,
+                   coalesce((SELECT b FROM geopick$sfx), $bMax) AS b),
+    pidx$sfx AS (
       SELECT jj.range AS j, ii.range AS i,
         ((jj.range*64 + ii.range + 1) * 2654435761) % 2147483648 AS h1
-      FROM range(0, $maxPlanes) jj, range(0, 64) ii, geo
-      WHERE jj.range < geo.r * geo.b),
-    p2 AS (SELECT j, i,
-        (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2 FROM pidx),
-    planes AS (
+      FROM range(0, $maxPlanes) jj, range(0, 64) ii, geo$sfx
+      WHERE jj.range < geo$sfx.r * geo$sfx.b),
+    p2$sfx AS (SELECT j, i,
+        (xor(h1, h1 // 65536) * 2246822519) % 2147483648 AS h2 FROM pidx$sfx),
+    planes$sfx AS (
       SELECT j, list(xor(h2, h2 // 8192) / 2147483648.0 - 0.5 ORDER BY i) AS p
-      FROM p2 GROUP BY j),
-    bits AS (
+      FROM p2$sfx GROUP BY j),
+    bits$sfx AS (
       SELECT $idCol, j,
         CASE WHEN ${dotSql("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
-      FROM $src, planes),
-    bands AS (
-      SELECT $idCol, j // geo.r AS band_idx,
-        SUM(bit * (CAST(1 AS BIGINT) << (geo.r - 1 - j % geo.r))) AS band_val
-      FROM bits, geo GROUP BY 1, 2)"""
+      FROM $src, planes$sfx),
+    bands$sfx AS (
+      SELECT $idCol, j // geo$sfx.r AS band_idx,
+        SUM(bit * (CAST(1 AS BIGINT) << (geo$sfx.r - 1 - j % geo$sfx.r))) AS band_val
+      FROM bits$sfx, geo$sfx GROUP BY 1, 2)"""
   }
 
   /** SQL mirror of [[graft.util.Skew.cappedSelfPairs]] over the `bands`
@@ -2708,6 +2711,115 @@ object VectorSearch {
       CAST(SUM(CASE WHEN vec_id % $DeleteMod <> 0 THEN band_val ELSE 0 END)
         AS BIGINT) AS bandsum_after
     FROM bands"""
+
+  // ── vs_lsh_reband — the scheduled re-band the reband_due flag demands ─
+  /** Closes the loop [[vsLshUpsert]] only signals (r16 verdict #3: the
+    * upsert emits `reband_due` but NO operator executed the re-band —
+    * an index that only accretes appends degrades unbounded; pgvector's
+    * posture is REINDEX). Scenario: the corpus DOUBLED since the
+    * geometry was frozen — base = `vec_id % RebandBaseMod ≠ 0`, the
+    * other half is the accumulated appends — so the adaptive pick at
+    * the grown count differs from the frozen base pick (the tuned
+    * table's boundaries are ~1.6× apart, so a doubling always crosses
+    * one until the table saturates at its documented r=24 ceiling,
+    * where the flag correctly stays 0 and the re-band is a no-op).
+    * When `reband_due` fires, the job re-hashes the corpus at the NEW
+    * (r, b) and rewrites the band table as one fresh bucketed
+    * generation ([[graft.sources.Sinks.writeBucketedAt]], the vacuum
+    * posture); the manifest hashes before/after from the DEGRADED
+    * state (full corpus at the outgrown geometry) and the RELOADED
+    * rebanded table: geometry pair, row/bucket stats, the candidate
+    * volume Σ n·(n−1)/2 the re-band exists to bound (at the outgrown
+    * pick, random collisions per row exceed the designed
+    * [[LshAdaptCandsPerRow]]), and the Σ band_val content checksum of
+    * the new generation (a mis-hashed re-band breaks it). Cost is the
+    * honest one: one full corpus re-hash + one bucketed write — the
+    * SCHEDULED job, amortized across the appends that demanded it,
+    * never a per-append price ([[vsLshUpsert]] stays O(|batch|)). */
+  final val RebandBaseMod = 2L
+  private lazy val lshRebandRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-lshreband").toFile
+    graft.util.Persist.deleteOnExit(d)
+    d.toString
+  }
+  private val lshRebandWritten =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
+
+  def vsLshReband: Q = (spark, dir) =>
+    lshRebandWith(spark, emb(spark, dir), storeDir = Some(dir))
+
+  /** Core of [[vsLshReband]] with the corpus and geometry table
+    * injectable so the spec can drive both arms: a planted corpus that
+    * crosses a pick boundary (flag fires → rebuild path runs) and a
+    * saturated one-row table (flag stays 0 → no rewrite happens). With
+    * `storeDir` set, the rebanded generation is persisted once per
+    * (context, dir) and the after-stats read the RELOADED table. */
+  private[graft] def lshRebandWith(spark: SparkSession, e: DataFrame,
+      storeDir: Option[String], geo: Seq[(Int, Int)] = lshTunedGeo): DataFrame = {
+    val nBase = e.filter(col("vec_id") % RebandBaseMod =!= 0).count()
+    val n = e.count()
+    val (rOld, bOld) = lshAdaptiveGeometry(nBase, geo)
+    val (rNew, bNew) = lshAdaptiveGeometry(n, geo)
+    val due = if ((rOld, bOld) != (rNew, bNew)) 1L else 0L
+    val degraded = lshBands(e, "vec_id", "embedding", rOld, bOld)
+    val rebanded: DataFrame =
+      if (due == 0L) degraded
+      else storeDir match {
+        case Some(d) =>
+          lshRebandWritten.computeIfAbsent((spark.sparkContext, d), _ => {
+            val t = storedTable("graft_lsh_reband", d)
+            graft.sources.Sinks.writeBucketedAt(
+              lshBands(e, "vec_id", "embedding", rNew, bNew), t,
+              "band_val", LshStoreBuckets, s"$lshRebandRoot/gen-${t.split('_').last}")
+            true
+          })
+          spark.table(storedTable("graft_lsh_reband", d))
+        case None => lshBands(e, "vec_id", "embedding", rNew, bNew)
+      }
+    def bucketStats(bands: DataFrame, sfx: String): DataFrame =
+      bands.groupBy("band_idx", "band_val").agg(count(lit(1)).as("nb"))
+        .agg(sum("nb").as(s"rows_$sfx"), count(lit(1)).as(s"buckets_$sfx"),
+          max("nb").as(s"max_bucket_$sfx"),
+          sum(idiv(col("nb") * (col("nb") - 1L), lit(2L))).as(s"cand_$sfx"),
+          sum(col("band_val") * col("nb")).as(s"bandsum_$sfx"))
+    bucketStats(degraded, "old").crossJoin(bucketStats(rebanded, "new"))
+      .select(lit(nBase).as("n_base"), lit(n).as("n_total"),
+        lit(rOld.toLong).as("r_old"), lit(bOld.toLong).as("b_old"),
+        lit(rNew.toLong).as("r_new"), lit(bNew.toLong).as("b_new"),
+        col("rows_old"), col("buckets_old"), col("max_bucket_old"), col("cand_old"),
+        col("rows_new"), col("buckets_new"), col("max_bucket_new"), col("cand_new"),
+        col("bandsum_new"), lit(due).as("reband_due"))
+  }
+
+  /** Oracle: TWO instantiations of the shared adaptive-band CTEs — the
+    * degraded table (full corpus at the pick frozen from the BASE
+    * count, the [[vsLshUpsertSql]] geoSrc technique) and the rebanded
+    * one (full-count pick, suffix `2`) — then the same bucket
+    * aggregates on each. */
+  val vsLshRebandSql: String = s"""
+    WITH e AS ($eSql),
+    ebase AS (SELECT * FROM e WHERE vec_id % $RebandBaseMod <> 0),
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo, geoSrc = "ebase")},
+    ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo, sfx = "2")},
+    so AS (SELECT band_idx, band_val, COUNT(*) AS nb FROM bands GROUP BY 1, 2),
+    sn AS (SELECT band_idx, band_val, COUNT(*) AS nb FROM bands2 GROUP BY 1, 2),
+    ao AS (SELECT CAST(SUM(nb) AS BIGINT) AS rows_old,
+        CAST(COUNT(*) AS BIGINT) AS buckets_old,
+        CAST(MAX(nb) AS BIGINT) AS max_bucket_old,
+        CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS cand_old FROM so),
+    an AS (SELECT CAST(SUM(nb) AS BIGINT) AS rows_new,
+        CAST(COUNT(*) AS BIGINT) AS buckets_new,
+        CAST(MAX(nb) AS BIGINT) AS max_bucket_new,
+        CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS cand_new,
+        CAST(SUM(band_val * nb) AS BIGINT) AS bandsum_new FROM sn)
+    SELECT CAST((SELECT COUNT(*) FROM ebase) AS BIGINT) AS n_base,
+      CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_total,
+      CAST(geo.r AS BIGINT) AS r_old, CAST(geo.b AS BIGINT) AS b_old,
+      CAST(geo2.r AS BIGINT) AS r_new, CAST(geo2.b AS BIGINT) AS b_new,
+      ao.*, an.*,
+      CAST(CASE WHEN geo2.r <> geo.r OR geo2.b <> geo.b THEN 1 ELSE 0 END AS BIGINT)
+        AS reband_due
+    FROM geo, geo2, ao, an"""
 
   // ── vs_hybrid_search — lexical + semantic retrieval, fused score ─────
   /** The vector-DB "hybrid search" pattern: score = ½·cosine(embedding)
@@ -4692,6 +4804,7 @@ object VectorSearch {
     "vs_lsh_upsert" -> vsLshUpsert,
     "vs_lsh_delete" -> vsLshDelete,
     "vs_lsh_vacuum" -> vsLshVacuum,
+    "vs_lsh_reband" -> vsLshReband,
     "vs_nng_vacuum" -> vsNngVacuum,
     "vs_nng_search" -> vsNngSearch,
     "vs_nng_store" -> vsNngStore,
@@ -4745,6 +4858,7 @@ object VectorSearch {
     "vs_lsh_upsert" -> vsLshUpsertSql,
     "vs_lsh_delete" -> vsLshDeleteSql,
     "vs_lsh_vacuum" -> vsLshVacuumSql,
+    "vs_lsh_reband" -> vsLshRebandSql,
     "vs_nng_vacuum" -> vsNngVacuumSql,
     "vs_nng_search" -> vsNngSearchSql,
     "vs_nng_store" -> vsNngStoreSql,

@@ -10,13 +10,6 @@ import org.apache.spark.sql.functions._
   */
 class LshVacuumSpec extends SparkSpec {
 
-  private def parquetFiles(path: String): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(path))
-  }
-
   test("vacuum drops files and rows; content is exactly the survivors") {
     SparkEntry.queries("vs_lsh_vacuum")(spark, sf).collect()
     val (g0, g1, p0, p1) = VectorSearch.ensureLshVacuum(spark, sf)

@@ -11,13 +11,6 @@ import org.apache.spark.sql.functions._
   */
 class NngVacuumSpec extends SparkSpec {
 
-  private def parquetFiles(path: String): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(new java.io.File(path))
-  }
-
   private def isDead = col("src") % VectorSearch.DeleteMod === 0 ||
     col("dst") % VectorSearch.DeleteMod === 0
 

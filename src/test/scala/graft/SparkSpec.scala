@@ -16,4 +16,13 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Recursive .parquet data-file census under a table path — shared by
+    * the vacuum/compaction specs' filesystem assertions. */
+  def parquetFiles(path: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(path))
+  }
 }
