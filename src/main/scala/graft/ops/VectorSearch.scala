@@ -1602,6 +1602,237 @@ object VectorSearch {
     ORDER BY q_id"""
   }
 
+  // ── vs_ivf_retrain — consume drift_ppm: retrain on the merged corpus ─
+  /** Closes the loop [[vsIvfUpsert]] only signals (r16 verdict #3: the
+    * upsert emits `drift_ppm` but nothing ever retrained — pgvector's
+    * posture is REINDEX). Scenario: the nightly append has DRIFTED —
+    * the batch (every [[UpsertMod]]th vector) arrives shifted by
+    * +maxabs in every dimension (a new data regime the frozen
+    * centroids never saw; the shift scale is the stored grid scalar,
+    * so both engines derive it from the same artifact). The batch
+    * quantizes onto the FROZEN base grid (values land in [0, 254] —
+    * the grid never reshapes, exactly the upsert contract), the
+    * per-cell drift statistic is computed with [[vsIvfUpsert]]'s
+    * arithmetic, and when max(drift_ppm) ≥ [[RetrainDriftPpm]] the
+    * retrain FIRES: a fresh integer Lloyd (same k, same rounds, same
+    * hash-coin seeding) over the MERGED corpus. The manifest hashes
+    * the closed loop end to end: the trigger (drift_max_ppm, the
+    * flag), the quantization error Σ min-d2 of the merged corpus under
+    * the frozen vs retrained centroids (what Lloyd minimizes — a
+    * retrain that doesn't cut SSE on a drifted corpus is broken), and
+    * the serving grade recall@5 (ppm) of the drifted queries through
+    * the nprobe=3 probe before vs after. When the flag does NOT fire
+    * the after-arms replay the frozen model (no silent retrain). Cost
+    * shape: the retrain is the scheduled O(corpus) Lloyd — the price
+    * the flag exists to amortize — plus the |batch|-bounded grading
+    * broadcast scans. */
+  final val RetrainDriftPpm = 2000000L
+  def vsIvfRetrain: Q = (spark, dir) => ivfRetrainWith(spark, dir, drifted = true)
+
+  /** Core of [[vsIvfRetrain]] with the drift injectable so the spec can
+    * drive BOTH arms: `drifted = false` appends the batch unshifted —
+    * same distribution as the base, drift ≈ 1e6 stays under the
+    * threshold, the flag must NOT fire and the after-arms must replay
+    * the frozen model bit-for-bit (no silent retrain). */
+  private[graft] def ivfRetrainWith(spark: SparkSession, dir: String,
+      drifted: Boolean): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    val e = emb(spark, dir)
+    val isNew = col("vec_id") % UpsertMod === 0
+    val mx = e.filter(!isNew)
+      .agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+    val baseF = e.filter(!isNew)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val shift: Column = if (drifted) col("maxabs") else lit(0.0)
+    val shifted = e.filter(isNew).crossJoin(broadcast(mx))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + shift).as("v"))
+    val corpusF = graft.util.Persist.stage(baseF.unionByName(shifted), eager = false)
+    def quant(src: DataFrame): DataFrame = src.crossJoin(broadcast(mx))
+      .select(col("vec_id"), transform(col("v"), x =>
+        round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q"))
+    val qb = graft.util.Persist.stage(quant(baseF), eager = false)
+    val qn = graft.util.Persist.stage(quant(shifted), eager = false)
+    val qu = graft.util.Persist.stage(qb.unionByName(qn), eager = false)
+    val model0 = IvfIndex.fitInt(qb, "vec_id", "q", k = 8, iters = 2)
+    def assign(src: DataFrame, m: IvfIndex.IntModel): DataFrame = {
+      val cd = least(m.centroids.map { case (cid, cv) =>
+        struct(IvfIndex.intD2(col("q"), cv).as("d2"), lit(cid).as("cid"))
+      }: _*)
+      src.select(col("vec_id").as("c_id"),
+        cd.getField("cid").as("cell"), cd.getField("d2").as("d2"))
+    }
+    val statsB = assign(qb, model0).groupBy("cell")
+      .agg(count(lit(1)).as("n_base"), sum("d2").as("s_base"))
+    val statsN = assign(qn, model0).groupBy("cell")
+      .agg(count(lit(1)).as("n_new"), sum("d2").as("s_new"))
+    val driftMax = statsN.join(statsB, Seq("cell"), "left")
+      .select(when(col("n_base").isNull, lit(0L))
+        .otherwise(idiv(lit(1000000L) * idiv(col("s_new"), col("n_new")),
+          greatest(idiv(col("s_base"), col("n_base")), lit(1L)))).as("d"))
+      .agg(max("d")).head().getLong(0)
+    val due = if (driftMax >= RetrainDriftPpm) 1L else 0L
+    val model1 =
+      if (due == 1L) IvfIndex.fitInt(qu, "vec_id", "q", k = 8, iters = 2)
+      else model0
+    def sse(m: IvfIndex.IntModel): Long =
+      qu.select(least(m.centroids.map { case (_, cv) =>
+          IvfIndex.intD2(col("q"), cv) }: _*).as("d2"))
+        .agg(sum("d2")).head().getLong(0)
+    val qraw = graft.util.Persist.stage(
+      shifted.select(col("vec_id").as("q_id"), col("v").as("qv")), eager = false)
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val exact = graft.util.Persist.stage(
+      corpusF.crossJoin(broadcast(qraw))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          dist(col("v"), col("qv")).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_id", "c_id"),
+      eager = false)
+    def gradePpm(m: IvfIndex.IntModel): Long = {
+      val probeStructs = m.centroids.map { case (cid, cv) =>
+        struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+      }
+      val probes = qn.select(col("vec_id").as("q_id"), col("q").as("qq"))
+        .select(col("q_id"),
+          explode(slice(array_sort(array(probeStructs: _*)), 1, IvfUpsertNprobe)).as("p"))
+        .select(col("q_id"), col("p.cid").as("cell"))
+      val approx = assign(qu, m).select("c_id", "cell")
+        .join(broadcast(probes), "cell")
+        .join(corpusF.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .join(broadcast(qraw), "q_id")
+        .select(col("q_id"), col("c_id"), dist(col("v"), col("qv")).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_id", "c_id")
+      val tot = exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits")).head()
+      require(tot.getLong(0) > 0, "IVF retrain has no drifted queries to grade")
+      1000000L * tot.getLong(1) / tot.getLong(0)
+    }
+    val (nBase, nNew) = (qb.count(), qn.count())
+    Seq((nBase, nNew, driftMax, due, sse(model0), sse(model1),
+        gradePpm(model0), gradePpm(model1)))
+      .toDF("n_base", "n_new", "drift_max_ppm", "retrain_due",
+        "sse_before", "sse_after", "recall_before_ppm", "recall_after_ppm")
+  }
+
+  /** Full SQL replay of [[vsIvfRetrain]]: frozen-grid quantization of
+    * base + shifted batch, the base trainer (rounds 1-2), the merged
+    * trainer (rounds 3-4), drift arithmetic, the due flag selecting
+    * the after-centroids, Σ min-d2 under both models, and both probe
+    * recall grades. */
+  val vsIvfRetrainSql: String = {
+    def round_(i: Int, cin: String, cout: String, src: String) =
+      ivfLloydRoundSql(i, cin, cout, src)
+    def minD2(src: String, cs: String, out: String) = s"""
+    $out AS (SELECT CAST(SUM(m) AS BIGINT) AS sse FROM (
+        SELECT t.vec_id, MIN(CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT)) AS m
+        FROM $src t, $cs c GROUP BY t.vec_id))"""
+    def grade(cs: String, tag: String) = s"""
+    pd$tag AS (SELECT t.vec_id AS q_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qn t, $cs c),
+    probe$tag AS (SELECT q_id, cid AS cell FROM (
+        SELECT q_id, cid,
+          row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd$tag)
+      WHERE rn <= $IvfUpsertNprobe),
+    ad$tag AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qu t, $cs c),
+    au$tag AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ad$tag)
+      WHERE rn = 1),
+    ar$tag AS (SELECT p.q_id, m.c_id, ${distSql("ec.v", "eq.qv")} AS dist
+      FROM probe$tag p JOIN au$tag m ON m.cell = p.cell
+        JOIN eu ec ON ec.vec_id = m.c_id
+        JOIN qraw eq ON eq.q_id = p.q_id),
+    ap$tag AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM ar$tag)
+      WHERE rn <= 5),
+    ppm$tag AS (SELECT CAST((1000000 * SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT) AS ppm
+      FROM exact x LEFT JOIN ap$tag a ON a.q_id = x.q_id AND a.c_id = x.c_id)"""
+    s"""
+    WITH e AS ($eSql),
+    mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs
+      FROM e WHERE vec_id % $UpsertMod <> 0),
+    eb AS (SELECT vec_id, v FROM e WHERE vec_id % $UpsertMod <> 0),
+    en AS (SELECT vec_id, list_transform(v, x -> x + maxabs) AS v
+      FROM e, mx WHERE vec_id % $UpsertMod = 0),
+    eu AS (SELECT * FROM eb UNION ALL SELECT * FROM en),
+    qb AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM eb, mx),
+    qn AS (SELECT vec_id,
+        list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS BIGINT)) AS q
+      FROM en, mx),
+    qu AS (SELECT * FROM qb UNION ALL SELECT * FROM qn),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qb ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(1, "c0", "c1", "qb")},
+    ${round_(2, "c1", "c2", "qb")},
+    c0m AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qu ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id LIMIT 8),
+    ${round_(3, "c0m", "c3", "qu")},
+    ${round_(4, "c3", "c4", "qu")},
+    db AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qb t, c2 c),
+    ab AS (SELECT vec_id, cid AS cell, d2 FROM (
+        SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM db)
+      WHERE rn = 1),
+    dn AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qn t, c2 c),
+    an AS (SELECT vec_id, cid AS cell, d2 FROM (
+        SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dn)
+      WHERE rn = 1),
+    sb AS (SELECT cell, COUNT(*) AS n_base, CAST(SUM(d2) AS BIGINT) AS s_base
+      FROM ab GROUP BY 1),
+    sn AS (SELECT cell, COUNT(*) AS n_new, CAST(SUM(d2) AS BIGINT) AS s_new
+      FROM an GROUP BY 1),
+    dm AS (SELECT CAST(MAX(CASE WHEN sb.n_base IS NULL THEN 0
+          ELSE (1000000 * (sn.s_new // sn.n_new))
+               // greatest(sb.s_base // sb.n_base, 1) END) AS BIGINT) AS drift_max
+      FROM sn LEFT JOIN sb ON sb.cell = sn.cell),
+    due AS (SELECT CAST(CASE WHEN drift_max >= $RetrainDriftPpm THEN 1 ELSE 0 END
+        AS BIGINT) AS due FROM dm),
+    cf AS (SELECT c4.cid, c4.c FROM c4, due WHERE due.due = 1
+      UNION ALL SELECT c2.cid, c2.c FROM c2, due WHERE due.due = 0),
+    ${minD2("qu", "c2", "sse0")},
+    ${minD2("qu", "cf", "sse1")},
+    qraw AS (SELECT vec_id AS q_id, v AS qv FROM en),
+    er AS (SELECT eq.q_id, ec.vec_id AS c_id, ${distSql("ec.v", "eq.qv")} AS dist
+      FROM eu ec, qraw eq),
+    exact AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM er)
+      WHERE rn <= 5),
+    ${grade("c2", "0")},
+    ${grade("cf", "1")}
+    SELECT CAST((SELECT COUNT(*) FROM qb) AS BIGINT) AS n_base,
+      CAST((SELECT COUNT(*) FROM qn) AS BIGINT) AS n_new,
+      dm.drift_max AS drift_max_ppm, due.due AS retrain_due,
+      sse0.sse AS sse_before, sse1.sse AS sse_after,
+      ppm0.ppm AS recall_before_ppm, ppm1.ppm AS recall_after_ppm
+    FROM dm, due, sse0, sse1, ppm0, ppm1"""
+  }
+
   // ── vs_ivf_delete — IVF tombstone deletion + occupancy-drop report ───
   /** The delete leg of the IVF lifecycle (r15 verdict #4 — completes
     * the maintenance matrix: NNG has upsert+delete+merge, IVF had only
@@ -4789,6 +5020,7 @@ object VectorSearch {
     "vs_ivf_store" -> vsIvfStore,
     "vs_ivf_load" -> vsIvfLoad,
     "vs_ivf_upsert" -> vsIvfUpsert,
+    "vs_ivf_retrain" -> vsIvfRetrain,
     "vs_ivf_delete" -> vsIvfDelete,
     "vs_ivf_merge" -> vsIvfMerge,
     "vs_index_vacuum" -> vsIndexVacuum,
@@ -4827,6 +5059,7 @@ object VectorSearch {
     "vs_ivf_store" -> vsIvfStoreSql,
     "vs_ivf_load" -> vsIvfLoadSql,
     "vs_ivf_upsert" -> vsIvfUpsertSql,
+    "vs_ivf_retrain" -> vsIvfRetrainSql,
     "vs_ivf_delete" -> vsIvfDeleteSql,
     "vs_ivf_merge" -> vsIvfMergeSql,
     "vs_index_vacuum" -> vsIndexVacuumSql,
