@@ -4014,6 +4014,68 @@ object VectorSearch {
       }
     }
 
+  // ── Shared grading-arm memos (r16 verdict #3: the planner quadruplet
+  //    re-computed identical physical arms 4× — ~12% of the sf1 sweep).
+  //    The four keys differ ONLY in where n_est comes from; the arms
+  //    are routing-independent, so each is built and staged ONCE per
+  //    (session, dir) like [[NnGraph.buildShared]]. ──────────────────
+  private val plannerGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame)]()
+  /** Graph build + the base hop frame for the standard query slice. */
+  private def plannerGraphParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    plannerGraphMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    plannerGraphMemo.computeIfAbsent((spark, dir), _ => {
+      val (qv, qs, _) = plannerArtifacts(spark, dir)
+      val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
+      val base = graft.util.Persist.stage(
+        NnGraph.search(refined, init, qv, qs), eager = false)
+      (refined, init, base)
+    })
+  }
+  private val plannerGraphArmMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  /** Per-predicate staged GRAPH-arm frame (base survivors ∪ escalation,
+    * top-K cut) — shared verbatim across the planner keys. */
+  private def plannerGraphArm(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    plannerGraphArmMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    plannerGraphArmMemo.computeIfAbsent((spark, dir, tag), _ => {
+      val (qv, qs, preds) = plannerArtifacts(spark, dir)
+      val (t, fcorp, nPass, _) = preds.find(_._1 == tag)
+        .getOrElse(sys.error(s"unknown planner predicate $tag"))
+      val wQ = Window.partitionBy("pred", "q_id").orderBy(col("d2"), col("c_id"))
+      graft.util.Persist.stage(
+        plannerGraphApprox(qv, qs, fcorp, nPass, t, wQ, plannerGraphParts(spark, dir)),
+        eager = false)
+    })
+  }
+  private val plannerIvfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (IvfIndex.IntModel, DataFrame, DataFrame)]()
+  /** The IVF arm (trained model + staged assignment + per-query probes),
+    * memoized per (session, dir): the ANALYZE-time occupancy persist
+    * ([[ensurePlannerStats]]) and the route key's serving arm share ONE
+    * training. */
+  private[graft] def plannerIvfParts(spark: SparkSession, dir: String)
+      : (IvfIndex.IntModel, DataFrame, DataFrame) = {
+    plannerIvfMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    plannerIvfMemo.computeIfAbsent((spark, dir), _ => {
+      val (qv, qs, _) = plannerArtifacts(spark, dir)
+      val model = IvfIndex.fitInt(qv, "vec_id", "qd", k = PlanIvfCells, iters = 2)
+      val assigned = graft.util.Persist.stage(
+        qv.select(col("vec_id").as("c_id"),
+          IvfIndex.intCellOf(col("qd"), model).as("cell")), eager = false)
+      val probeStructs = model.centroids.map { case (cid, cv) =>
+        struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
+      }
+      val probes = qs.select(col("q_id"),
+          explode(slice(array_sort(array(probeStructs: _*)), 1, IvfTrainedNprobe)).as("p"))
+        .select(col("q_id"), col("p.cid").as("cell"))
+      (model, assigned, probes)
+    })
+  }
+
   /** `routeStat`: the statistic the ROUTING decision reads — None =
     * the exact pass count (the registered key's contract: the count is
     * part of the hashed output, and `n_pass` stays exact either way);
@@ -4057,22 +4119,16 @@ object VectorSearch {
       spark: SparkSession, dir: String, cutoff: Long,
       routeStat: Option[(String, DataFrame) => Long] = None,
       emitRouteStat: Boolean = false): DataFrame = {
-    val (qv, qs, preds) = plannerArtifacts(spark, dir)
-    val wQ = Window.partitionBy("pred", "q_id").orderBy(col("d2"), col("c_id"))
-    // Graph machinery constructed lazily: a run where every predicate
-    // routes to brute (the oracle SFs) never builds the index.
-    lazy val graphParts = {
-      val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
-      val base = graft.util.Persist.stage(
-        NnGraph.search(refined, init, qv, qs), eager = false)
-      (refined, init, base)
-    }
+    val (_, _, preds) = plannerArtifacts(spark, dir)
+    // Graph machinery is memoized per (session, dir) and built only on
+    // first use: a run where every predicate routes to brute (the
+    // oracle SFs) never builds the index, and the planner quadruplet
+    // shares ONE staged arm per predicate (r16 verdict #3).
     val arms = preds.map { case (tag, fcorp, nPass, exact) =>
       val nRoute = routeStat.fold(nPass)(f => f(tag, fcorp))
       val (plan, approx) =
         if (nRoute <= cutoff) ("brute", exact)
-        else ("graph",
-          plannerGraphApprox(qv, qs, fcorp, nPass, tag, wQ, graphParts))
+        else ("graph", plannerGraphArm(spark, dir, tag))
       exact.join(approx.withColumn("hit", lit(1L)),
           Seq("pred", "q_id", "c_id"), "left")
         .groupBy("pred", "q_id")
@@ -4264,7 +4320,16 @@ object VectorSearch {
         .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
       val total = ep.agg(count(lit(1)).as("cnt"))
         .select(lit("_total").as("col_name"), lit("n").as("value"), col("cnt"))
-      hist.unionByName(total).coalesce(1)
+      // Per-cell occupancy of the planner's IVF arm (r16 verdict #7):
+      // the uniform n·nprobe/k cost model assumes balanced cells and
+      // mis-routes on skew; a real ANALYZE counts the actual lists.
+      // Training runs HERE, once per corpus (the amortized posture) —
+      // the route key reads the persisted counts, never a scan.
+      val (_, assigned, _) = plannerIvfParts(spark, dir)
+      val cells = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(lit("cell").as("col_name"),
+          col("cell").cast("string").as("value"), col("cnt"))
+      hist.unionByName(total).unionByName(cells).coalesce(1)
         .write.mode("overwrite").format("parquet")
         .option("path", s"$plannerStatsRoot/stats-${t.split('_').last}")
         .saveAsTable(t)
@@ -4273,11 +4338,29 @@ object VectorSearch {
     ()
   }
 
+  /** Skew-aware cost(IVF) from the persisted ANALYZE table: the sum of
+    * the nprobe LARGEST cell occupancies — the worst-case rows a probe
+    * scores. Under balanced cells this ≈ n·nprobe/k (the old uniform
+    * model); under skew it is honest where the uniform model
+    * mis-routes (PlannedRouteSpec plants the skew and proves the
+    * flip). Zero corpus scans per routing decision — k rows read. */
+  private[graft] def plannerStatsIvfCost(spark: SparkSession, dir: String): Long =
+    plannerStatsIvfCostFrom(spark, storedTable(PlannerStatsTable, dir))
+  private[graft] def plannerStatsIvfCostFrom(spark: SparkSession, table: String): Long = {
+    val occ = spark.table(table)
+      .filter(col("col_name") === "cell")
+      .select("cnt").collect().map(_.getLong(0))
+    require(occ.nonEmpty, s"$table carries no cell occupancy rows")
+    occ.sorted(Ordering[Long].reverse).take(IvfTrainedNprobe).sum
+  }
+
   /** Plan-time lookup: collect the persisted histogram (tiny) and
     * evaluate the three predicates' estimates in exact Long arithmetic
     * mirrored by the oracle's `//` chains. */
-  private[graft] def plannerStatsEstimates(spark: SparkSession, dir: String): Map[String, Long] = {
-    val rows = spark.table(storedTable(PlannerStatsTable, dir)).collect()
+  private[graft] def plannerStatsEstimates(spark: SparkSession, dir: String): Map[String, Long] =
+    plannerStatsEstimatesFrom(spark, storedTable(PlannerStatsTable, dir))
+  private[graft] def plannerStatsEstimatesFrom(spark: SparkSession, table: String): Map[String, Long] = {
+    val rows = spark.table(table).collect()
     def histOf(cn: String): Map[String, Long] = rows
       .filter(_.getString(0) == cn)
       .map(r => r.getString(1) -> r.getLong(2)).toMap
@@ -4302,11 +4385,161 @@ object VectorSearch {
 
   /** Corpus cardinality from the persisted ANALYZE table's `_total`
     * row — the other number the cost rule reads without a scan. */
-  private[graft] def plannerStatsTotalN(spark: SparkSession, dir: String): Long = {
-    val n = spark.table(storedTable(PlannerStatsTable, dir))
+  private[graft] def plannerStatsTotalN(spark: SparkSession, dir: String): Long =
+    plannerStatsTotalNFrom(spark, storedTable(PlannerStatsTable, dir))
+  private[graft] def plannerStatsTotalNFrom(spark: SparkSession, table: String): Long = {
+    val n = spark.table(table)
       .filter(col("col_name") === "_total").head().getLong(2)
     require(n > 0, "planner stats _total row is empty")
     n
+  }
+
+  // ── vs_planned_refresh — re-ANALYZE after index maintenance ─────────
+  /** Stats freshness after maintenance (r16 verdict #4: after a delete
+    * the routing histograms were stale forever — the classic production
+    * planner bug is routing on pre-delete cardinalities). The
+    * maintenance event targets the fat predicate's own selectivity —
+    * victims = `label >= 5 AND vec_id % 2 = 0`, i.e. half the p3_fat
+    * rows tombstoned (the [[vsIvfDelete]] anti-join posture: centroids
+    * stay frozen, the assignment loses the victims) — so the TRUE
+    * post-delete cardinality crosses the brute/index cost boundary.
+    * The re-ANALYZE writes a SECOND stats generation from survivors
+    * only: histograms, `_total`, and the cell occupancies of the
+    * frozen-model assignment minus victims (deletes don't retrain;
+    * ANALYZE re-counts). The key emits the ROUTING DECISION TABLE at
+    * both generations — (phase, pred, n_total, n_est, cost_ivf,
+    * cost_graph, plan), all exact integers — so the hash pins both
+    * that the estimates refreshed AND that the route actually flips
+    * when the fresh cardinality crosses an arm boundary;
+    * PlannedRefreshSpec additionally contrasts the STALE-stats route
+    * (pre estimates against post costs) with the fresh one. Cost: two
+    * tiny stats-table reads per run; the ANALYZE scans are once-per-
+    * corpus artifacts like [[ensurePlannerStats]]'s. */
+  private[graft] final val PlannerStatsPostTable = "graft_planner_stats2"
+  private val plannerStatsPostWritten =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
+  private def ensurePlannerStatsPost(spark: SparkSession, dir: String): Unit = {
+    plannerStatsPostWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val t = storedTable(PlannerStatsPostTable, dir)
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      val vic = e.filter(col("label") >= 5 && col("vec_id") % 2 === 0)
+        .select("vec_id")
+      val ep = e.join(d, col("vec_id") === col("doc_id"))
+        .join(vic, Seq("vec_id"), "left_anti")
+      val hist = ep.select(explode(array(
+          struct(lit("label").as("col_name"), col("label").cast("string").as("value")),
+          struct(lit("lang").as("col_name"), col("lang").as("value")))).as("s"))
+        .select(col("s.col_name").as("col_name"), col("s.value").as("value"))
+        .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+      val total = ep.agg(count(lit(1)).as("cnt"))
+        .select(lit("_total").as("col_name"), lit("n").as("value"), col("cnt"))
+      val (_, assigned, _) = plannerIvfParts(spark, dir)
+      val cells = assigned
+        .join(vic.withColumnRenamed("vec_id", "c_id"), Seq("c_id"), "left_anti")
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(lit("cell").as("col_name"),
+          col("cell").cast("string").as("value"), col("cnt"))
+      hist.unionByName(total).unionByName(cells).coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$plannerStatsRoot/stats2-${t.split('_').last}")
+        .saveAsTable(t)
+      true
+    })
+    ()
+  }
+
+  def vsPlannedRefresh: Q = (spark, dir) => {
+    val sess = spark
+    import sess.implicits._
+    ensurePlannerStats(spark, dir)
+    ensurePlannerStatsPost(spark, dir)
+    def phaseRows(phase: String, table: String): Seq[(String, String, Long, Long, Long, Long, String)] = {
+      val est = plannerStatsEstimatesFrom(spark, table)
+      val n = plannerStatsTotalNFrom(spark, table)
+      val cIvf = plannerStatsIvfCostFrom(spark, table)
+      val cGraph = PlanBruteCutoff
+      Seq("p1_thin", "p2_tiny", "p3_fat").map { tag =>
+        val nEst = est(tag)
+        val plan =
+          if (nEst <= cIvf && nEst <= cGraph) "brute"
+          else if (cIvf <= cGraph) "ivf" else "graph"
+        (phase, tag, n, nEst, cIvf, cGraph, plan)
+      }
+    }
+    (phaseRows("1_pre", storedTable(PlannerStatsTable, dir)) ++
+      phaseRows("2_post", storedTable(PlannerStatsPostTable, dir)))
+      .toDF("phase", "pred", "n_total", "n_est", "cost_ivf", "cost_graph", "plan")
+      .orderBy("phase", "pred")
+  }
+
+  /** Oracle: the int8 trainer + full assignment once, victim anti-join,
+    * both histogram generations, both occupancy costs, and the same
+    * three-way decision CASE per (phase, pred). */
+  val vsPlannedRefreshSql: String = {
+    def round_(i: Int, cin: String, cout: String) = ivfLloydRoundSql(i, cin, cout, "qvv")
+    def estSql(i: Int, s: String) = i match {
+      case 1 => s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl$s WHERE label = 7)
+          * (SELECT COALESCE(SUM(c), 0) FROM hg$s WHERE lang = 'de')
+          // (SELECT n FROM nt$s) AS BIGINT)"""
+      case 2 => s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl$s WHERE label = 9)
+          * (SELECT COALESCE(SUM(c), 0) FROM hg$s WHERE lang = 'zh')
+          // (SELECT n FROM nt$s) // 4 AS BIGINT)"""
+      case _ => s"""CAST((SELECT COALESCE(SUM(c), 0) FROM hl$s WHERE label >= 5)
+          AS BIGINT)"""
+    }
+    def phaseSelects(phase: String, s: String, ci: String) =
+      plannerPredsSqlDefs.zipWithIndex.map { case ((tag, _), ix) =>
+        val i = ix + 1
+        s"""SELECT '$phase' AS phase, '$tag' AS pred,
+      CAST((SELECT n FROM nt$s) AS BIGINT) AS n_total,
+      ${estSql(i, s)} AS n_est,
+      (SELECT c FROM $ci) AS cost_ivf,
+      CAST($PlanBruteCutoff AS BIGINT) AS cost_graph,
+      CASE WHEN ${estSql(i, s)} <= (SELECT c FROM $ci)
+                AND ${estSql(i, s)} <= $PlanBruteCutoff THEN 'brute'
+           WHEN (SELECT c FROM $ci) <= $PlanBruteCutoff THEN 'ivf'
+           ELSE 'graph' END AS plan"""
+      }.mkString("\n    UNION ALL\n    ")
+    int8GridCtes + s""",
+    qvv AS (SELECT vec_id, qd AS q FROM quant),
+    c0 AS (SELECT CAST(row_number()
+          OVER (ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id) - 1
+        AS INT) AS cid, q AS c
+      FROM qvv ORDER BY ${graft.util.Det.hashCoinSql("vec_id")}, vec_id
+      LIMIT $PlanIvfCells),
+    ${round_(1, "c0", "c1")},
+    ${round_(2, "c1", "c2")},
+    dfq AS (SELECT t.vec_id, c.cid,
+        CAST(list_sum(list_transform(range(1, len(t.q) + 1),
+          d -> (t.q[d] - c.c[d]) * (t.q[d] - c.c[d]))) AS BIGINT) AS d2
+      FROM qvv t, c2 c),
+    af AS (SELECT vec_id AS c_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dfq)
+      WHERE rn = 1),
+    ep AS (SELECT e2.vec_id, e2.label, d.lang FROM embeddings e2
+      JOIN documents d ON e2.vec_id = d.doc_id),
+    vic AS (SELECT vec_id FROM ep WHERE label >= 5 AND vec_id % 2 = 0),
+    ep2 AS (SELECT * FROM ep WHERE vec_id NOT IN (SELECT vec_id FROM vic)),
+    hl AS (SELECT label, COUNT(*) AS c FROM ep GROUP BY 1),
+    hg AS (SELECT lang, COUNT(*) AS c FROM ep GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM ep),
+    hl2 AS (SELECT label, COUNT(*) AS c FROM ep2 GROUP BY 1),
+    hg2 AS (SELECT lang, COUNT(*) AS c FROM ep2 GROUP BY 1),
+    nt2 AS (SELECT COUNT(*) AS n FROM ep2),
+    ci1 AS (SELECT CAST(SUM(nb) AS BIGINT) AS c FROM (
+        SELECT COUNT(*) AS nb FROM af GROUP BY cell
+        ORDER BY nb DESC LIMIT $IvfTrainedNprobe)),
+    af2 AS (SELECT * FROM af WHERE c_id NOT IN (SELECT vec_id FROM vic)),
+    ci2 AS (SELECT CAST(SUM(nb) AS BIGINT) AS c FROM (
+        SELECT COUNT(*) AS nb FROM af2 GROUP BY cell
+        ORDER BY nb DESC LIMIT $IvfTrainedNprobe))
+    SELECT * FROM (
+    ${phaseSelects("1_pre", "", "ci1")}
+    UNION ALL
+    ${phaseSelects("2_post", "2", "ci2")}
+    ) ORDER BY phase, pred"""
   }
 
   // ── vs_planned_route — the full three-arm cost-based router ─────────
@@ -4319,29 +4552,49 @@ object VectorSearch {
     * The cost model is the operator arithmetic, not a tuned constant:
     *
     *   cost(brute) = \|pass\|-estimate       (rows the exact arm scores)
-    *   cost(IVF)   = n·nprobe/k = 3n/8     (rows nprobe cells hold)
+    *   cost(IVF)   = Σ of the nprobe LARGEST cell occupancies, read
+    *                 from the persisted ANALYZE table (r17 — the
+    *                 uniform n·nprobe/k model assumed balanced cells
+    *                 and mis-routed on skew; [[plannerStatsIvfCost]],
+    *                 the worst-case rows a probe scores)
     *   cost(graph) = entries + hops·beam·K (the walk's visited budget,
     *                 = [[PlanBruteCutoff]], selectivity-independent)
     *
     * plan = argmin, ties preferring brute > IVF > graph (exactness,
-    * then the cheaper index). The arms CROSS at real corpus sizes:
-    * at n=500 (oracle SFs) IVF costs 187 so the fat predicate routes
-    * IVF while thin ones stay brute; at n=20k (sf1) IVF costs 7500 >
-    * the graph's 6400 so the fat predicate flips to the graph — the
-    * sf1 sweep exercises brute + graph, the oracle SFs brute + IVF,
-    * and PlannedRouteSpec drives all three through cutoff overrides.
-    * The IVF arm trains [[IvfIndex.fitInt]] on the SHARED int8 grid
-    * (same quantization as the exact/graph arms — one corpus
-    * representation, three indexes over it) and scores probed-cell ∩
-    * pass candidates with the same integer d2 as the grading truth.
+    * then the cheaper index). The arms CROSS at real corpus sizes
+    * (on the near-balanced test corpora the occupancy cost tracks the
+    * old 3n/8 closely, so brute/IVF cross near n=500 and IVF/graph
+    * near n=20k as before), and PlannedRouteSpec both forces all
+    * three arms through cost overrides and plants a SKEWED-cell
+    * corpus where the uniform model mis-routes and the occupancy
+    * model flips the plan. The IVF arm trains [[IvfIndex.fitInt]] on
+    * the SHARED int8 grid (same quantization as the exact/graph arms
+    * — one corpus representation, three indexes over it), ONCE per
+    * (session, dir) at ANALYZE time ([[plannerIvfParts]] — the
+    * occupancy persist and the serving arm share the training), and
+    * scores probed-cell ∩ pass candidates with the same integer d2 as
+    * the grading truth.
     * Output contract = [[vsPlannedKmv]]'s, with `plan` ∈ {brute, ivf,
     * graph} hashed per predicate — a cost-model regression reroutes a
-    * predicate and breaks the hash. */
+    * predicate and breaks the hash.
+    *
+    * Why no FOURTH (stored-LSH) arm: the band index answers "which
+    * corpus rows COLLIDE with the query above the design similarity"
+    * — a threshold contract, engineered for the 0.9@0.8 near-dup
+    * regime. The router's workload is top-K-under-attribute-predicate
+    * on an isotropic corpus whose true top-5 sit near cosine 0.4, far
+    * below any collision regime a practical (r, b) can recall (the
+    * measured serve-level exact-top-k recall of the stored-LSH serve
+    * is 2-4% here — LshRecallSpec's S-curve pins why). An arm that
+    * cannot bound recall for the query class is not a cheaper plan,
+    * it is a wrong plan at any cost, so the LSH index is routed to by
+    * CONTRACT (near-dup/threshold keys: vs_lsh_*, stream_search_lsh),
+    * never by the top-K cost rule. */
   final val PlanIvfCells = 8
   def vsPlannedRoute: Q = (spark, dir) => {
     ensurePlannerStats(spark, dir)
     vsPlannedRouteWith(spark, dir,
-      plannerStatsTotalN(spark, dir) * IvfTrainedNprobe / PlanIvfCells,
+      plannerStatsIvfCost(spark, dir),
       PlanBruteCutoff)
   }
 
@@ -4352,35 +4605,17 @@ object VectorSearch {
       costIvf: Long, costGraph: Long): DataFrame = {
     ensurePlannerStats(spark, dir)
     val est = plannerStatsEstimates(spark, dir)
-    val (qv, qs, preds) = plannerArtifacts(spark, dir)
+    val (_, qs, preds) = plannerArtifacts(spark, dir)
     val wQ = Window.partitionBy("pred", "q_id").orderBy(col("d2"), col("c_id"))
-    lazy val graphParts = {
-      val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
-      val base = graft.util.Persist.stage(
-        NnGraph.search(refined, init, qv, qs), eager = false)
-      (refined, init, base)
-    }
-    // IVF arm machinery, built lazily like the graph's: a run where no
-    // predicate routes to IVF never trains.
-    lazy val ivfParts = {
-      val model = IvfIndex.fitInt(qv, "vec_id", "qd", k = PlanIvfCells, iters = 2)
-      val assigned = graft.util.Persist.stage(
-        qv.select(col("vec_id").as("c_id"),
-          IvfIndex.intCellOf(col("qd"), model).as("cell")), eager = false)
-      val probeStructs = model.centroids.map { case (cid, cv) =>
-        struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
-      }
-      val probes = qs.select(col("q_id"),
-          explode(slice(array_sort(array(probeStructs: _*)), 1, IvfTrainedNprobe)).as("p"))
-        .select(col("q_id"), col("p.cid").as("cell"))
-      (assigned, probes)
-    }
     val arms = preds.map { case (tag, fcorp, nPass, exact) =>
       val nEst = est(tag)
       val (plan, approx) =
         if (nEst <= costIvf && nEst <= costGraph) ("brute", exact)
         else if (costIvf <= costGraph) {
-          val (assigned, probes) = ivfParts
+          // IVF arm machinery memoized per (session, dir): a run where
+          // no predicate routes to IVF pays only the ANALYZE-time
+          // training that persisted the occupancy histogram.
+          val (_, assigned, probes) = plannerIvfParts(spark, dir)
           ("ivf", assigned.join(broadcast(probes), "cell")
             .join(fcorp.select(col("vec_id").as("c_id"), col("qd")), "c_id")
             .join(broadcast(qs), "q_id")
@@ -4389,8 +4624,7 @@ object VectorSearch {
             .withColumn("rn", row_number().over(wQ))
             .filter(col("rn") <= NnGraph.TopK)
             .select("pred", "q_id", "c_id"))
-        } else ("graph",
-          plannerGraphApprox(qv, qs, fcorp, nPass, tag, wQ, graphParts))
+        } else ("graph", plannerGraphArm(spark, dir, tag))
       exact.join(approx.withColumn("hit", lit(1L)),
           Seq("pred", "q_id", "c_id"), "left")
         .groupBy("pred", "q_id")
@@ -4478,8 +4712,6 @@ object VectorSearch {
       WHERE vec_id % 100 = 9),
     ep AS (SELECT e2.vec_id, e2.label, d.lang FROM embeddings e2
       JOIN documents d ON e2.vec_id = d.doc_id)$plannerStatsCtesSql,
-    costs AS (SELECT CAST(n * $IvfTrainedNprobe // $PlanIvfCells AS BIGINT) AS c_ivf,
-        CAST($PlanBruteCutoff AS BIGINT) AS c_graph FROM nt),
     ${NngSql.buildCtes("quant", "z")},
     ${NngSql.hopCtes("f", "zgs", "qs", "quant", "quant")},
     qvv AS (SELECT vec_id, qd AS q FROM quant),
@@ -4506,6 +4738,10 @@ object VectorSearch {
         SELECT q_id, cid,
           row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM pd0)
       WHERE rn <= $IvfTrainedNprobe),
+    costs AS (SELECT (SELECT CAST(SUM(nb) AS BIGINT) FROM (
+          SELECT COUNT(*) AS nb FROM af GROUP BY cell
+          ORDER BY nb DESC LIMIT $IvfTrainedNprobe)) AS c_ivf,
+        CAST($PlanBruteCutoff AS BIGINT) AS c_graph),
     $perPred
     SELECT pred, plan, n_pass, n_est, q_id, n_exact, n_hits
     FROM (SELECT * FROM gr1 UNION ALL SELECT * FROM gr2 UNION ALL SELECT * FROM gr3)
@@ -5049,6 +5285,7 @@ object VectorSearch {
     "vs_planned_kmv" -> vsPlannedKmv,
     "vs_planned_stats" -> vsPlannedStats,
     "vs_planned_route" -> vsPlannedRoute,
+    "vs_planned_refresh" -> vsPlannedRefresh,
     "vs_sparse_search" -> vsSparseSearch,
     "vs_ingest_w2v" -> vsIngestW2v)
 
@@ -5104,6 +5341,7 @@ object VectorSearch {
     "vs_planned_kmv" -> vsPlannedKmvSql,
     "vs_planned_stats" -> vsPlannedStatsSql,
     "vs_planned_route" -> vsPlannedRouteSql,
+    "vs_planned_refresh" -> vsPlannedRefreshSql,
     "vs_sparse_search" -> vsSparseSearchSql)
 
   /** A `def`, not a `val`: the vs_ingest_w2v oracle inlines the

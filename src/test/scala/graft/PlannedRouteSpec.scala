@@ -20,9 +20,46 @@ class PlannedRouteSpec extends SparkSpec {
     assert(m("p1_thin")._1 == "brute" && m("p2_tiny")._1 == "brute")
     assert(m("p3_fat")._1 == "ivf",
       s"fat predicate should cross the IVF cost at n=500: $m")
-    // the cost crossing is arithmetic, not accident: est > 3n/8
-    val n = Tables.embeddings(spark, sf).count()
-    assert(m("p3_fat")._3 > n * VectorSearch.IvfTrainedNprobe / VectorSearch.PlanIvfCells)
+    // the cost crossing is arithmetic, not accident: est > the
+    // occupancy-derived cost the router actually read
+    assert(m("p3_fat")._3 > VectorSearch.plannerStatsIvfCost(spark, sf))
+  }
+
+  test("skew-aware cost(IVF): occupancy flips the route where the uniform model mis-routes") {
+    // Planted skewed-cell corpus: 360 of 400 vectors are IDENTICAL, so
+    // Lloyd collapses them into one giant cell — probing nprobe cells
+    // really scores ~the whole corpus. The uniform n·nprobe/k model
+    // prices IVF at 150 and mis-routes the 250-row predicate to IVF;
+    // the ANALYZE-persisted occupancy prices it at its true ~380+ and
+    // routes brute (r16 verdict #7).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewcells").toString
+    graft.util.Persist.deleteOnExit(new java.io.File(dir))
+    val dim = 64
+    val v0 = (0 until dim).map(i => 0.1f + 0.01f * (i % 7))
+    def spread(id: Int) = (0 until dim).map(i =>
+      (((id * 31 + i * 17) % 13) - 6) / 6.0f)
+    (0L until 400L).map { id =>
+      (id, if (id < 360) v0 else spread(id.toInt), if (id < 250) 7 else 1)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (0L until 400L).map(id => (id, "zz")).toDF("doc_id", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val occRouted = byPred(SparkEntry.queries("vs_planned_route")(spark, dir).collect())
+    val occCost = VectorSearch.plannerStatsIvfCost(spark, dir)
+    val uniformCost = VectorSearch.plannerStatsTotalN(spark, dir) *
+      VectorSearch.IvfTrainedNprobe / VectorSearch.PlanIvfCells
+    val uniRouted = byPred(VectorSearch.vsPlannedRouteWith(spark, dir,
+      uniformCost, VectorSearch.PlanBruteCutoff).collect())
+    info(s"uniform cost=$uniformCost, occupancy cost=$occCost, " +
+      s"est(p3)=${occRouted("p3_fat")._3}")
+    assert(occCost > uniformCost, "planted skew must inflate the occupancy cost")
+    assert(uniformCost < occRouted("p3_fat")._3 && occRouted("p3_fat")._3 <= occCost,
+      "the estimate must sit between the two costs for the flip to be meaningful")
+    assert(uniRouted("p3_fat")._1 == "ivf",
+      s"the uniform model should mis-route the fat predicate to IVF: $uniRouted")
+    assert(occRouted("p3_fat")._1 == "brute",
+      s"the occupancy model must route it brute: $occRouted")
   }
 
   test("cost overrides drive every arm, and routing tracks argmin") {
