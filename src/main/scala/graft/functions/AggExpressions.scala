@@ -539,21 +539,28 @@ case class TopKMinPairs(left: Expression, right: Expression, k: Int,
     new PriorityQueue[(Long, Long)](k, cmp)
 
   private def insert(heap: PriorityQueue[(Long, Long)], v: (Long, Long)): Unit = {
+    val full = heap.size() >= k
+    if (full) {
+      // Cheap worst-bound rejection FIRST (r16 advice): on a full heap
+      // most candidates lose to the worst kept pair, and a duplicate of
+      // an in-heap pair that EQUALS the worst is rejected here too — so
+      // the O(k) distinct scan below only runs for candidates that
+      // would actually enter.
+      val worst = heap.peek()
+      if (!(v._1 < worst._1 || (v._1 == worst._1 && v._2 < worst._2))) return
+    }
     if (distinct) {
       // Duplicate candidates (e.g. a pair colliding in several LSH
       // bands) carry an IDENTICAL (dist, id) tuple — the distance is a
       // deterministic function of the pair — so tuple equality IS id
-      // dedup. O(k) scan per insert; k is the serving cut (10ish).
+      // dedup. O(k) scan per would-be insert; k is the serving cut
+      // (10ish).
       val it = heap.iterator()
       while (it.hasNext) if (it.next() == v) return
     }
-    if (heap.size() < k) { heap.add(v); () }
-    else {
-      val worst = heap.peek()
-      if (v._1 < worst._1 || (v._1 == worst._1 && v._2 < worst._2)) {
-        heap.poll(); heap.add(v); ()
-      }
-    }
+    if (full) { heap.poll(); () }
+    heap.add(v)
+    ()
   }
 
   override def update(heap: PriorityQueue[(Long, Long)], input: InternalRow): PriorityQueue[(Long, Long)] = {

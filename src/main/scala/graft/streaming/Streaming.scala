@@ -130,11 +130,22 @@ object Streaming {
     * user regardless of history size, the property that makes it viable
     * on an unbounded 100 TB/day stream. */
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val events = readEvents(spark, dir)
-      .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"), col("value"))
-      .as[SessEvent]
+    sessionizeChain(
+      readEvents(spark, dir)
+        .select(col("user_id"), idiv(col("ts"), 1000L).as("ts_us"), col("value"))
+        .as[SessEvent])
+  }
+
+  /** The stateful core of [[sessionizeStream]] over any event source —
+    * StreamRecoverySpec drives it from a file source with a REAL
+    * checkpointLocation, stops it mid-input, and restarts it proving
+    * per-user open-session state survives the restart. */
+  private[graft] def sessionizeChain(
+      events: org.apache.spark.sql.Dataset[SessEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sess = events.sparkSession
+    import sess.implicits._
     def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
