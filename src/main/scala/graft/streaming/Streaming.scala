@@ -1281,12 +1281,21 @@ object Streaming {
     * NULLS-LAST ranking (r16 advice). */
   private def lshServeChain(queries: DataFrame, flat: Array[Double],
       r: Int, b: Int, bands: DataFrame, corpus: DataFrame): DataFrame =
-    queries
-      .select(col("q_id"), col("qv"),
-        posexplode(graft.functions.lsh_band_vals(col("qv"), flat, 64, r, b))
-          .as(Seq("band_idx", "band_val")))
-      .join(bands, Seq("band_idx", "band_val"))
-      .filter(col("vec_id") =!= col("q_id"))
+    // The CANDIDATE side is explicitly broadcast into the rescore join
+    // (BuildLeft): it is bounded by |Q|·bands·bucket-cap, while the
+    // corpus side must only ever be the streamed probe side of the
+    // join. Without the hint Spark sees a catalog table under the
+    // autoBroadcast threshold at test scale and broadcasts the CORPUS
+    // — a hash relation of every vector rebuilt per micro-batch, and
+    // exactly the direction that cannot survive 100× (a corpus does
+    // not broadcast; a bounded candidate set does). StreamLshSpec pins
+    // the build side.
+    broadcast(queries
+        .select(col("q_id"), col("qv"),
+          posexplode(graft.functions.lsh_band_vals(col("qv"), flat, 64, r, b))
+            .as(Seq("band_idx", "band_val")))
+        .join(bands, Seq("band_idx", "band_val"))
+        .filter(col("vec_id") =!= col("q_id")))
       .join(corpus, "vec_id")
       .select(col("q_id"), col("vec_id").as("c_id"), lshNd(col("qv"), col("cv")))
       .filter(col("nd").isNotNull)

@@ -42,6 +42,15 @@ class StreamLshSpec extends SparkSpec {
     assert(spark.catalog.listColumns(vecsTable)
       .collect().exists(c => c.name == "vec_id" && c.isBucket),
       s"$vecsTable is not bucketed by vec_id")
+    // build side: the bounded CANDIDATE set must build the hash
+    // relation (BuildLeft) and the corpus scan must stream through it —
+    // Spark left alone broadcasts the under-threshold vecs TABLE, a
+    // per-micro-batch corpus broadcast that cannot survive 100×
+    val rescoreJoins = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin [vec_id")).toSeq
+    assert(rescoreJoins.nonEmpty, s"no rescore BroadcastHashJoin found:\n$plan")
+    assert(rescoreJoins.forall(_.contains("BuildLeft")),
+      s"rescore join must build the candidate side, not the corpus:\n$rescoreJoins")
   }
 
   test("the STREAM leg over the stored band table ≡ its batch twin") {
