@@ -185,6 +185,37 @@ class KernelPropertySpec extends SparkSpec {
       e2.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("top_k_min_pairs (plain + distinct) match a reference top-k on adversarial streams") {
+    // Guards the r17 insert reorder (worst-bound rejection before the
+    // distinct scan): many pseudo-random streams with heavy duplicate
+    // pressure, including duplicates equal to the current worst (the
+    // case the bound now rejects before the scan) and duplicates of
+    // better-ranked pairs (the case only the scan can catch), across
+    // several partitionings so merge() paths are exercised too.
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    (1 to 12).foreach { trial =>
+      val k = 1 + r.nextInt(6)
+      val n = 30 + r.nextInt(120)
+      // small value domain => many exact (d, id) duplicates
+      val pairs = Seq.fill(n)((r.nextInt(8).toLong, r.nextInt(10).toLong))
+      val df = pairs.toDF("d", "id").repartition(1 + trial % 4)
+      def ref(distinct: Boolean): Seq[(Long, Long)] = {
+        val base = if (distinct) pairs.distinct else pairs
+        base.sorted.take(k)
+      }
+      def got(c: org.apache.spark.sql.Column): Seq[(Long, Long)] =
+        df.agg(c.as("top"))
+          .select(explode(col("top")).as("h"))
+          .select(col("h.d2"), col("h.c_id"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got(top_k_min_pairs(col("d"), col("id"), k)) == ref(distinct = false),
+        s"plain cut diverged (trial $trial, k=$k)")
+      assert(got(top_k_min_pairs_distinct(col("d"), col("id"), k)) == ref(distinct = true),
+        s"distinct cut diverged (trial $trial, k=$k)")
+    }
+  }
+
   test("Det.hashCoinLong mirrors the hashCoin Column on a dense id range") {
     import spark.implicits._
     val ids = (0L until 5000L) ++ Seq(1000003L, 2147483646L, Long.MaxValue / 31 - 7)
