@@ -210,6 +210,21 @@ object Bench {
     // The LSH family's stored serve, same harness shape — the two
     // bucket-indexed families' serving economics side by side.
     val servingLshJson = rateBlock("stream_search_lsh", streaming.Streaming.serveLshRate)
+    // PRUNED serves (r17 verdict #1): same stored artifacts, but each
+    // micro-batch's bounded probe set is collected and pushed back as
+    // a literal IN filter, so the static side reads only the probed
+    // buckets' files instead of re-scanning the full artifact. The
+    // unpruned blocks above stay as the declarative single-plan floor;
+    // these are the 100×-shaped serving numbers.
+    val servingPrunedJson =
+      rateBlock("stream_search_ivf_pruned", streaming.Streaming.serveIvfRatePruned)
+    val servingLshPrunedJson =
+      rateBlock("stream_search_lsh_pruned", streaming.Streaming.serveLshRatePruned)
+    // WARM option (r17 verdict #6): the LSH rescore table staged once
+    // per process — the per-node shard-cache number beside the honest
+    // cold and pruned plans.
+    val servingLshWarmJson =
+      rateBlock("stream_search_lsh_warm", streaming.Streaming.serveLshRateWarm)
     // Failures (-1 markers) must not shrink the headline total.
     val mins = results.map { case (_, ts) => if (ts.contains(-1.0)) -1.0 else ts.min }
     val total = mins.filter(_ >= 0).sum + mins.count(_ < 0) * 1e6
@@ -220,7 +235,7 @@ object Bench {
     // HEAD stamp (r14 verdict #6): the freeze gate asserts no product
     // source changed between this SHA and the HEAD under test.
     val gitSha = graft.util.GitInfo.headSha().getOrElse("unknown")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"medians":$medJson,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"serving":$servingJson,"serving_lsh":$servingLshJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","git_sha":${jstr(gitSha)},"queries":$qs,"medians":$medJson,"reps":$repJson,"audits":$auditJson,"audit_alarms":$alarmJson,"audit_failures":$auditFailJson,"serving":$servingJson,"serving_lsh":$servingLshJson,"serving_pruned":$servingPrunedJson,"serving_lsh_pruned":$servingLshPrunedJson,"serving_lsh_warm":$servingLshWarmJson,"calibration":$calJson,"sf":${jstr(sfDir)}}"""
     // Full detail (every query + every rep) goes to a known file path —
     // a write failure must not fail the bench run.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

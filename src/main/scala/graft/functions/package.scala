@@ -50,6 +50,18 @@ package object functions {
   def lsh_band_vals(v: Column, planesFlat: Array[Double], dims: Int,
       planesPerBand: Int, bands: Int): Column =
     col(LshBandVals(expr(v), planesFlat, dims, planesPerBand, bands))
+  /** Literal long-set membership as a direct Catalyst `InSet` — what
+    * `isin`/`isInCollection` optimize INTO, minus the planning bill: a
+    * literal In with thousands of values is thousands of expression
+    * nodes walked by every analyzer/optimizer rule (measured 3-8 s per
+    * pruned-serve micro-batch at the sf0.1 LSH geometry's ~5.5k-value
+    * probe set, vs ~0.1 s as InSet, which is ONE node holding a hash
+    * set). Still bucket-prunable (FileSourceStrategy's genBucketSet
+    * matches InSet) and source-pushable (translateFilter → sources.In)
+    * exactly like the literal spelling. */
+  def in_long_set(c: Column, values: Iterable[Long]): Column =
+    col(org.apache.spark.sql.catalyst.expressions.InSet(expr(c),
+      values.iterator.map(v => java.lang.Long.valueOf(v): Any).toSet))
   def minhash_sig(c: Column, k: Int): Column =
     col(MinhashSig(expr(c), k).toAggregateExpression())
   /** Aggregate: 64-slot hashing-trick signed count vector. */

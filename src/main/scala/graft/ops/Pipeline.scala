@@ -482,7 +482,241 @@ object Pipeline {
       doc_id, source, CAST(w AS BIGINT) AS w, CAST(vt AS BIGINT) AS vt
     FROM v ORDER BY pos"""
 
+  // ── pipeline_e2e — the WHOLE curation run as ONE composed lineage ────
+  /** End-to-end curation composition (r17 verdict #5): a 100 TB user
+    * runs the families TOGETHER, and until this key every operator was
+    * proven alone. One lineage chains the stages in production order —
+    * ingest → exact dedup ([[Dedup.dedupExact]]'s min-id rule) →
+    * SEMANTIC dedup ([[Dedup.dedupSemantic]]'s full SemDeDup machinery:
+    * adaptive-LSH banding, exact-cosine verify, large-star/small-star
+    * components, keep-best-quality survivor) → Gopher repetition gate
+    * ([[TextAnalysis.textGopherQuality]]'s integer keep rule) →
+    * decontamination (probe set = doc_id % 20, 8-token shingle
+    * collision — [[pipelineCurate]]'s stage) → greedy token packing
+    * ([[pipelinePack]]'s two-pass distributed prefix sum, over the
+    * SURVIVORS) → epoch shuffle ([[pipelineEpochShuffle]]'s hash-coin
+    * permutation, checksummed) — and emits the one-row manifest a
+    * curation run hands to the training team: survivor count after
+    * every stage plus pack totals and per-epoch permutation checksums.
+    * Each document is attributed to its FIRST failing stage, so the
+    * funnel counts are monotone by construction.
+    *
+    * Scale shape: every stage keeps its sibling's audited plan (hash
+    * aggregates, banded candidates — never all-pairs, broadcast probe
+    * sets, bucketed prefix sums — never a corpus-wide single-partition
+    * window); the composition itself adds only doc_id hash joins and
+    * one staged verdict frame. The oracle replays ALL seven stages in
+    * one DuckDB query built from the siblings' own CTE templates. */
+  final val E2eCheckMod = 1000003L
+  def pipelineE2e: Q = (spark, dir) => {
+    graft.functions.register(spark)
+    val docs = graft.util.Det.materializedColumn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "toks", TextUtil.toksCol)
+    val exact = docs.withColumn("exact_ok",
+      (col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .cast("long"))
+    val semDrop = Dedup.semanticSurvivors(
+        graft.util.Persist.stage(
+          Dedup.embeddingScoredCandidates(spark, dir)
+            .filter(col("sim") >= 0.4)
+            .select(col("keep_id").as("a_id"), col("dup_id").as("b_id")),
+          eager = false),
+        TextAnalysis.qualityScoresFrame(spark, dir).select(col("doc_id"), col("score")))
+      .filter(col("survives") === 0L)
+      .select(col("doc_id"), lit(1L).as("sem_drop"))
+    val gopher = TextAnalysis.textGopherQuality(spark, dir)
+      .select(col("doc_id"), col("keep").as("gopher_ok"))
+    val shingled = graft.util.Persist.stage(
+      docs.filter(size(col("toks")) >= TextAnalysis.DecontShingle)
+        .select(col("doc_id"), explode(TextAnalysis.decontShingles).as("s"))
+        .select(col("doc_id"), graft.functions.poly_hash(col("s")).as("sh"))
+        .distinct(),
+      eager = false)
+    val probes = shingled.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    val contam = shingled.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(probes), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1L))
+    val verdict = graft.util.Persist.stage(
+      exact.select(col("doc_id"), size(col("toks")).cast("long").as("t"),
+          col("exact_ok"))
+        .join(semDrop, Seq("doc_id"), "left")
+        .join(gopher, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("fail",
+          when(col("exact_ok") === 0L, "exact")
+            .when(col("sem_drop").isNotNull, "semantic")
+            .when(coalesce(col("gopher_ok"), lit(0L)) === 0L, "gopher")
+            .when(col("doc_id") % 20 === 0, "probe")
+            .when(col("contam").isNotNull, "contam")
+            .otherwise("kept"))
+        .select("doc_id", "t", "fail"),
+      eager = false)
+    val funnel = verdict.agg(
+      count(lit(1)).as("n_ingest"),
+      sum(when(col("fail") =!= "exact", 1L).otherwise(0L)).as("n_exact"),
+      sum(when(!col("fail").isin("exact", "semantic"), 1L).otherwise(0L))
+        .as("n_semantic"),
+      sum(when(!col("fail").isin("exact", "semantic", "gopher"), 1L).otherwise(0L))
+        .as("n_gopher"),
+      sum(when(col("fail") === "kept", 1L).otherwise(0L)).as("n_kept"))
+    val kept = verdict.filter(col("fail") === "kept").select(col("doc_id"), col("t"))
+    val d = kept.withColumn("bkt", idiv(col("doc_id"), PackBucket))
+    val bktPrefix = d.groupBy("bkt").agg(sum("t").as("bt"))
+      .withColumn("boff", coalesce(
+        sum("bt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packAgg = d.join(broadcast(bktPrefix), "bkt")
+      .withColumn("off", col("boff") + coalesce(sum("t").over(wIn), lit(0L)))
+      .withColumn("pack_id", idiv(col("off"), PackCap))
+      .withColumn("crosses",
+        (col("t") > 0 &&
+          idiv(col("off") + col("t") - 1, PackCap) =!= col("pack_id")).cast("long"))
+      .agg(countDistinct("pack_id").as("n_packs"),
+        coalesce(sum("t"), lit(0L)).as("n_tokens"),
+        coalesce(sum("crosses"), lit(0L)).as("n_crossing"))
+    val sh = kept.select("doc_id")
+      .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
+      .withColumn("coin", (graft.functions.poly_hash(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string")))
+        * MixSpread) % TextUtil.HashMod)
+      .withColumn("bkt", idiv(col("coin"), CoinBucketW))
+    val shPrefix = sh.groupBy("epoch", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(
+        sum("bn").over(Window.partitionBy("epoch").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "bkt", "boff")
+    val wSh = Window.partitionBy("epoch", "bkt").orderBy("coin", "doc_id")
+    val shAgg = sh.join(broadcast(shPrefix), Seq("epoch", "bkt"))
+      .withColumn("pos", col("boff") + row_number().over(wSh).cast("long"))
+      .withColumn("chk", (col("pos") * col("coin")) % E2eCheckMod)
+      .agg(
+        coalesce(sum(when(col("epoch") === 0L, col("chk")).otherwise(0L)), lit(0L))
+          .as("shuffle_check_e0"),
+        coalesce(sum(when(col("epoch") === 1L, col("chk")).otherwise(0L)), lit(0L))
+          .as("shuffle_check_e1"))
+    funnel.crossJoin(packAgg).crossJoin(shAgg)
+  }
+
+  /** Full DuckDB replay of [[pipelineE2e]] — every stage from its
+    * sibling's own CTE template (`e2` prefix; `bands`/`cand`/`kept`
+    * names belong to the shared LSH templates). */
+  val pipelineE2eSql: String = {
+    val toksSql = TextUtil.toksSql
+    val shn = TextAnalysis.DecontShingle
+    s"""
+    WITH e2t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    e2x AS (SELECT doc_id,
+        CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS exact_ok
+      FROM documents),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${VectorSearch.lshBandsAdaptiveSql("e", "vec_id")},
+    ${VectorSearch.lshCandSql("vec_id", "keep_id", "dup_id")},
+    e2p AS (SELECT keep_id, dup_id,
+        round(list_inner_product(a.v, b.v)
+          / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim
+      FROM cand JOIN e a ON a.vec_id = keep_id JOIN e b ON b.vec_id = dup_id),
+    e2vp AS (SELECT keep_id AS a_id, dup_id AS b_id FROM e2p WHERE sim >= 0.4),
+    e2ed AS (
+      SELECT a_id AS src, b_id AS dst FROM e2vp
+      UNION SELECT b_id, a_id FROM e2vp
+      UNION SELECT a_id, a_id FROM e2vp
+      UNION SELECT b_id, b_id FROM e2vp),
+    e2rc AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM e2ed
+        UNION
+        SELECT r.src, x.dst FROM r JOIN e2ed x ON r.dst = x.src)
+      SELECT * FROM r),
+    e2lb AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM e2rc GROUP BY src),
+    e2sc AS (${TextAnalysis.qualityScoresSql}),
+    e2sem AS (SELECT l.doc_id,
+        CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+                    ORDER BY s.score DESC, l.doc_id) = 1
+             THEN 1 ELSE 0 END AS BIGINT) AS survives
+      FROM e2lb l JOIN e2sc s ON s.doc_id = l.doc_id),
+    e2gt AS (SELECT doc_id, toks FROM e2t WHERE len(toks) >= 2),
+    e2gw AS (SELECT doc_id, unnest(toks) AS w FROM e2gt),
+    e2gwc AS (SELECT doc_id, w, COUNT(*) AS c FROM e2gw GROUP BY 1, 2),
+    e2gws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               MAX(c) AS top_word_n FROM e2gwc GROUP BY 1),
+    e2gbg AS (SELECT doc_id, unnest(${TextAnalysis.shinglesSql(2)}) AS bg FROM e2gt),
+    e2gbc AS (SELECT doc_id, bg, COUNT(*) AS c FROM e2gbg GROUP BY 1, 2),
+    e2gbs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup FROM e2gbc GROUP BY 1),
+    e2gq AS (SELECT doc_id,
+        CAST(n_words >= ${TextAnalysis.GopherMinWords}
+          AND n_dup * 1000 <= n_bigrams * ${TextAnalysis.GopherDupPm}
+          AND top_word_n * 1000 <= n_words * ${TextAnalysis.GopherTopPm}
+          AS BIGINT) AS keep
+      FROM e2gws JOIN e2gbs USING (doc_id)),
+    e2dt AS (SELECT doc_id, toks FROM e2t WHERE len(toks) >= $shn),
+    e2dsh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-${shn - 2}),
+             i -> array_to_string(toks[i:i+${shn - 1}], ' '))) AS s FROM e2dt),
+    e2dhx AS (SELECT DISTINCT doc_id, ${TextUtil.polySql("s")} AS sh FROM e2dsh),
+    e2pr AS (SELECT DISTINCT sh FROM e2dhx WHERE doc_id % 20 = 0),
+    e2ct AS (SELECT DISTINCT c.doc_id FROM e2dhx c JOIN e2pr p ON c.sh = p.sh
+             WHERE c.doc_id % 20 <> 0),
+    e2v AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS tk,
+        CASE WHEN x.exact_ok = 0 THEN 'exact'
+             WHEN s.survives = 0 THEN 'semantic'
+             WHEN COALESCE(g.keep, 0) = 0 THEN 'gopher'
+             WHEN t.doc_id % 20 = 0 THEN 'probe'
+             WHEN c.doc_id IS NOT NULL THEN 'contam'
+             ELSE 'kept' END AS fail
+      FROM e2t t JOIN e2x x ON x.doc_id = t.doc_id
+        LEFT JOIN e2sem s ON s.doc_id = t.doc_id
+        LEFT JOIN e2gq g ON g.doc_id = t.doc_id
+        LEFT JOIN e2ct c ON c.doc_id = t.doc_id),
+    e2kept AS (SELECT doc_id, tk FROM e2v WHERE fail = 'kept'),
+    e2po AS (SELECT doc_id, tk,
+        COALESCE(SUM(tk) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM e2kept),
+    e2pk AS (SELECT
+        CAST(COUNT(DISTINCT off // $PackCap) AS BIGINT) AS n_packs,
+        CAST(COALESCE(SUM(tk), 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(SUM(CASE WHEN tk > 0
+          AND (off + tk - 1) // $PackCap <> off // $PackCap
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing
+      FROM e2po),
+    e2shd AS (SELECT doc_id, epoch FROM e2kept
+      CROSS JOIN (SELECT unnest(range(0, $Epochs)) AS epoch)),
+    e2shc AS (SELECT epoch, doc_id,
+        (${TextUtil.polySql("(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")}
+          * $MixSpread) % ${TextUtil.HashMod} AS coin
+      FROM e2shd),
+    e2shp AS (SELECT epoch, coin,
+        CAST(row_number() OVER (PARTITION BY epoch ORDER BY coin, doc_id)
+          AS BIGINT) AS pos
+      FROM e2shc),
+    e2shk AS (SELECT
+        CAST(COALESCE(SUM(CASE WHEN epoch = 0
+          THEN (pos * coin) % $E2eCheckMod ELSE 0 END), 0) AS BIGINT)
+          AS shuffle_check_e0,
+        CAST(COALESCE(SUM(CASE WHEN epoch = 1
+          THEN (pos * coin) % $E2eCheckMod ELSE 0 END), 0) AS BIGINT)
+          AS shuffle_check_e1
+      FROM e2shp),
+    e2f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ingest,
+        CAST(SUM(CASE WHEN fail <> 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN fail NOT IN ('exact','semantic') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_semantic,
+        CAST(SUM(CASE WHEN fail NOT IN ('exact','semantic','gopher') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_gopher,
+        CAST(SUM(CASE WHEN fail = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM e2v)
+    SELECT n_ingest, n_exact, n_semantic, n_gopher, n_kept,
+      n_packs, n_tokens, n_crossing, shuffle_check_e0, shuffle_check_e1
+    FROM e2f, e2pk, e2shk"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_e2e" -> pipelineE2e,
     "pipeline_interleave" -> pipelineInterleave,
     "pipeline_corpus_stats" -> pipelineCorpusStats,
     "pipeline_pack" -> pipelinePack,
@@ -492,6 +726,7 @@ object Pipeline {
     "pipeline_sample_mix" -> pipelineSampleMix,
     "pipeline_stratified_sample" -> pipelineStratifiedSample)
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_interleave" -> pipelineInterleaveSql,
     "pipeline_corpus_stats" -> pipelineCorpusStatsSql,
     "pipeline_pack" -> pipelinePackSql,

@@ -2404,13 +2404,27 @@ object VectorSearch {
       (r, lshBandsForRecall(LshAdaptTargetRecall, LshAdaptDesignSim, r)))
   /** The TUNED design point's adaptive table (0.9 recall at sim 0.8 —
     * [[LshDesignSim]]/[[LshTargetRecall]]). Lower design sim makes the
-    * ρ trade steeper — b(r) runs 14 @ r=8 → 563 @ r=24 — so the table
-    * stops at r=24: beyond ~2·2^25/563 ≈ 119k vectors the geometry
-    * saturates and the random floor resumes growing; that OPERATING
-    * CEILING is deliberate and documented (SURVEY §4) — the audit
-    * alarm, not silent hashing explosion, is the guard past it. */
+    * ρ trade steeper — b(r) runs 14 @ r=8 → 563 @ r=24 → 891 @ r=26 —
+    * so the table has a deliberate, documented OPERATING CEILING at its
+    * last row (SURVEY §4): past it the geometry saturates, the random
+    * floor resumes growing ∝ n, and the audit alarm — not silent
+    * hashing explosion — is the guard. r17 #4 extended the table 24→26
+    * (the same integer solve, nothing hand-picked) after
+    * [[graft.tools.LshCeilingProbe]] MEASURED a 150k-vector isotropic
+    * corpus both ways (lsh_ceiling.json): at the old r=24 ceiling
+    * (~119k vectors) the `vs_lsh_tuned.candidates` alarm fires at
+    * 12.18 cands/row; the extended table picks r=25/b=709 and the same
+    * corpus reads 8.69 — back under the designed 10/row bound. (The
+    * uniform 2^-r floor model under-predicts by the sign-correlation
+    * excess — measured 4.8× at r=24, r13 — which is why per-row reads
+    * 12.18, not the naive 2.5; both arms were predicted within 1% by
+    * excess(r) ≈ e^(0.00274·r²) fit to the r=21/r=24 measurements.)
+    * New pick ceiling ≈ 2·2^27/891 ≈ 301k; the next extension is the
+    * same one-line solve when a corpus approaches it. Geometry for
+    * every oracle SF (n ≤ 20k) is unchanged — the added rows only
+    * engage past 119k. */
   val lshTunedGeo: Seq[(Int, Int)] =
-    (LshAdaptMinPlanes to 24).map(r =>
+    (LshAdaptMinPlanes to 26).map(r =>
       (r, lshBandsForRecall(LshTargetRecall, LshDesignSim, r)))
   /** Smallest tabled r with n·b(r) ≤ C·2^(r+1); table max if the corpus
     * outgrows the table (document + extend rather than silently over-
@@ -2597,9 +2611,10 @@ object VectorSearch {
     * design-point guarantee on planted pairs. */
   /** Banded candidate pairs at the tuned design point — factored so
     * [[graft.Audits]] counts the exact frame the query runs. */
-  private[graft] def lshTunedCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshTunedCandidates(spark: SparkSession, dir: String,
+      geo: Seq[(Int, Int)] = lshTunedGeo): DataFrame = {
     val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
-      geo = lshTunedGeo)
+      geo = geo)
     graft.util.Skew.cappedSelfPairs(bandsDf, "vec_id",
       Seq("band_idx", "band_val"), LshBucketCap)
   }
@@ -2636,8 +2651,17 @@ object VectorSearch {
     * → exact cosine verify) from the reloaded table; oracle = the
     * tuned oracle verbatim. Signature hashing — the linear price of
     * the 0.9@0.8 design point — is paid ONCE at store time instead of
-    * per query, which is the point of persisting this index. */
-  final val LshStoreBuckets = 8
+    * per query, which is the point of persisting this index.
+    *
+    * The bucket count is also the FILE-pruning granularity of the
+    * pruned serve ([[graft.streaming.Streaming]]'s per-micro-batch
+    * probe pushdown): a literal IN on the bucket column prunes bucket
+    * FILES (`SelectedBucketsCount`), so a micro-batch reads
+    * ~|probe set|/buckets of the artifact. 32 here keeps toy-scale
+    * file counts sane while making the pruning measurable; a real
+    * cluster sizes it in the thousands (a store-time knob — the
+    * artifact is rewritten by the same job that builds it). */
+  final val LshStoreBuckets = 32
   private lazy val lshStoreRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-lshstore").toFile
     graft.util.Persist.deleteOnExit(d)
@@ -3228,18 +3252,64 @@ object VectorSearch {
     * seeding, exact-baseline grading) and are not claimed BNL-free;
     * the tail plan is additionally pinned cartesian-free. */
   final val NngRecallFloorPpm = 800000L
+  // ── NNG family shared-frame memos (r17 verdict #3: the family's 8
+  //    keys were 24% of the sf1 sweep, and each key re-staged the int8
+  //    grid — a full quantize + localCheckpoint per key — while
+  //    search/load re-computed the IDENTICAL exact grading arm). The
+  //    planner quadruplet's memoization pattern (r16 verdict #3),
+  //    applied here: one staged grid per (session, dir), one staged
+  //    exact arm per (session, dir, query-slice) for full-corpus
+  //    grades. The memoized frames are content-identical to the inline
+  //    spellings, so every sibling hash is untouched — only the
+  //    rebuild cost goes away. ────────────────────────────────────────
+  private val nngQvMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** The staged int8 grid every graph key quantizes from. */
+  private[graft] def nngQv(spark: SparkSession, dir: String): DataFrame = {
+    nngQvMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    nngQvMemo.computeIfAbsent((spark, dir), _ =>
+      graft.util.Persist.stage(int8Grid(spark, dir), eager = false))
+  }
+  private val nngExactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  /** Staged exact top-K truth for a FULL-corpus grade at query slice
+    * `vec_id % 100 == mod` — identical between [[vsNngSearch]] and
+    * [[vsNngLoad]] (both grade slice 0 against the full corpus), so it
+    * is computed once per (session, dir, slice). Filtered/deleted
+    * corpora grade against different truths and stay inline. */
+  private def nngExactFull(spark: SparkSession, dir: String, mod: Int,
+      qv: DataFrame, qs: DataFrame): DataFrame = {
+    nngExactMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    nngExactMemo.computeIfAbsent((spark, dir, mod), _ => {
+      val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+      graft.util.Persist.stage(
+        qv.crossJoin(broadcast(qs))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            NnGraph.intD2(col("qd"), col("qq")).as("d2"))
+          .withColumn("rn", row_number().over(wQ))
+          .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id"),
+        eager = false)
+    })
+  }
+
   /** Shared grade: visited set vs exact top-K, one row per query with
     * the corpus-mean recall and the floor flag (the [[vsNngSearch]] /
-    * [[vsNngUpsert]] output contract). */
-  private def nngGrade(qv: DataFrame, qs: DataFrame, visited: DataFrame): DataFrame = {
+    * [[vsNngUpsert]] output contract). `exactMemo` names a memoized
+    * full-corpus truth slice (see [[nngExactFull]]); grades over
+    * filtered/survivor corpora pass None and build their arm inline. */
+  private def nngGrade(qv: DataFrame, qs: DataFrame, visited: DataFrame,
+      exactMemo: Option[(SparkSession, String, Int)] = None): DataFrame = {
     val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
     val approx = visited.withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id")
-    val exact = qv.crossJoin(broadcast(qs))
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        NnGraph.intD2(col("qd"), col("qq")).as("d2"))
-      .withColumn("rn", row_number().over(wQ))
-      .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id")
+    val exact = exactMemo match {
+      case Some((s, d, m)) => nngExactFull(s, d, m, qv, qs)
+      case None => qv.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          NnGraph.intD2(col("qd"), col("qq")).as("d2"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id")
+    }
     val graded = graft.util.Persist.stage(
       exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
         .groupBy("q_id")
@@ -3257,12 +3327,13 @@ object VectorSearch {
 
   def vsNngSearch: Q = (spark, dir) => {
     // One staged evaluation of the grid — the build rounds, the search
-    // hops and the exact baseline all reuse it.
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    // hops and the exact baseline all reuse it (memoized family-wide).
+    val qv = nngQv(spark, dir)
     val (graph, init) = NnGraph.buildShared(qv, s"$dir#full")
     val qs = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    nngGrade(qv, qs, NnGraph.search(graph, init, qv, qs))
+    nngGrade(qv, qs, NnGraph.search(graph, init, qv, qs),
+      exactMemo = Some((spark, dir, 0)))
   }
 
   /** Full SQL replay of [[vsNngSearch]]: int8 grid → strided init graph
@@ -3461,7 +3532,7 @@ object VectorSearch {
   private def ensureNngStored(spark: SparkSession, dir: String): Unit = {
     nngStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
       val tag = storedTable("x", dir).split('_').last
-      val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+      val qv = nngQv(spark, dir)
       val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
       graft.sources.Sinks.writeBucketedAt(refined, storedTable("graft_nng_refined", dir),
         "src", NngStoreBuckets, s"$nngStoreRoot/refined-$tag")
@@ -3520,10 +3591,14 @@ object VectorSearch {
     ensureNngStored(spark, dir)
     val refined = spark.table(storedTable("graft_nng_refined", dir))
     val init = spark.table(storedTable("graft_nng_init", dir))
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val qv = nngQv(spark, dir)
     val qs = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    nngGrade(qv, qs, NnGraph.search(refined, init, qv, qs))
+    // The hop chain MUST run over the reloaded tables (the key's
+    // provenance contract) — only the exact truth arm is shared with
+    // the in-memory sibling (identical slice, identical corpus).
+    nngGrade(qv, qs, NnGraph.search(refined, init, qv, qs),
+      exactMemo = Some((spark, dir, 0)))
   }
   val vsNngLoadSql: String = vsNngSearchSql
 
@@ -3593,7 +3668,7 @@ object VectorSearch {
     * twin. */
   private[graft] def nngUpsertArtifacts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val qv = nngQv(spark, dir)
     val base = graft.util.Persist.stage(
       qv.filter(col("vec_id") % UpsertMod =!= 0), eager = false)
     val (refined, init) = NnGraph.buildShared(base, s"$dir#base$UpsertMod")
@@ -3741,7 +3816,7 @@ object VectorSearch {
   }
 
   def vsNngDelete: Q = (spark, dir) => {
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val qv = nngQv(spark, dir)
     val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
     val sur = graft.util.Persist.stage(
       qv.filter(col("vec_id") % DeleteMod =!= 0), eager = false)
@@ -3830,7 +3905,7 @@ object VectorSearch {
     val tag = g0.split('_').last
     val (p0, p1) = (s"$nngVacuumRoot/gen0-$tag", s"$nngVacuumRoot/gen1-$tag")
     nngVacuumWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
-      val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+      val qv = nngQv(spark, dir)
       val (refined, _) = NnGraph.buildShared(qv, s"$dir#full")
       graft.sources.Sinks.writeBucketedAt(
         refined.filter(col("src") % UpsertMod =!= 0), g0, "src",
@@ -4801,7 +4876,7 @@ object VectorSearch {
     * own index construction. */
   final val MergeMod = 3L
   def vsNngMerge: Q = (spark, dir) => {
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val qv = nngQv(spark, dir)
     val ca = graft.util.Persist.stage(
       qv.filter(col("vec_id") % MergeMod =!= 0), eager = false)
     val cb = graft.util.Persist.stage(
@@ -4925,7 +5000,7 @@ object VectorSearch {
   final val FilterCoverageCap: Long =
     (NnGraph.Entries + NnGraph.EscHops.toLong * NnGraph.EscBeam * NnGraph.K) / 2L
   def vsNngFiltered: Q = (spark, dir) => {
-    val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
+    val qv = nngQv(spark, dir)
     val (refined, init) = NnGraph.buildShared(qv, s"$dir#full")
     val pass = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
       .filter(col("label") === 7)

@@ -29,7 +29,16 @@ object Sinks {
     * uses for its curated bucketed tables. */
   def writeBucketedAt(df: DataFrame, table: String, key: String, buckets: Int,
       path: String): Unit = {
-    df.write.mode("overwrite")
+    // One FILE per bucket: repartition(buckets, key) uses the same
+    // Murmur3-pmod family as bucket-id assignment, so writer task i
+    // holds exactly bucket i's rows and each bucket lands as a single
+    // sorted file (instead of up to tasks×buckets shards). This is a
+    // store-time compaction, not a semantic change — and it is what
+    // makes the pruned serves' per-batch probe cheap: a pushed IN is
+    // evaluated against every file's row-group stats/dictionary, so
+    // file count is a direct multiplier on probe latency.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)

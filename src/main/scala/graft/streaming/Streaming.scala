@@ -1197,15 +1197,23 @@ object Streaming {
     * store round-trip is value-preserving — the vs_*_load contract). */
   private[graft] def storedIvfIndex(spark: SparkSession, dir: String)
       : (graft.ops.IvfIndex.IntModel, DataFrame) = {
-    graft.ops.VectorSearch.ensureIvfStored(spark, dir)
-    val model = graft.ops.IvfIndex.IntModel(
-      spark.table(graft.ops.VectorSearch.storedTable("graft_ivf_centroids", dir))
-        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
-        .sortBy(_._1).toIndexedSeq)
+    val model = storedIvfModel(spark, dir)
     val assigned = graft.util.Persist.stage(
       spark.table(graft.ops.VectorSearch.storedTable("graft_ivf_assign", dir)),
       eager = false)
     (model, assigned)
+  }
+
+  /** The reloaded centroid model alone — what the PRUNED serve loads
+    * (it reads the assignment table per batch through a pruned
+    * FileScan, never a staged full copy). */
+  private[graft] def storedIvfModel(spark: SparkSession, dir: String)
+      : graft.ops.IvfIndex.IntModel = {
+    graft.ops.VectorSearch.ensureIvfStored(spark, dir)
+    graft.ops.IvfIndex.IntModel(
+      spark.table(graft.ops.VectorSearch.storedTable("graft_ivf_centroids", dir))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq)
   }
 
   /** Always-on indexed Search from the RELOADED index. */
@@ -1252,15 +1260,23 @@ object Streaming {
     * pairs per in-flight query, duplicates never double-fill the k. */
   private[graft] def storedLshIndex(spark: SparkSession, dir: String)
       : (Array[Double], Int, Int, DataFrame) = {
-    graft.ops.VectorSearch.ensureLshStored(spark, dir)
-    val n = graft.Tables.embeddings(spark, dir).count()
-    val (r, b) = graft.ops.VectorSearch.lshAdaptiveGeometry(n,
-      graft.ops.VectorSearch.lshTunedGeo)
-    val flat = graft.ops.VectorSearch.planes(r * b).flatten.toArray
+    val (flat, r, b) = lshServeGeometry(spark, dir)
     val bands = graft.util.Persist.stage(
       spark.table(graft.ops.VectorSearch.storedTable("graft_lsh_bands", dir)),
       eager = false)
     (flat, r, b, bands)
+  }
+
+  /** The frozen stored geometry alone — what the PRUNED serve loads
+    * (it reads the band table per batch through a pruned FileScan, so
+    * unlike [[storedLshIndex]] it must never stage a full copy). */
+  private[graft] def lshServeGeometry(spark: SparkSession, dir: String)
+      : (Array[Double], Int, Int) = {
+    graft.ops.VectorSearch.ensureLshStored(spark, dir)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val (r, b) = graft.ops.VectorSearch.lshAdaptiveGeometry(n,
+      graft.ops.VectorSearch.lshTunedGeo)
+    (graft.ops.VectorSearch.planes(r * b).flatten.toArray, r, b)
   }
 
   /** Scaled-integer cosine distance for the serving cut: the micro
@@ -1374,6 +1390,261 @@ object Streaming {
         col("hit.c_id").as("c_id"), col("hit.d2").as("nd"))
       .orderBy("q_id", "rank")
   }
+
+  // ── Per-micro-batch FILE pruning for the stored-index serves (r17 #1) ──
+  // A stream-static join prunes SHUFFLES, not FILES: the always-on
+  // serves above re-scan their full static artifact every micro-batch,
+  // and at 100× that full scan is the serving bottleneck by
+  // construction. But the per-batch probe set is BOUNDED — |Q|·b band
+  // values / |Q|·nprobe cells / the banded candidate id set — so the
+  // pruned serve COLLECTS it (driver state the size of a routing
+  // decision, never a score) and pushes it back as a LITERAL IN filter
+  // against the stored table, whose layout is already BUCKETED BY THE
+  // PROBE KEY. Spark's FileSourceStrategy converts an In/InSet on the
+  // bucket column into bucket-file pruning (`SelectedBucketsCount:
+  // x out of N` in the scan), so a micro-batch reads ONLY the probed
+  // buckets' files — the partition-pruning property with the artifact
+  // already on disk, at the granularity of the store-time bucket count
+  // (thousands on a real cluster; 32/8 here, see LshStoreBuckets).
+  // Within a bucket the layout is sortBy(key), so parquet row-group
+  // min/max stats prune further. The probe is a routing decision only:
+  // results are bit-identical to the unpruned chains, which remain the
+  // declarative single-plan floor (and the registered batch twins).
+  // StreamPrunedSpec pins both the equality and SelectedBucketsCount.
+
+  /** One micro-batch of the pruned IVF serve: quantize + nprobe pick on
+    * the bounded batch (one tiny job — exact parity with
+    * [[ivfServeChain]]'s expressions by construction), collect the
+    * probe rows, then rescore against ONLY the probed cells' bucket
+    * files. Same kernels, same cut — bit-identical to the unpruned
+    * chain on the same batch. */
+  private[graft] def ivfPrunedChain(spark: SparkSession, dir: String,
+      ma: Double, model: graft.ops.IvfIndex.IntModel)(batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val assignedT =
+      spark.table(graft.ops.VectorSearch.storedTable("graft_ivf_assign", dir))
+    val qrows = batch
+      .select(col("q_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 127.0 / lit(ma), 0).cast("long")).as("qq"))
+      .select(col("q_id"), col("qq"), probeCells(model).as("cells"))
+      .collect()
+    if (qrows.isEmpty) return servedEmpty(spark, distinctCut = false)
+    val probeLocal = qrows.toSeq.flatMap { qr =>
+      val qq = qr.getSeq[Long](1)
+      qr.getSeq[org.apache.spark.sql.Row](2)
+        .map(c => (qr.getLong(0), qq, c.getLong(1).toInt))
+    }
+    val cells = probeLocal.map(_._3).distinct
+    broadcast(probeLocal.toDF("q_id", "qq", "cell"))
+      .join(assignedT.filter(col("cell").isInCollection(cells)), "cell")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.int_sq_l2(col("qd"), col("qq")).as("d2"))
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs(col("d2"), col("c_id"), SearchTopK)
+        .as("top"))
+  }
+
+  /** One micro-batch of the pruned LSH serve: stateless signature on
+    * the bounded batch (one tiny job at the frozen stored geometry) →
+    * literal band_val IN probe against the bucket-pruned band FileScan
+    * → collected DISTINCT candidate pairs (identical distances per
+    * duplicate pair, so deduping before the rescore changes nothing
+    * the distinct cut wouldn't) → literal vec_id IN rescore against
+    * the bucket-pruned vecs FileScan → the same distinct top-k cut.
+    * Bit-identical to [[lshServeChain]] on the same batch. */
+  private[graft] def lshPrunedChain(spark: SparkSession, dir: String,
+      flat: Array[Double], r: Int, b: Int)(batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bandsT =
+      spark.table(graft.ops.VectorSearch.storedTable("graft_lsh_bands", dir))
+    val vecsT =
+      spark.table(graft.ops.VectorSearch.storedTable("graft_lsh_vecs", dir))
+    val qrows = batch.select(col("q_id"), col("qv"),
+      graft.functions.lsh_band_vals(col("qv"), flat, 64, r, b).as("bv"))
+      .collect()
+    if (qrows.isEmpty) return servedEmpty(spark, distinctCut = true)
+    val sigLocal = qrows.toSeq.flatMap { qr =>
+      qr.getSeq[Long](2).zipWithIndex.map { case (v, i) => (qr.getLong(0), i, v) }
+    }
+    val probeVals = sigLocal.map(_._3).distinct
+    val candStage = bandsT
+      .filter(graft.functions.in_long_set(col("band_val"), probeVals))
+      .join(broadcast(sigLocal.toDF("q_id", "band_idx", "band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val candRows = candStage.collect()
+    lastLshProbePlan.set(candStage.queryExecution.executedPlan.toString)
+    if (candRows.isEmpty) return servedEmpty(spark, distinctCut = true)
+    val qvOf = qrows.map(qr => qr.getLong(0) -> qr.getSeq[Float](1)).toMap
+    val candIds = candRows.map(_.getLong(1)).distinct.toSeq
+    val pairDf = candRows.toSeq
+      .map(cr => (cr.getLong(0), cr.getLong(1), qvOf(cr.getLong(0))))
+      .toDF("q_id", "vec_id", "qv")
+    broadcast(pairDf)
+      .join(vecsT.filter(graft.functions.in_long_set(col("vec_id"), candIds)), "vec_id")
+      .select(col("q_id"), col("vec_id").as("c_id"), lshNd(col("qv"), col("cv")))
+      .filter(col("nd").isNotNull)
+      .groupBy("q_id")
+      .agg(graft.functions.top_k_min_pairs_distinct(col("nd"), col("c_id"),
+        SearchTopK).as("top"))
+  }
+
+  /** Last executed band-probe plan of [[lshPrunedChain]] (the probe is
+    * an intermediate collected job, so its scan never appears in the
+    * returned frame's plan — this is the audit hook StreamPrunedSpec
+    * reads to pin SelectedBucketsCount on the band side). */
+  private[graft] val lastLshProbePlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Schema-only empty result for an empty micro-batch (the chains'
+    * group-agg output shape, same struct either cut produces). */
+  private def servedEmpty(spark: SparkSession, distinctCut: Boolean): DataFrame = {
+    import spark.implicits._
+    val z = Seq.empty[(Long, Long, Long)].toDF("q_id", "d", "id")
+    val cut =
+      if (distinctCut)
+        graft.functions.top_k_min_pairs_distinct(col("d"), col("id"), SearchTopK)
+      else graft.functions.top_k_min_pairs(col("d"), col("id"), SearchTopK)
+    z.groupBy("q_id").agg(cut.as("top"))
+  }
+
+  /** Always-on PRUNED IVF serve: the same file-driven query stream as
+    * [[vsSearchStoredStream]], served per micro-batch through
+    * [[ivfPrunedChain]] via foreachBatch — the loop that lets each
+    * batch's bounded probe set be collected and pushed back as a
+    * literal filter (a single declarative stream-static plan cannot
+    * re-parameterize its static-side scan per batch). Each batch's
+    * results go to `sink`. */
+  def vsSearchStoredPrunedStream(spark: SparkSession, dir: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
+    val model = storedIvfModel(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .writeStream
+      .foreachBatch((bdf: DataFrame, _: Long) =>
+        sink(ivfPrunedChain(spark, dir, ma, model)(bdf)))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Always-on PRUNED LSH serve (foreachBatch twin of
+    * [[vsSearchLshStream]]). */
+  def vsSearchLshPrunedStream(spark: SparkSession, dir: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (flat, r, b) = lshServeGeometry(spark, dir)
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .writeStream
+      .foreachBatch((bdf: DataFrame, _: Long) =>
+        sink(lshPrunedChain(spark, dir, flat, r, b)(bdf)))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** WARM-path option for the LSH rate harness (r17 verdict #6, the
+    * documented not-taken step now shipped as a measured OPTION): the
+    * rescore side — the (vec_id, cv) stored table — is STAGED once per
+    * process (localCheckpoint: the per-node shard cache, the FAISS
+    * posture) instead of re-read from the bucketed FileScan every
+    * micro-batch. The committed default serving story stays the honest
+    * cold plan ([[serveLshRate]]) and the pruned plan
+    * ([[serveLshRatePruned]]); this mode exists so the 100× serving
+    * story carries the warm number beside them — a real deployment
+    * with RAM to pin its shard runs THIS plan. (The IVF sibling's
+    * unpruned harness already stages its assignment table — its warm
+    * and cold modes coincide.) */
+  def serveLshRateWarm(spark: SparkSession, dir: String,
+      nBatches: Int, batchSize: Int): Seq[Double] = {
+    val (flat, r, b, bands) = storedLshIndex(spark, dir)
+    val corpus = graft.util.Persist.stage(lshCorpus(spark, dir), eager = false)
+    val pool = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit((nBatches + 1) * batchSize)
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1)))
+    require(pool.length == (nBatches + 1) * batchSize,
+      s"corpus too small for ${(nBatches + 1) * batchSize} serving queries")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val out = lshServeChain(ms.toDF().toDF("q_id", "qv"), flat, r, b, bands, corpus)
+    val q = out.writeStream.format("noop").outputMode("update").start()
+    timedBatches(ms, pool.toIndexedSeq, nBatches, batchSize, q)
+  }
+
+  /** Rate harness for the pruned IVF serve (same pool, same timing
+    * loop as [[serveIvfRate]] — the two modes stay comparable). */
+  def serveIvfRatePruned(spark: SparkSession, dir: String,
+      nBatches: Int, batchSize: Int): Seq[Double] = {
+    val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
+    val model = storedIvfModel(spark, dir)
+    val pool = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit((nBatches + 1) * batchSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(pool.length == (nBatches + 1) * batchSize,
+      s"corpus too small for ${(nBatches + 1) * batchSize} serving queries")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = ms.toDF().toDF("q_id", "embedding").writeStream
+      .foreachBatch((bdf: DataFrame, _: Long) =>
+        ivfPrunedChain(spark, dir, ma, model)(bdf)
+          .write.format("noop").mode("overwrite").save())
+      .start()
+    timedBatches(ms, pool.toIndexedSeq, nBatches, batchSize, q)
+  }
+
+  /** Rate harness for the pruned LSH serve (pool/timing of
+    * [[serveLshRate]]). */
+  def serveLshRatePruned(spark: SparkSession, dir: String,
+      nBatches: Int, batchSize: Int): Seq[Double] = {
+    val (flat, r, b) = lshServeGeometry(spark, dir)
+    val pool = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit((nBatches + 1) * batchSize)
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1)))
+    require(pool.length == (nBatches + 1) * batchSize,
+      s"corpus too small for ${(nBatches + 1) * batchSize} serving queries")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("q_id", "qv").writeStream
+      .foreachBatch((bdf: DataFrame, _: Long) =>
+        lshPrunedChain(spark, dir, flat, r, b)(bdf)
+          .write.format("noop").mode("overwrite").save())
+      .start()
+    timedBatches(ms, pool.toIndexedSeq, nBatches, batchSize, q)
+  }
+
+  /** Shared timing loop of the pruned rate harnesses: one un-timed
+    * warmup batch, then per-batch addData → processAllAvailable
+    * latency in seconds. */
+  private def timedBatches[A](
+      ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      pool: IndexedSeq[A], nBatches: Int, batchSize: Int,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Double] =
+    try {
+      (0 to nBatches).map { batch =>
+        val slice = pool.slice(batch * batchSize, (batch + 1) * batchSize)
+        val t0 = System.nanoTime()
+        ms.addData(slice)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1) // warmup batch un-timed
+    } finally q.stop()
 
   /** Full SQL replay: the shared adaptive-band CTEs at the full-count
     * tuned geometry (= the stored table's content), query slice, band

@@ -62,28 +62,49 @@ object LshCeilingProbe {
       lit(0).as("label"))
     emb.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
-    val (r, b) = graft.ops.VectorSearch.lshAdaptiveGeometry(
-      n, graft.ops.VectorSearch.lshTunedGeo)
-    val (rMax, bMax) = graft.ops.VectorSearch.lshTunedGeo.last
-    val ceiling = graft.ops.VectorSearch.LshAdaptCandsPerRow *
-      (1L << (rMax + 1)) / bMax
-    println(s"PROBE n=$n ceiling~$ceiling picked geometry r=$r b=$b " +
-      s"(saturated=${(r, b) == graft.ops.VectorSearch.lshTunedGeo.last})")
-
+    // TWO ARMS over the same corpus (r17 verdict #4): arm A replays the
+    // pre-extension table (truncated at r=24 — the old operating
+    // ceiling) and must ALARM; arm B runs the SHIPPED audit end-to-end
+    // on the extended table and must come back under the designed
+    // bound. One committed artifact carries both measurements.
     val audit = graft.Audits.audits("vs_lsh_tuned.candidates")
-    val t0 = System.nanoTime()
-    val count = audit.count(spark, work)
-    val rows = audit.rows(spark, work)
-    val secs = (System.nanoTime() - t0) / 1e9
-    val perRow = count.toDouble / math.max(rows, 1L)
-    val alarm = graft.Audits.breached(audit, count, rows)
-    println(f"PROBE vs_lsh_tuned.candidates count=$count rows=$rows " +
-      f"perRow=$perRow%.2f bound=${audit.maxPerRow}%.1f " +
-      f"expectedFloor=${n.toDouble * b / (1L << (r + 1)).toDouble}%.2f " +
-      f"alarm=$alarm wall=$secs%.1f s")
-    if (!alarm) System.err.println(
-      "PROBE FAILED: past-ceiling corpus did NOT trip the audit bound")
+    val geoFull = graft.ops.VectorSearch.lshTunedGeo
+    def arm(label: String, geo: Seq[(Int, Int)],
+        run: () => Long): (Boolean, String) = {
+      val (r, b) = graft.ops.VectorSearch.lshAdaptiveGeometry(n, geo)
+      val t0 = System.nanoTime()
+      val count = run()
+      val rows = audit.rows(spark, work)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perRow = count.toDouble / math.max(rows, 1L)
+      val alarm = graft.Audits.breached(audit, count, rows)
+      val floor = n.toDouble * b / (1L << (r + 1)).toDouble
+      println(f"PROBE arm=$label r=$r b=$b count=$count rows=$rows " +
+        f"perRow=$perRow%.2f bound=${audit.maxPerRow}%.1f " +
+        f"expectedFloor=$floor%.2f alarm=$alarm wall=$secs%.1f s")
+      (alarm,
+        f"""{"arm":"$label","r":$r,"b":$b,"n":$n,"count":$count,""" +
+        f""""per_row":$perRow%.3f,"bound":${audit.maxPerRow}%.1f,""" +
+        f""""expected_floor":$floor%.3f,"alarm":$alarm,"wall_s":$secs%.1f}""")
+    }
+    val geoOld = geoFull.filter(_._1 <= 24)
+    val (alarmA, jsonA) = arm("pre_extension_r24", geoOld, () =>
+      graft.ops.VectorSearch.lshTunedCandidates(spark, work, geoOld).count())
+    // Arm B is the exact production audit call — the same count Bench
+    // makes when it fills audit_alarms.
+    val (alarmB, jsonB) = arm("extended_table", geoFull, () =>
+      audit.count(spark, work))
+    val ok = alarmA && !alarmB
+    val sha = graft.util.GitInfo.headSha().getOrElse("unknown")
+    val artifact =
+      s"""{"probe":"lsh_ceiling","git_sha":"$sha","n":$n,"arms":[$jsonA,$jsonB],""" +
+      s""""expected":"pre_extension alarms, extended clears","ok":$ok}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("lsh_ceiling.json"),
+      (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"PROBE artifact: $artifact")
+    if (!ok) System.err.println(
+      "PROBE FAILED: expected the pre-extension arm to alarm and the extended arm to clear")
     spark.stop()
-    if (!alarm) sys.exit(1)
+    if (!ok) sys.exit(1)
   }
 }

@@ -18,10 +18,14 @@ object ServeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val which = if (args.isEmpty) Seq("lsh", "ivf") else args.toSeq
+    val which =
+      if (args.isEmpty) Seq("lsh", "ivf", "lsh_pruned", "ivf_pruned") else args.toSeq
     val harnesses = Map(
       "ivf" -> (graft.streaming.Streaming.serveIvfRate _),
-      "lsh" -> (graft.streaming.Streaming.serveLshRate _))
+      "lsh" -> (graft.streaming.Streaming.serveLshRate _),
+      "ivf_pruned" -> (graft.streaming.Streaming.serveIvfRatePruned _),
+      "lsh_pruned" -> (graft.streaming.Streaming.serveLshRatePruned _),
+      "lsh_warm" -> (graft.streaming.Streaming.serveLshRateWarm _))
     for (name <- which; run <- harnesses.get(name)) {
       val lats = run(spark, sfDir, 8, 64)
       val sorted = lats.sorted

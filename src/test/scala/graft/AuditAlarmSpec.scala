@@ -52,35 +52,58 @@ class AuditAlarmSpec extends SparkSpec {
       "collapse reproduction is too mild to be the r10 bug class")
   }
 
-  test("lshTunedGeo operating ceiling: geometry saturates past ~119k and the measured floor trips the alarm") {
+  test("lshTunedGeo operating ceiling: the old table alarms past ~119k, the r17 extension clears it") {
     import graft.ops.VectorSearch
     val geo = VectorSearch.lshTunedGeo
-    val (rMax, bMax) = geo.last
-    val ceiling = VectorSearch.LshAdaptCandsPerRow * (1L << (rMax + 1)) / bMax
-    assert(ceiling > 100000L && ceiling < 140000L, s"ceiling moved: $ceiling")
-    // Below the ceiling the pick still adapts; past it, getOrElse holds
-    // the last geometry — the documented saturation.
-    assert(VectorSearch.lshAdaptiveGeometry(20000L, geo) != geo.last,
-      "sf1-scale corpus should not be saturated")
-    assert(VectorSearch.lshAdaptiveGeometry(ceiling + 1, geo) == geo.last)
-    assert(VectorSearch.lshAdaptiveGeometry(750000L, geo) == geo.last)
-    // Measured past the ceiling (tools/LshCeilingProbe, r13; n=750k
-    // synthetic ISOTROPIC vectors — no planted pairs, so the count is
-    // pure random floor — through the EXACT production audit):
-    // 45,637,584 candidates = 60.85/row vs the 10.0/row bound → the
-    // alarm fires, 6.1× over. The uniform 2^-r model predicted
-    // 12.58/row; real sign-correlation on 64-dim data runs ~4.8× that
-    // (Jensen: E[(1−θ/π)^r] > 2^−r), so the floor crosses the bound
-    // near the documented n* itself — the guard has no dead zone
-    // between "geometry saturated" and "alarm fires".
+    // The PRE-EXTENSION regime (table stopped at r=24 — the r12-r16
+    // operating ceiling) stays pinned through the truncated table:
+    val geo24 = geo.filter(_._1 <= 24)
+    val (r24, b24) = geo24.last
+    val oldCeiling = VectorSearch.LshAdaptCandsPerRow * (1L << (r24 + 1)) / b24
+    assert(oldCeiling > 100000L && oldCeiling < 140000L,
+      s"old ceiling moved: $oldCeiling")
+    assert(VectorSearch.lshAdaptiveGeometry(oldCeiling + 1, geo24) == geo24.last)
+    // Measured past that ceiling (tools/LshCeilingProbe, r13; n=750k
+    // synthetic ISOTROPIC vectors — pure random floor — through the
+    // EXACT production audit): 45,637,584 candidates = 60.85/row vs
+    // the 10.0/row bound → alarm, 6.1× over. The uniform 2^-r model
+    // predicted 12.58/row; real sign-correlation on 64-dim data runs
+    // ~4.8× that (Jensen: E[(1−θ/π)^r] > 2^−r), so the floor crosses
+    // the bound near the documented n* itself — no dead zone between
+    // "geometry saturated" and "alarm fires".
     val audit = Audits.audits("vs_lsh_tuned.candidates")
     assert(Audits.breached(audit, 45637584L, 750000L),
       "the measured past-ceiling candidate volume must trip the bound")
-    // The measured slope (60.85/row at 750k → per-row ∝ n at fixed
-    // geometry) back-projects to the bound being crossed at
-    // n ≈ 750k·10/60.85 ≈ 123k — within 4% of the ceiling estimate.
     val alarmAt = (750000L * audit.maxPerRow / 60.85).toLong
-    assert(math.abs(alarmAt - ceiling) < ceiling / 5,
-      s"alarm onset $alarmAt vs ceiling $ceiling drifted apart")
+    assert(math.abs(alarmAt - oldCeiling) < oldCeiling / 5,
+      s"alarm onset $alarmAt vs old ceiling $oldCeiling drifted apart")
+    // r17 verdict #4: the table now extends to r=26 (same integer
+    // solve) — oracle-scale geometry untouched, pick ceiling ~301k.
+    val (rMax, bMax) = geo.last
+    assert(rMax == 26, s"tuned table should end at r=26, got $rMax")
+    val ceiling = VectorSearch.LshAdaptCandsPerRow * (1L << (rMax + 1)) / bMax
+    assert(ceiling > 250000L && ceiling < 350000L, s"new ceiling moved: $ceiling")
+    assert(VectorSearch.lshAdaptiveGeometry(20000L, geo) ==
+      VectorSearch.lshAdaptiveGeometry(20000L, geo24),
+      "the extension must not change any oracle-scale geometry")
+    assert(VectorSearch.lshAdaptiveGeometry(ceiling + 1, geo) == geo.last)
+    // Both arms MEASURED at n=150k (tools/LshCeilingProbe r17, committed
+    // lsh_ceiling.json): saturated r=24 reads 12.18/row → alarm; the
+    // extended pick (r=25, b=709) reads 8.69/row → back under the
+    // designed bound. The committed artifact is the evidence this spec
+    // pins — regenerate it with the probe if the geometry solve moves.
+    val art = {
+      val s = scala.io.Source.fromFile("lsh_ceiling.json", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    assert(art.contains("\"ok\":true"), s"ceiling artifact not ok: $art")
+    assert(art.contains("\"arm\":\"pre_extension_r24\"") &&
+      art.contains("\"arm\":\"extended_table\""), s"arms missing: $art")
+    val alarmRe = """"arm":"([a-z0-9_]+)"[^}]*"alarm":(true|false)""".r
+    val arms = alarmRe.findAllMatchIn(art).map(m => m.group(1) -> m.group(2)).toMap
+    assert(arms("pre_extension_r24") == "true",
+      "pre-extension arm must alarm in the committed artifact")
+    assert(arms("extended_table") == "false",
+      "extended arm must clear in the committed artifact")
   }
 }

@@ -111,9 +111,15 @@ class LshRecallSpec extends SparkSpec {
       StructField("v", ArrayType(DoubleType))))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4), schema)
+    // ... at both pinned geometries PLUS the r17 ceiling-extension rows
+    // (r=25/26 — engaged only past ~119k vectors in production, so the
+    // planted-pair S-curve check here is their only recall evidence).
+    val extended = VectorSearch.lshTunedGeo.filter(_._1 > 24)
+    assert(extended.nonEmpty, "tuned table lost its r17 extension rows")
     for ((r, b) <- Seq(
         (VectorSearch.LshPlanesPerBand, VectorSearch.LshBands),
-        (VectorSearch.LshTunedPlanesPerBand, VectorSearch.LshTunedBands))) {
+        (VectorSearch.LshTunedPlanesPerBand, VectorSearch.LshTunedBands)) ++
+        extended) {
       val bands = VectorSearch.lshBands(df, "vec_id", "v", planesPerBand = r, bands = b)
         .collect().groupBy(_.getAs[Long]("vec_id"))
         .view.mapValues(_.map(x =>
