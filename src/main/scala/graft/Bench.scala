@@ -179,6 +179,13 @@ object Bench {
       .mkString("[", ",", "]")
     val auditFailJson = auditResults.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    // The sweep leaves every memoized localCheckpoint pinned (planner /
+    // NNG shared frames) — state the serving blocks never read: every
+    // serve runs from STORED catalog tables and stages what it needs
+    // fresh. Drop the pins so the serving measurement reflects a
+    // serving node's memory, not the 185-key sweep's cache pressure.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     // Serving-rate block (r14 verdict #7): the streaming keys are timed
     // as one-shot sweeps above, but a store is graded in queries/sec —
     // drive the indexed serve with micro-batches of fresh queries and
