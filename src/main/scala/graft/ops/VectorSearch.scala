@@ -2676,7 +2676,8 @@ object VectorSearch {
       val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
         geo = lshTunedGeo)
       graft.sources.Sinks.writeBucketedAt(bandsDf, t,
-        "band_val", LshStoreBuckets, s"$lshStoreRoot/bands-${t.split('_').last}")
+        "band_val", LshStoreBuckets, s"$lshStoreRoot/bands-${t.split('_').last}",
+        compact = true)
       // Rescore side-table (r16 verdict #2): the serve's exact-cosine
       // rescore used to join candidates against a full STAGED corpus
       // copy — an assumption that dies at 100× (you cannot pin 100 TB
@@ -2689,7 +2690,8 @@ object VectorSearch {
       graft.sources.Sinks.writeBucketedAt(
         emb(spark, dir).select(col("vec_id"), col("embedding").as("cv")),
         storedTable("graft_lsh_vecs", dir),
-        "vec_id", LshStoreBuckets, s"$lshStoreRoot/vecs-${t.split('_').last}")
+        "vec_id", LshStoreBuckets, s"$lshStoreRoot/vecs-${t.split('_').last}",
+        compact = true)
       true
     })
     ()
@@ -2921,7 +2923,7 @@ object VectorSearch {
         geo = lshTunedGeo)
       graft.sources.Sinks.writeBucketedAt(
         bandsDf.filter(col("vec_id") % UpsertMod =!= 0), g0, "band_val",
-        LshStoreBuckets, p0)
+        LshStoreBuckets, p0, compact = true)
       // The appended segment: its own file set in the same table.
       bandsDf.filter(col("vec_id") % UpsertMod === 0)
         .write.mode("append").format("parquet")
@@ -2929,7 +2931,7 @@ object VectorSearch {
       // VACUUM: survivors rewritten as a fresh compact generation.
       graft.sources.Sinks.writeBucketedAt(
         spark.table(g0).filter(col("vec_id") % DeleteMod =!= 0), g1,
-        "band_val", LshStoreBuckets, p1)
+        "band_val", LshStoreBuckets, p1, compact = true)
       true
     })
     (g0, g1, p0, p1)
@@ -3025,7 +3027,8 @@ object VectorSearch {
             val t = storedTable("graft_lsh_reband", d)
             graft.sources.Sinks.writeBucketedAt(
               lshBands(e, "vec_id", "embedding", rNew, bNew), t,
-              "band_val", LshStoreBuckets, s"$lshRebandRoot/gen-${t.split('_').last}")
+              "band_val", LshStoreBuckets, s"$lshRebandRoot/gen-${t.split('_').last}",
+              compact = true)
             true
           })
           spark.table(storedTable("graft_lsh_reband", d))

@@ -27,18 +27,25 @@ object Sinks {
     * (external table): repeated runs overwrite the same files instead of
     * piling up under the session warehouse — the shape a lake pipeline
     * uses for its curated bucketed tables. */
+  /** `compact = true` writes ONE file per bucket: repartition(buckets,
+    * key) uses the same Murmur3-pmod family as bucket-id assignment,
+    * so writer task i holds exactly bucket i's rows and each bucket
+    * lands as a single sorted file (instead of up to tasks×buckets
+    * shards). Use it ONLY for tables a pruned serve probes with a
+    * large pushed IN (file count is a direct multiplier on per-batch
+    * footer/dictionary evaluation — measured 3.0 → 1.9 s on the LSH
+    * band probe). It is the WRONG default: when the planner disables
+    * the bucketed scan (DisableUnnecessaryBucketedScan — any read
+    * whose plan gains nothing from the bucket distribution), splits
+    * fall back to FILES, and one-file-per-bucket caps read parallelism
+    * at `buckets` tasks — measured 2× on vs_ivf_merge's 8-bucket gen
+    * tables at local[32]. */
   def writeBucketedAt(df: DataFrame, table: String, key: String, buckets: Int,
-      path: String): Unit = {
-    // One FILE per bucket: repartition(buckets, key) uses the same
-    // Murmur3-pmod family as bucket-id assignment, so writer task i
-    // holds exactly bucket i's rows and each bucket lands as a single
-    // sorted file (instead of up to tasks×buckets shards). This is a
-    // store-time compaction, not a semantic change — and it is what
-    // makes the pruned serves' per-batch probe cheap: a pushed IN is
-    // evaluated against every file's row-group stats/dictionary, so
-    // file count is a direct multiplier on probe latency.
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
-      .write.mode("overwrite")
+      path: String, compact: Boolean = false): Unit = {
+    val src =
+      if (compact) df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      else df
+    src.write.mode("overwrite")
       .format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)
