@@ -58,10 +58,25 @@ package object functions {
     * probe set, vs ~0.1 s as InSet, which is ONE node holding a hash
     * set). Still bucket-prunable (FileSourceStrategy's genBucketSet
     * matches InSet) and source-pushable (translateFilter → sources.In)
-    * exactly like the literal spelling. */
-  def in_long_set(c: Column, values: Iterable[Long]): Column =
-    col(org.apache.spark.sql.catalyst.expressions.InSet(expr(c),
+    * exactly like the literal spelling.
+    *
+    * Long-only BY CONSTRUCTION (r18 advice): `InSet` bypasses analyzer
+    * type coercion, so against a non-bigint column the boxed-Long set
+    * would evaluate to false for EVERY row — a silent empty result
+    * instead of an analysis error. The helper therefore demands a
+    * RESOLVED LongType child (pass `df("name")`, not `col("name")`)
+    * and fails fast on anything else. */
+  def in_long_set(c: Column, values: Iterable[Long]): Column = {
+    val e = expr(c)
+    require(e.resolved,
+      s"in_long_set needs a RESOLVED column (pass df(\"name\"), not col(\"name\")) " +
+      s"so its Long-only contract can be checked; got unresolved: $e")
+    require(e.dataType == org.apache.spark.sql.types.LongType,
+      s"in_long_set is Long-only (InSet skips type coercion - a non-bigint " +
+      s"column would silently match nothing); got ${e.dataType.sql} for $e")
+    col(org.apache.spark.sql.catalyst.expressions.InSet(e,
       values.iterator.map(v => java.lang.Long.valueOf(v): Any).toSet))
+  }
   def minhash_sig(c: Column, k: Int): Column =
     col(MinhashSig(expr(c), k).toAggregateExpression())
   /** Aggregate: 64-slot hashing-trick signed count vector. */

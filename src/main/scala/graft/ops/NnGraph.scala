@@ -281,6 +281,20 @@ object NnGraph {
       size() > BuiltMemoMax
   }
 
+  /** Release every memoized build's staged frames and clear the memo
+    * (r18 advice — see [[graft.ops.VectorSearch.evictFrameMemos]]):
+    * after a blanket unpersist the localCheckpoint-backed (refined,
+    * init) frames are unrecomputable, so the pins must go with the
+    * blocks. The next [[buildShared]] call rebuilds from its input. */
+  private[graft] def evictMemos(): Unit = builtMemo.synchronized {
+    import scala.jdk.CollectionConverters._
+    builtMemo.values.asScala.foreach { case (_, refined, init, _) =>
+      graft.util.Persist.release(refined)
+      graft.util.Persist.release(init)
+    }
+    builtMemo.clear()
+  }
+
   /** [[build]] with plan-level reuse: the first caller per (session,
     * `tag`) builds; subsequent callers get the SAME staged (refined,
     * init) frames — the "query the stored index" shape a deployment

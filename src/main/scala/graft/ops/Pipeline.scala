@@ -508,7 +508,18 @@ object Pipeline {
     * one staged verdict frame. The oracle replays ALL seven stages in
     * one DuckDB query built from the siblings' own CTE templates. */
   final val E2eCheckMod = 1000003L
-  def pipelineE2e: Q = (spark, dir) => {
+  /** The composition's stage frames, exposed so the bench can time the
+    * stages individually (r18 verdict #7: the 12.2 s sf1 key is the
+    * closest thing to the product's real workload — per-stage walls
+    * localize a regression the one-number sweep can't). [[pipelineE2e]]
+    * returns `result` unchanged — the registered key's plan is
+    * byte-identical to the pre-refactor spelling. */
+  private[graft] final case class E2eFrames(
+      exact: DataFrame, semDrop: DataFrame, gopher: DataFrame,
+      contam: DataFrame, funnel: DataFrame, packAgg: DataFrame,
+      shAgg: DataFrame, result: DataFrame)
+  def pipelineE2e: Q = (spark, dir) => pipelineE2eFrames(spark, dir).result
+  private[graft] def pipelineE2eFrames(spark: SparkSession, dir: String): E2eFrames = {
     graft.functions.register(spark)
     val docs = graft.util.Det.materializedColumn(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
@@ -599,7 +610,33 @@ object Pipeline {
           .as("shuffle_check_e0"),
         coalesce(sum(when(col("epoch") === 1L, col("chk")).otherwise(0L)), lit(0L))
           .as("shuffle_check_e1"))
-    funnel.crossJoin(packAgg).crossJoin(shAgg)
+    E2eFrames(exact, semDrop, gopher, contam, funnel, packAgg, shAgg,
+      funnel.crossJoin(packAgg).crossJoin(shAgg))
+  }
+
+  /** Per-stage wall times of the composition, in production order: each
+    * stage frame is forced with a noop write and timed. Later stages
+    * reuse the earlier stages' staged checkpoints (verdict/shingle
+    * frames), so the deltas attribute the composition's real cost; the
+    * un-staged `exact` window recurs inside `funnel` — attribution is
+    * stage-local, not a partition of the total. Run AFTER the timed
+    * sweep (it re-evaluates the semantic-dedup machinery). */
+  private[graft] def pipelineE2eStageTimes(spark: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    val f = pipelineE2eFrames(spark, dir)
+    def t(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      "exact" -> t(f.exact),
+      "semantic" -> t(f.semDrop),
+      "gopher" -> t(f.gopher),
+      "decontaminate" -> t(f.contam),
+      "verdict_funnel" -> t(f.funnel),
+      "pack" -> t(f.packAgg),
+      "epoch_shuffle" -> t(f.shAgg))
   }
 
   /** Full DuckDB replay of [[pipelineE2e]] — every stage from its

@@ -2670,11 +2670,52 @@ object VectorSearch {
   private val lshStoreWritten =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Boolean]()
 
+  /** Store-time degenerate-bucket mask (r18 verdict #2): excise every
+    * (band_idx, band_val) bucket above `cap` from a band table BEFORE
+    * it becomes a stored index artifact. The dedup family bounds its
+    * candidate volume by construction ([[graft.util.Skew.cappedSelfPairs]],
+    * the semantic gate's stage-time mask); the SERVE path used to rely
+    * on the tuned geometry keeping buckets small by design — but
+    * [[graft.streaming.Streaming]]'s pruned chain collects the banded
+    * candidate set to the driver, so one hot band value on hostile or
+    * shifted data flowed straight into an unbounded collect. Masking
+    * at store time makes the serve-path bound an ARTIFACT property:
+    * every bucket in the stored table holds ≤ cap rows, so a micro-
+    * batch's candidate volume is ≤ |probe set|·cap no matter what the
+    * data does. Excision alarms LOUDLY (stderr, same posture as the
+    * bench audits) and is recorded in [[lastStoreMaskExcised]] —
+    * never silent truncation. `cap` sits far above any healthy bucket
+    * ([[LshBucketCap]] vs ≤5k test vectors), so at every test SF the
+    * masked table is row-identical to the unmasked one and all oracle
+    * hashes are unchanged; the SQL oracles of every key that reads the
+    * stored table carry the mirroring HAVING filter so the contract
+    * holds at ANY scale, not just tested ones. */
+  private[graft] def maskDegenerateBands(bands: DataFrame,
+      cap: Long = LshBucketCap, tag: String = ""): DataFrame = {
+    val b = graft.util.Persist.stage(bands, eager = false)
+    val sizes = b.groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+    val excised = sizes.filter(col("n") > cap)
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    lastStoreMaskExcised.set(excised)
+    if (excised > 0) System.err.println(
+      s"[graft] STORE MASK ALARM${if (tag.isEmpty) "" else s" $tag"}: " +
+      s"$excised band rows in degenerate buckets (> $cap) excised at store " +
+      "time - candidate recall in those buckets is lost until a re-band; " +
+      "the corpus has outgrown the stored geometry (see vs_lsh_reband)")
+    b.join(sizes.filter(col("n") <= cap).select("band_idx", "band_val"),
+      Seq("band_idx", "band_val"))
+  }
+  /** Rows the last [[maskDegenerateBands]] call excised — the audit
+    * hook LshStoreSpec reads (0 on every healthy corpus). */
+  private[graft] val lastStoreMaskExcised =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def ensureLshStored(spark: SparkSession, dir: String): Unit = {
     lshStoreWritten.computeIfAbsent((spark.sparkContext, dir), _ => {
       val t = storedTable("graft_lsh_bands", dir)
-      val bandsDf = lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
-        geo = lshTunedGeo)
+      val bandsDf = maskDegenerateBands(
+        lshBandsAdaptive(emb(spark, dir), "vec_id", "embedding",
+          geo = lshTunedGeo), tag = t)
       graft.sources.Sinks.writeBucketedAt(bandsDf, t,
         "band_val", LshStoreBuckets, s"$lshStoreRoot/bands-${t.split('_').last}",
         compact = true)
@@ -2706,12 +2747,26 @@ object VectorSearch {
         sum(col("band_val") * col("n")).as("sum_band_val"))
   }
 
+  /** SQL mirror of [[maskDegenerateBands]]: `$out` = the rows of `$src`
+    * whose (band_idx, band_val) bucket holds ≤ cap rows — the stored
+    * band table's content. Every oracle that replays a key reading the
+    * STORED table goes through this CTE, so the store-time mask is part
+    * of the cross-engine contract (a no-op at every test SF, where no
+    * bucket approaches the cap). */
+  private[graft] def lshStoredMaskSql(src: String = "bands",
+      out: String = "sbands", cap: Long = LshBucketCap): String = s"""
+    ${out}_ok AS (SELECT band_idx, band_val FROM $src
+                  GROUP BY 1, 2 HAVING COUNT(*) <= $cap),
+    $out AS (SELECT b.* FROM $src b JOIN ${out}_ok USING (band_idx, band_val))"""
+
   /** Manifest oracle: the shared adaptive-band CTEs at the tuned
-    * geometry, then the same bucket aggregates. */
+    * geometry, the store-time degenerate-bucket mask, then the same
+    * bucket aggregates over the masked (= stored) rows. */
   val vsLshStoreSql: String = s"""
     WITH e AS ($eSql),
     ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo)},
-    sizes AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+    ${lshStoredMaskSql()},
+    sizes AS (SELECT band_idx, band_val, COUNT(*) AS n FROM sbands GROUP BY 1, 2)
     SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
       CAST(COUNT(*) AS BIGINT) AS n_buckets,
       CAST(MAX(n) AS BIGINT) AS max_bucket,
@@ -2782,7 +2837,14 @@ object VectorSearch {
       if (rebandDue == 0L) {
         ensureLshStored(spark, dir)
         spark.table(storedTable("graft_lsh_bands", dir))
-      } else lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b)
+      } else
+        // The degraded arm hashes fresh at the frozen base pick; it is
+        // still a STORED-table read in contract (the manifest describes
+        // the index artifact), so the same store-time mask applies —
+        // both paths aggregate masked rows and one oracle covers both.
+        maskDegenerateBands(
+          lshBands(e, "vec_id", "embedding", planesPerBand = r, bands = b),
+          tag = "lsh_upsert_degraded")
     val bands = bands0
       .withColumn("is_new", (col("vec_id") % UpsertMod === 0).cast("long"))
     bands.groupBy("band_idx", "band_val")
@@ -2817,7 +2879,7 @@ object VectorSearch {
                     coalesce((SELECT b FROM geopick2), $bMax) AS b),
     sizes AS (SELECT band_idx, band_val, COUNT(*) AS n,
         SUM(CASE WHEN vec_id % $UpsertMod = 0 THEN 1 ELSE 0 END) AS k_new
-      FROM bands GROUP BY 1, 2)
+      FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $LshBucketCap)
     SELECT CAST((SELECT COUNT(*) FROM ebase) AS BIGINT) AS n_base,
       CAST((SELECT COUNT(*) FROM enew) AS BIGINT) AS n_new,
       CAST(geo.r AS BIGINT) AS geo_r, CAST(geo.b AS BIGINT) AS geo_b,
@@ -2876,7 +2938,8 @@ object VectorSearch {
   val vsLshDeleteSql: String = s"""
     WITH e AS ($eSql),
     ${lshBandsAdaptiveSql("e", "vec_id", geo = lshTunedGeo)},
-    pruned AS (SELECT * FROM bands WHERE vec_id % $DeleteMod <> 0),
+    ${lshStoredMaskSql()},
+    pruned AS (SELECT * FROM sbands WHERE vec_id % $DeleteMod <> 0),
     ${lshCandSql("vec_id", "a_id", "b_id", src = "pruned")}
     SELECT a_id, b_id, round(${cosSql("a.v", "b.v")}, 6) AS sim
     FROM cand JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
@@ -3282,6 +3345,16 @@ object VectorSearch {
     * corpora grade against different truths and stay inline. */
   private def nngExactFull(spark: SparkSession, dir: String, mod: Int,
       qv: DataFrame, qs: DataFrame): DataFrame = {
+    // r18 advice: the memo key is (session, dir, mod) — qv/qs are
+    // ignored on a hit, which is only sound while every caller passes
+    // the UNFILTERED full-corpus grid. nngQv memoizes per (session,
+    // dir), so reference identity is the cheap exact check: a future
+    // caller grading a filtered/survivor corpus through the memo path
+    // fails loudly here instead of silently grading against the wrong
+    // truth (such callers must pass exactMemo = None and build inline).
+    require(qv eq nngQv(spark, dir),
+      "nngExactFull requires the unfiltered nngQv grid for (session, dir) - " +
+      "filtered/survivor corpora must grade inline (exactMemo = None)")
     nngExactMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     nngExactMemo.computeIfAbsent((spark, dir, mod), _ => {
       val wQ = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
@@ -3293,6 +3366,33 @@ object VectorSearch {
           .filter(col("rn") <= NnGraph.TopK).select("q_id", "c_id"),
         eager = false)
     })
+  }
+
+  // ── NNG shared hop-chain memos (r18 verdict #4: the filtered/upsert/
+  //    delete trio was still 62 s of the sf1 sweep — each key re-ran
+  //    its beam hop chain, a 4-hop sequence of staged frames, on every
+  //    evaluation, and vs_nng_upsert + stream_nng_upsert computed the
+  //    IDENTICAL full-slice placement chain twice). Same plan-level-
+  //    reuse posture as [[NnGraph.buildShared]]: every chain below is
+  //    deterministic per (session, dir) — the slices, parameters and
+  //    graphs are fixed by the key contracts — so the memoized frame is
+  //    content-identical to a fresh build and every sibling hash is
+  //    unchanged; only repeated construction work is skipped (a serving
+  //    node computes its working set once). Keyed by a chain TAG that
+  //    embeds dir + chain identity; per-micro-batch placement calls
+  //    (query set = the batch) never go through the memo. ─────────────
+  private val nngChainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Memoized hop-chain frame for `tag`; `build` runs once per
+    * (session, tag). The built frame's tail is already staged (every
+    * [[NnGraph.search]] hop checkpoints), so the value is stored as-is.
+    * Builders must not re-enter this memo (nested computeIfAbsent on
+    * one map can deadlock) — compute prerequisite chains BEFORE the
+    * dependent call, as [[vsNngFiltered]] does. */
+  private[graft] def nngChainShared(spark: SparkSession, tag: String)(
+      build: => DataFrame): DataFrame = {
+    nngChainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    nngChainMemo.computeIfAbsent((spark, tag), _ => build)
   }
 
   /** Shared grade: visited set vs exact top-K, one row per query with
@@ -3335,7 +3435,9 @@ object VectorSearch {
     val (graph, init) = NnGraph.buildShared(qv, s"$dir#full")
     val qs = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    nngGrade(qv, qs, NnGraph.search(graph, init, qv, qs),
+    nngGrade(qv, qs,
+      nngChainShared(spark, s"$dir#chain:search")(
+        NnGraph.search(graph, init, qv, qs)),
       exactMemo = Some((spark, dir, 0)))
   }
 
@@ -3680,12 +3782,23 @@ object VectorSearch {
     (qv, base, refined, init, qsNew)
   }
 
+  /** The FULL-slice placement frame (every %[[UpsertMod]] vector walked
+    * into the base graph), memoized per (session, dir): [[vsNngUpsert]]
+    * step 1 and `stream_nng_upsert`'s batch twin
+    * ([[graft.streaming.Streaming.nngPlacementBatch]]) run this exact
+    * chain — previously twice per sweep. Per-micro-batch placements
+    * (query set = the batch, not the slice) stay un-memoized. */
+  private[graft] def nngPlacementShared(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (_, base, refined, init, qsNew) = nngUpsertArtifacts(spark, dir)
+    nngChainShared(spark, s"$dir#chain:place")(graft.util.Persist.stage(
+      nngPlacementEdges(refined, init, base, qsNew), eager = false))
+  }
+
   def vsNngUpsert: Q = (spark, dir) => {
     val (qv, base, refined, init, qsNew) = nngUpsertArtifacts(spark, dir)
     val wS = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
-    val newEdges = graft.util.Persist.stage(
-      nngPlacementEdges(refined, init, base, qsNew).select("src", "dst", "d2"),
-      eager = false)
+    val newEdges = nngPlacementShared(spark, dir).select("src", "dst", "d2")
     val reverse = newEdges
       .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
     val repaired = refined.unionByName(reverse)
@@ -3693,7 +3806,8 @@ object VectorSearch {
       .select("src", "dst", "d2")
     val updated = repaired.unionByName(newEdges)
     nngGrade(qv, qsNew,
-      NnGraph.search(updated, init, qv, qsNew, entrySource = Some(base)))
+      nngChainShared(spark, s"$dir#chain:upsert-grade")(
+        NnGraph.search(updated, init, qv, qsNew, entrySource = Some(base))))
   }
 
   /** Full SQL replay of [[vsNngUpsert]]: shared build template over the
@@ -3833,7 +3947,9 @@ object VectorSearch {
     val initSur = init.filter(!vic(col("src")) && !vic(col("dst")))
     val qsDel = sur.filter(col("vec_id") % 100 === 5)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    nngGrade(sur, qsDel, NnGraph.search(patched, initSur, sur, qsDel))
+    nngGrade(sur, qsDel,
+      nngChainShared(spark, s"$dir#chain:delete-grade")(
+        NnGraph.search(patched, initSur, sur, qsDel)))
   }
 
   /** Full SQL replay of [[vsNngDelete]]: shared build over the full
@@ -4152,6 +4268,40 @@ object VectorSearch {
         .select(col("q_id"), col("p.cid").as("cell"))
       (model, assigned, probes)
     })
+  }
+
+  /** Release every long-lived frame memo's staged blocks and CLEAR the
+    * maps (r18 advice). A blanket `getPersistentRDDs.unpersist` (the
+    * bench's pre-serving cache flush) invalidates the localCheckpoint
+    * blocks these memos' frames are backed by — the lineage is
+    * truncated, so a later hit on a still-populated memo would serve a
+    * permanently unrecomputable frame ("checkpoint block not found").
+    * Eviction must therefore pair release with map clearing: after
+    * this call a consumer rebuilds from source instead of reading a
+    * stale pin. Driver-side memos (w2vFrozenMemo — plain arrays, no
+    * Spark state) are unaffected and stay. */
+  private[graft] def evictFrameMemos(): Unit = {
+    import scala.jdk.CollectionConverters._
+    nngQvMemo.values.asScala.foreach(graft.util.Persist.release)
+    nngQvMemo.clear()
+    nngExactMemo.values.asScala.foreach(graft.util.Persist.release)
+    nngExactMemo.clear()
+    plannerMemo.synchronized {
+      plannerMemo.values.asScala.foreach(releasePlannerArts)
+      plannerMemo.clear()
+    }
+    plannerGraphMemo.values.asScala.foreach { case (_, _, base) =>
+      graft.util.Persist.release(base)  // refined/init belong to NnGraph.builtMemo
+    }
+    plannerGraphMemo.clear()
+    plannerGraphArmMemo.values.asScala.foreach(graft.util.Persist.release)
+    plannerGraphArmMemo.clear()
+    plannerIvfMemo.values.asScala.foreach { case (_, assigned, _) =>
+      graft.util.Persist.release(assigned)
+    }
+    plannerIvfMemo.clear()
+    nngChainMemo.values.asScala.foreach(graft.util.Persist.release)
+    nngChainMemo.clear()
   }
 
   /** `routeStat`: the statistic the ROUTING decision reads — None =
@@ -5016,8 +5166,14 @@ object VectorSearch {
     val nPass = fcorp.count()
     val qs = qv.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    // Both hop chains memoized per (session, dir) — the base chain and
+    // the (deterministic) escalation chain over the deficient slice are
+    // computed SEQUENTIALLY so the second memo call never nests inside
+    // the first (see nngChainShared).
+    val baseChain = nngChainShared(spark, s"$dir#chain:filtered-base")(
+      NnGraph.search(refined, init, qv, qs))
     val baseSurv = graft.util.Persist.stage(
-      NnGraph.search(refined, init, qv, qs)
+      baseChain
         .join(fcorp.select(col("vec_id").as("c_id")), "c_id")
         .select("q_id", "c_id", "d2"),
       eager = false)
@@ -5027,8 +5183,10 @@ object VectorSearch {
       .agg(countDistinct("c_id").as("n_surv"))
       .filter(col("n_surv") >= FilterMinSurvivors && coverageOk).select("q_id")
     val deficient = qs.join(sufficient, Seq("q_id"), "left_anti")
-    val escSurv = NnGraph.search(refined, init, qv, deficient,
-        NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops)
+    val escChain = nngChainShared(spark, s"$dir#chain:filtered-esc")(
+      NnGraph.search(refined, init, qv, deficient,
+        NnGraph.Entries, NnGraph.EscBeam, NnGraph.EscHops))
+    val escSurv = escChain
       .join(fcorp.select(col("vec_id").as("c_id")), "c_id")
       .select("q_id", "c_id", "d2")
     nngGrade(fcorp, qs, baseSurv.unionByName(escSurv).distinct())

@@ -964,6 +964,11 @@ object Streaming {
   // computed by a bounded-state aggregate instead of a window sort.
 
   final val SearchTopK = 10
+  /** Serve-path candidate alarm threshold (candidates per query in one
+    * micro-batch) — the vs_lsh_tuned.candidates audit bound
+    * ([[graft.Audits]], 10/row) applied to the pruned serve's collected
+    * candidate set. See [[lshPrunedChain]]. */
+  final val LshServeCandAlarmPerQuery = 10.0
 
   /** Always-on Search: a stream of query vectors (every 100th embedding
     * row) is quantized onto the corpus grid (the maxabs scale is a
@@ -1295,7 +1300,7 @@ object Streaming {
     * so the engine and the oracle agree by construction instead of
     * relying on the aggregate's silent null-skip vs the oracle's
     * NULLS-LAST ranking (r16 advice). */
-  private def lshServeChain(queries: DataFrame, flat: Array[Double],
+  private[graft] def lshServeChain(queries: DataFrame, flat: Array[Double],
       r: Int, b: Int, bands: DataFrame, corpus: DataFrame): DataFrame =
     // The CANDIDATE side is explicitly broadcast into the rescore join
     // (BuildLeft): it is bounded by |Q|·bands·bucket-cap, while the
@@ -1469,7 +1474,7 @@ object Streaming {
     }
     val probeVals = sigLocal.map(_._3).distinct
     val candStage = bandsT
-      .filter(graft.functions.in_long_set(col("band_val"), probeVals))
+      .filter(graft.functions.in_long_set(bandsT("band_val"), probeVals))
       .join(broadcast(sigLocal.toDF("q_id", "band_idx", "band_val")),
         Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1477,6 +1482,21 @@ object Streaming {
       .distinct()
     val candRows = candStage.collect()
     lastLshProbePlan.set(candStage.queryExecution.executedPlan.toString)
+    // Serve-path volume alarm (r18 verdict #2): the collect above is
+    // bounded BY CONSTRUCTION (every stored bucket holds ≤ LshBucketCap
+    // rows after the store-time mask, so |cands| ≤ |probe set|·cap),
+    // but the DESIGNED volume is the tuned geometry's ~2-5 candidates
+    // per query — the same excess model the vs_lsh_tuned.candidates
+    // audit bounds at 10/row. Crossing it here means the corpus has
+    // drifted off the stored geometry's operating point: alarm loudly
+    // (stderr, never kills the serve) so the operator schedules the
+    // re-band before latency degrades further.
+    val candPerQuery = candRows.length.toDouble / qrows.length
+    if (candPerQuery > LshServeCandAlarmPerQuery) System.err.println(
+      f"[graft] SERVE ALARM stream_search_lsh: $candPerQuery%.1f candidates/query " +
+      f"(${candRows.length} over ${qrows.length} queries) exceeds the designed " +
+      f"$LshServeCandAlarmPerQuery%.0f/query excess bound - the corpus has " +
+      "outgrown the stored band geometry; schedule vs_lsh_reband")
     if (candRows.isEmpty) return servedEmpty(spark, distinctCut = true)
     val qvOf = qrows.map(qr => qr.getLong(0) -> qr.getSeq[Float](1)).toMap
     val candIds = candRows.map(_.getLong(1)).distinct.toSeq
@@ -1484,7 +1504,7 @@ object Streaming {
       .map(cr => (cr.getLong(0), cr.getLong(1), qvOf(cr.getLong(0))))
       .toDF("q_id", "vec_id", "qv")
     broadcast(pairDf)
-      .join(vecsT.filter(graft.functions.in_long_set(col("vec_id"), candIds)), "vec_id")
+      .join(vecsT.filter(graft.functions.in_long_set(vecsT("vec_id"), candIds)), "vec_id")
       .select(col("q_id"), col("vec_id").as("c_id"), lshNd(col("qv"), col("cv")))
       .filter(col("nd").isNotNull)
       .groupBy("q_id")
@@ -1647,18 +1667,21 @@ object Streaming {
     } finally q.stop()
 
   /** Full SQL replay: the shared adaptive-band CTEs at the full-count
-    * tuned geometry (= the stored table's content), query slice, band
-    * collision join with self excluded, DISTINCT candidate pairs (the
-    * kernel side's distinct cut), exact-cosine rescore at micro scale,
-    * row_number top-k. */
+    * tuned geometry, the store-time degenerate-bucket mask on the
+    * CANDIDATE side only (= the stored table's content — query
+    * signatures are hashed fresh per batch and are never masked),
+    * query slice, band collision join with self excluded, DISTINCT
+    * candidate pairs (the kernel side's distinct cut), exact-cosine
+    * rescore at micro scale, row_number top-k. */
   val vsSearchLshSql: String = s"""
     WITH e AS (${graft.ops.VectorSearch.eSql}),
     ${graft.ops.VectorSearch.lshBandsAdaptiveSql("e", "vec_id",
       geo = graft.ops.VectorSearch.lshTunedGeo)},
+    ${graft.ops.VectorSearch.lshStoredMaskSql()},
     qb AS (SELECT vec_id AS q_id, band_idx, band_val FROM bands
       WHERE vec_id % 100 = 0),
     cand AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id
-      FROM qb q JOIN bands c USING (band_idx, band_val)
+      FROM qb q JOIN sbands c USING (band_idx, band_val)
       WHERE c.vec_id <> q.q_id),
     sc AS (SELECT q_id, c_id,
         CAST(1000000 - round(${graft.ops.VectorSearch.cosSql("a.v", "b.v")}
@@ -1906,12 +1929,13 @@ object Streaming {
     * rows the streaming leg's micro-batches union to. Oracle:
     * [[graft.ops.VectorSearch.nngPlacementSql]] (shared NngSql
     * template — build + placement hops + top-K cut). */
-  def nngPlacementBatch(spark: SparkSession, dir: String): DataFrame = {
-    val (_, base, refined, init, qsNew) =
-      graft.ops.VectorSearch.nngUpsertArtifacts(spark, dir)
-    graft.ops.VectorSearch.nngPlacementEdges(refined, init, base, qsNew)
+  def nngPlacementBatch(spark: SparkSession, dir: String): DataFrame =
+    // The full-slice placement frame is memoized per (session, dir) —
+    // vs_nng_upsert step 1 runs this exact chain (r18 verdict #4); the
+    // rows are identical to the inline spelling, so the oracle hash is
+    // untouched.
+    graft.ops.VectorSearch.nngPlacementShared(spark, dir)
       .orderBy("src", "rank")
-  }
 
   // ── Streaming semantic near-dup gate (embedding-space ingest gate) ──
   // The third ingest gate, completing the set: stream_decontaminate

@@ -95,7 +95,7 @@ object LshCeilingProbe {
     val (alarmB, jsonB) = arm("extended_table", geoFull, () =>
       audit.count(spark, work))
     val ok = alarmA && !alarmB
-    val sha = graft.util.GitInfo.headSha().getOrElse("unknown")
+    val sha = graft.util.GitInfo.stampSha().getOrElse("unknown")
     val artifact =
       s"""{"probe":"lsh_ceiling","git_sha":"$sha","n":$n,"arms":[$jsonA,$jsonB],""" +
       s""""expected":"pre_extension alarms, extended clears","ok":$ok}"""

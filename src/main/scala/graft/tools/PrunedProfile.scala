@@ -50,14 +50,14 @@ object PrunedProfile {
       for (rep <- 1 to 3) {
         var t0 = System.nanoTime()
         val nScan = bandsT.filter(
-          graft.functions.in_long_set(col("band_val"), probeVals)).count()
+          graft.functions.in_long_set(bandsT("band_val"), probeVals)).count()
         val tScan = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
         val nAll = bandsT.count()
         val tAll = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
         val joined = bandsT
-          .filter(graft.functions.in_long_set(col("band_val"), probeVals))
+          .filter(graft.functions.in_long_set(bandsT("band_val"), probeVals))
           .join(broadcast(sigLocal.toDF("q_id", "band_idx", "band_val")),
             Seq("band_idx", "band_val"))
           .filter(col("vec_id") =!= col("q_id"))
@@ -83,7 +83,7 @@ object PrunedProfile {
         spark.sparkContext.addSparkListener(lst)
         val t0 = System.nanoTime()
         bandsT.filter(
-          graft.functions.in_long_set(col("band_val"), probeVals)).count()
+          graft.functions.in_long_set(bandsT("band_val"), probeVals)).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500)
         spark.sparkContext.removeSparkListener(lst)
@@ -94,12 +94,12 @@ object PrunedProfile {
         spark.conf.set("spark.sql.parquet.filterPushdown", "false")
         var t0 = System.nanoTime()
         val nOff = bandsT.filter(
-          graft.functions.in_long_set(col("band_val"), probeVals)).count()
+          graft.functions.in_long_set(bandsT("band_val"), probeVals)).count()
         val tOff = (System.nanoTime() - t0) / 1e9
         spark.conf.set("spark.sql.parquet.filterPushdown", "true")
         t0 = System.nanoTime()
         val nSmall = bandsT.filter(
-          graft.functions.in_long_set(col("band_val"), probeVals.take(10))).count()
+          graft.functions.in_long_set(bandsT("band_val"), probeVals.take(10))).count()
         val tSmall = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
         val nCheap = bandsT.filter(col("band_val") % 1000000L === 7L).count()
@@ -108,7 +108,7 @@ object PrunedProfile {
           f"small10=$tSmall%.3f ($nSmall) cheapPred=$tCheap%.3f ($nCheap)")
       }
       val planQ = bandsT.filter(
-        graft.functions.in_long_set(col("band_val"), probeVals))
+        graft.functions.in_long_set(bandsT("band_val"), probeVals))
       planQ.count()
       println("PROF scan plan:\n" +
         planQ.queryExecution.executedPlan.toString().take(2500))
@@ -126,7 +126,7 @@ object PrunedProfile {
       val probeVals = sigLocal.map(_._3).distinct
       t0 = System.nanoTime()
       val candStage = bandsT
-        .filter(graft.functions.in_long_set(col("band_val"), probeVals))
+        .filter(graft.functions.in_long_set(bandsT("band_val"), probeVals))
         .join(broadcast(sigLocal.toDF("q_id", "band_idx", "band_val")),
           Seq("band_idx", "band_val"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -141,7 +141,7 @@ object PrunedProfile {
         .map(cr => (cr.getLong(0), cr.getLong(1), qvOf(cr.getLong(0))))
         .toDF("q_id", "vec_id", "qv")
       val n = broadcast(pairDf)
-        .join(vecsT.filter(graft.functions.in_long_set(col("vec_id"), candIds)), "vec_id")
+        .join(vecsT.filter(graft.functions.in_long_set(vecsT("vec_id"), candIds)), "vec_id")
         .select(col("q_id"), col("vec_id").as("c_id"),
           (lit(1000000L) - round(graft.functions.cosine_similarity(
             col("qv"), col("cv")) * 1000000.0).cast("long")).as("nd"))

@@ -109,7 +109,7 @@ object SkewSweep {
         s""""silent_degradation":$silent}"""
     }.mkString("{", ",", "}")
 
-    val gitSha = graft.util.GitInfo.headSha().getOrElse("unknown")
+    val gitSha = graft.util.GitInfo.stampSha().getOrElse("unknown")
     val json = s"""{"src":"$src","git_sha":"$gitSha",""" +
       s""""plants":{"events":$nEv,"top_user_events":${topUser.getLong(1)},""" +
       s""""hub_view_events":$hubShare,"docs":$nDocs,""" +

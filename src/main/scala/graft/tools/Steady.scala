@@ -61,7 +61,7 @@ object Steady {
       // _git_sha is a string value: Bench's numeric-only stall-lookup
       // regex and ArtifactSyncSpec's numeric key scrape both skip it,
       // while the freeze gate reads it to pin regeneration to HEAD.
-      val shaEntry = graft.util.GitInfo.headSha()
+      val shaEntry = graft.util.GitInfo.stampSha()
         .map(s => "\"_git_sha\":\"" + s + "\",").getOrElse("")
       val json = "{" + shaEntry + (medians ++ Seq(
           "_cal_before_s" -> calBefore, "_cal_after_s" -> calAfter))

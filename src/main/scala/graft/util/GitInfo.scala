@@ -26,6 +26,21 @@ object GitInfo {
   def headSha(): Option[String] =
     run("git", "rev-parse", "HEAD").filter(_.matches("[0-9a-f]{7,40}"))
 
+  /** HEAD SHA for ARTIFACT STAMPS: carries a `-dirty` suffix whenever
+    * src/main has uncommitted changes, so a stamp always names a tree
+    * that actually contains the code that produced the artifact (r18
+    * verdict #4: lsh_ceiling.json was generated from a dirty
+    * pre-commit tree and stamped the base SHA — its "extended_table"
+    * arm exercised a geometry the stamped tree did not contain). The
+    * suffix deliberately breaks the freeze gate's quote-bounded hex
+    * match, so a dirty-tree artifact FAILS the gate as "carries no
+    * stamp" instead of passing on the stale base SHA. */
+  def stampSha(): Option[String] = headSha().map { sha =>
+    val dirty = run("git", "status", "--porcelain", "--", "src/main")
+      .exists(_.nonEmpty)
+    if (dirty) s"$sha-dirty" else sha
+  }
+
   /** Product sources (src/main) that differ from `since`: committed
     * changes in since..HEAD plus any uncommitted worktree changes.
     * None if git is unavailable or `since` is not a known commit. */

@@ -142,4 +142,26 @@ class ArtifactSyncSpec extends AnyFunSuite {
           s"${changed.get.sorted.mkString(", ")} — regenerate the artifacts at HEAD")
     }
   }
+
+  test("stampSha marks dirty product trees, and the freeze gate rejects the mark") {
+    // r18 verdict #4: lsh_ceiling.json was generated from a DIRTY
+    // pre-commit tree and stamped the clean base SHA — the artifact's
+    // content contradicted the tree its stamp named. stampSha (used by
+    // every artifact writer) appends "-dirty" when src/main has
+    // uncommitted changes; the suffix must (a) track the actual tree
+    // state and (b) fail the freeze gate's quote-bounded hex match, so
+    // a dirty-tree artifact reads "carries no stamp" instead of
+    // passing on the stale SHA.
+    (util.GitInfo.headSha(), util.GitInfo.stampSha()) match {
+      case (Some(head), Some(stamp)) =>
+        val treeDirty = util.GitInfo.changedProductSources(head).exists(_.nonEmpty)
+        assert(stamp == (if (treeDirty) s"$head-dirty" else head),
+          s"stampSha $stamp inconsistent with tree state (dirty=$treeDirty)")
+        val gateRegex = ("\"git_sha\"\\s*:\\s*\"([0-9a-f]{7,40})\"").r
+        assert(gateRegex.findFirstMatchIn(s""""git_sha":"$head-dirty"""").isEmpty,
+          "freeze-gate regex accepted a -dirty stamp — dirty artifacts would pass")
+        assert(gateRegex.findFirstMatchIn(s""""git_sha":"$head"""").isDefined)
+      case _ => cancel("git unavailable — stamp behavior not checkable here")
+    }
+  }
 }

@@ -38,6 +38,41 @@ class LshStoreSpec extends SparkSpec {
       "cold-start LSH serve diverged from the tuned near-dup output")
   }
 
+  test("store-time mask excises a planted hot bucket, alarms, and keeps healthy buckets intact") {
+    import spark.implicits._
+    // A planted degenerate bucket (6 rows in one (band_idx, band_val))
+    // beside healthy ones — driven at cap=3 so the hostile shape is
+    // testable without hashing >LshBucketCap vectors.
+    val planted = (
+      (1L to 6L).map(id => (id, 0, 777L)) ++          // hot: 6 > cap
+      Seq((1L, 1, 10L), (2L, 1, 11L), (3L, 1, 10L))   // healthy band 1
+    ).toDF("vec_id", "band_idx", "band_val")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    val masked = try {
+      System.setErr(new java.io.PrintStream(errBuf))
+      VectorSearch.maskDegenerateBands(planted, cap = 3L, tag = "spec-hot")
+        .collect()
+    } finally System.setErr(oldErr)
+    assert(!masked.exists(_.getLong(2) == 777L),
+      "hot-bucket rows survived the store-time mask")
+    assert(masked.length == 3, s"healthy rows damaged: ${masked.length} != 3")
+    assert(VectorSearch.lastStoreMaskExcised.get() == 6L,
+      s"excised counter ${VectorSearch.lastStoreMaskExcised.get()} != 6")
+    assert(errBuf.toString.contains("STORE MASK ALARM"),
+      "mask excised rows without alarming")
+  }
+
+  test("store-time mask is a row-exact no-op on the healthy test corpus") {
+    val bands = VectorSearch.lshBandsAdaptive(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+      "vec_id", "embedding", geo = VectorSearch.lshTunedGeo)
+    val n = bands.count()
+    assert(VectorSearch.maskDegenerateBands(bands, tag = "spec-noop").count() == n,
+      "the default cap excised rows from a healthy corpus - hashes would drift")
+    assert(VectorSearch.lastStoreMaskExcised.get() == 0L)
+  }
+
   test("the reloaded band table is a bucketed parquet FileScan of the external store") {
     SparkEntry.queries("vs_lsh_store")(spark, sf).collect()
     val cold = spark.newSession()
