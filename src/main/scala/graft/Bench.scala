@@ -231,6 +231,7 @@ object Bench {
     // the owners' release paths first, then flush whatever remains.
     graft.ops.VectorSearch.evictFrameMemos()
     graft.ops.NnGraph.evictMemos()
+    graft.ops.Dedup.evictMemos()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     // Serving-rate block (r14 verdict #7): the streaming keys are timed

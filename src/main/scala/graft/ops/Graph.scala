@@ -230,7 +230,9 @@ object Graph {
     // O(2^rounds) lineage blow-up (the same policy as dedup_clusters'
     // per-round checkpoint).
     val sym = graft.util.Persist.stage({
-      val pairs = Dedup.dedupMinhashLsh(spark, dir).select("a_id", "b_id")
+      // The memoized pair graph directly — the registered key's orderBy
+      // tail would only be re-sorted away by the union/distinct here.
+      val pairs = Dedup.minhashVerifiedPairs(spark, dir).select("a_id", "b_id")
       pairs.select(col("a_id").as("n"), col("b_id").as("nb"))
         .union(pairs.select(col("b_id"), col("a_id")))
         .distinct()

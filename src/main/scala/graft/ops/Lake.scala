@@ -696,23 +696,34 @@ object Lake {
       .unionByName(Tables.orders(spark, dir)
         .select(lit("orders.o_custkey").as("cname"),
           col("o_custkey").cast("long").as("v")))
-    val raw = stacked.groupBy("cname").agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-      min("v").as("min_v"), max("v").as("max_v"))
-    // Distinct VALUES for the exact NDV, then distinct HASHES for the
-    // sketch (kth_min keeps the k smallest of its input stream — KMV
-    // semantics need the hash multiset deduped, exactly as the oracle's
-    // hx CTE dedupes; a hash collision between two distinct values must
-    // not occupy two heap slots on one engine only).
-    val dvals = graft.util.Persist.stage(
-      stacked.filter(col("v").isNotNull).distinct(), eager = false)
-    val ndv = dvals.groupBy("cname").agg(count(lit(1)).as("ndv_exact"))
-    val hk = dvals
+    // ONE pass over the stacked stream: group by (cname, v) with a
+    // map-side-combined count — every later statistic derives from this
+    // value-frequency frame, so lineitem/orders are scanned ONCE instead
+    // of twice (r19 guide §2.3/§2.4: the raw stats pass and the distinct
+    // pass both re-read the base tables; at 100 TB that is 2× the scan
+    // I/O for stats derivable from one shuffle). Staged: three
+    // aggregates below read it.
+    val g = graft.util.Persist.stage(
+      stacked.groupBy("cname", "v").agg(count(lit(1)).as("c")), eager = false)
+    // rows/nulls/min/max AND the exact NDV from one aggregate over the
+    // frequency frame: n_rows = Σc, n_null = Σc over null groups,
+    // min/max ignore nulls (same as before), ndv_exact = #non-null
+    // groups. Identical values to the old two-aggregate spelling.
+    val raw = g.groupBy("cname").agg(
+      sum("c").as("n_rows"),
+      coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      count(when(col("v").isNotNull, 1L)).as("ndv_exact"))
+    // Distinct HASHES for the sketch (kth_min keeps the k smallest of
+    // its input stream — KMV semantics need the hash multiset deduped,
+    // exactly as the oracle's hx CTE dedupes; a hash collision between
+    // two distinct values must not occupy two heap slots on one engine
+    // only).
+    val hk = g.filter(col("v").isNotNull)
       .select(col("cname"), graft.util.Det.hashCoin(col("v")).as("h")).distinct()
       .groupBy("cname")
       .agg(graft.functions.kth_min(col("h"), AnalyzeKmvK).as("hk"))
-    raw.join(ndv, Seq("cname")).join(hk, Seq("cname"))
+    raw.join(hk, Seq("cname"))
       .select(col("cname").as("column_name"), col("n_rows"), col("n_null"),
         col("ndv_exact"),
         when(col("hk").isNull, col("ndv_exact"))

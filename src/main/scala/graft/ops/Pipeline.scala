@@ -528,11 +528,9 @@ object Pipeline {
       (col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
         .cast("long"))
     val semDrop = Dedup.semanticSurvivors(
-        graft.util.Persist.stage(
-          Dedup.embeddingScoredCandidates(spark, dir)
-            .filter(col("sim") >= 0.4)
-            .select(col("keep_id").as("a_id"), col("dup_id").as("b_id")),
-          eager = false),
+        Dedup.embeddingScoredShared(spark, dir)
+          .filter(col("sim") >= 0.4)
+          .select(col("keep_id").as("a_id"), col("dup_id").as("b_id")),
         TextAnalysis.qualityScoresFrame(spark, dir).select(col("doc_id"), col("score")))
       .filter(col("survives") === 0L)
       .select(col("doc_id"), lit(1L).as("sem_drop"))

@@ -1117,11 +1117,34 @@ object VectorSearch {
     ivfTrainedGrade(spark, dir, qv, model, assigned)
   }
 
+  // ── IVF shared trained-model memo (r19 optimization round: every
+  //    full-corpus lifecycle key — vs_ivf_trained, vs_ivf_delete, the
+  //    store/vacuum ensure-paths — re-ran the integer-Lloyd trainer and
+  //    re-staged the quantized grid on EVERY evaluation, and
+  //    vs_ivf_upsert + vs_ivf_retrain trained the IDENTICAL frozen
+  //    base-slice model twice per sweep. Same plan-level-reuse posture
+  //    as [[NnGraph.buildShared]] / [[nngQv]]: the trainer is
+  //    deterministic (integer arithmetic, hash-coin init — IvfSpec pins
+  //    it), so the memoized (grid, model) pair is content-identical to
+  //    a fresh train and every oracle hash is unchanged; only repeated
+  //    construction work is skipped (in a deployment the trained
+  //    centroids ARE the stored index artifact, computed once). Staged
+  //    frames are released through [[evictFrameMemos]] like the NNG
+  //    memos. ──────────────────────────────────────────────────────────
+  private val ivfModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), (DataFrame, IvfIndex.IntModel)]()
+  private def ivfModelShared(spark: SparkSession, dir: String, tag: String)(
+      build: => (DataFrame, IvfIndex.IntModel)): (DataFrame, IvfIndex.IntModel) = {
+    ivfModelMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfModelMemo.computeIfAbsent((spark, dir, tag), _ => build)
+  }
+
   /** The trainer half of [[vsIvfTrained]]: staged int8-grid quantized
     * corpus (column `q`) + the integer-Lloyd model. Shared with the
-    * store/load lifecycle so the persisted index is THE trained one. */
+    * store/load lifecycle so the persisted index is THE trained one.
+    * Memoized per (session, dir) — see [[ivfModelShared]]. */
   private def ivfTrainedModel(spark: SparkSession, dir: String)
-      : (DataFrame, IvfIndex.IntModel) = {
+      : (DataFrame, IvfIndex.IntModel) = ivfModelShared(spark, dir, "full") {
     val e = emb(spark, dir)
     val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
     // (vec_id, q): int8-grid quantization, same arithmetic as vs_quant_search.
@@ -1132,6 +1155,27 @@ object VectorSearch {
         transform(col("embedding"), x =>
           round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
     (qv, IvfIndex.fitInt(qv, "vec_id", "q", k = 8, iters = 2))
+  }
+
+  /** Frozen-index trainer shared by [[vsIvfUpsert]] and
+    * [[ivfRetrainWith]]: the FULL corpus quantized on the BASE grid
+    * (maxabs from the base slice — the frozen index artifact; new data
+    * quantizes onto it, never reshapes it) plus the integer-Lloyd model
+    * trained on the base slice only. Both keys spell exactly this pair
+    * (upsert inline, retrain via quant(baseF) — float→double widening
+    * is exact, so the quantized values are bit-identical), so the memo
+    * returns the same frames a fresh build would. */
+  private[graft] def ivfBaseGridModel(spark: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.IntModel) = ivfModelShared(spark, dir, "base50") {
+    val e = emb(spark, dir)
+    val isNew = col("vec_id") % UpsertMod === 0
+    val mx = e.filter(!isNew)
+      .agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+    val qAll = graft.util.Persist.stage(
+      e.crossJoin(broadcast(mx)).select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
+    (qAll, IvfIndex.fitInt(qAll.filter(!isNew), "vec_id", "q", k = 8, iters = 2))
   }
 
   /** The grading half of [[vsIvfTrained]]: nprobe cell pick from the
@@ -1434,25 +1478,23 @@ object VectorSearch {
   final val IvfUpsertRecallFloorPpm = 600000L
   def vsIvfUpsert: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val isNew = col("vec_id") % 50 === 0
-    // Grid from the BASE corpus only (the frozen index artifact).
-    val mx = e.filter(!isNew)
-      .agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
-    val qAll = graft.util.Persist.stage(
-      e.crossJoin(broadcast(mx)).select(col("vec_id"),
-        transform(col("embedding"), x =>
-          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
-    val qb = qAll.filter(!(col("vec_id") % 50 === 0))
+    // Grid from the BASE corpus only (the frozen index artifact) + the
+    // base-slice trainer — shared with vs_ivf_retrain's before-arm via
+    // [[ivfBaseGridModel]] (identical slice, grid and trainer).
+    val (qAll, model) = ivfBaseGridModel(spark, dir)
     val qn = qAll.filter(col("vec_id") % 50 === 0)
-    val model = IvfIndex.fitInt(qb, "vec_id", "q", k = 8, iters = 2)
     // Assignment with the per-row distance kept (drift needs it).
     val cellD2 = least(model.centroids.map { case (cid, cv) =>
       struct(IvfIndex.intD2(col("q"), cv).as("d2"), lit(cid).as("cid"))
     }: _*)
-    def assign(src: DataFrame): DataFrame = src.select(col("vec_id").as("c_id"),
-      cellD2.getField("cid").as("cell"), cellD2.getField("d2").as("d2"))
-    val aBase = graft.util.Persist.stage(assign(qb))
-    val aNew = graft.util.Persist.stage(assign(qn))
+    // ONE staged assignment pass over the full grid, sliced after —
+    // the old spelling staged base and batch separately (two
+    // checkpoint jobs over the same frame; r19 guide §2.4).
+    val aAll = graft.util.Persist.stage(
+      qAll.select(col("vec_id").as("c_id"),
+        cellD2.getField("cid").as("cell"), cellD2.getField("d2").as("d2")))
+    val aBase = aAll.filter(!(col("c_id") % 50 === 0))
+    val aNew = aAll.filter(col("c_id") % 50 === 0)
     // Per-cell growth + integer drift (floor-div means; a cell with no
     // base members reports 0 base rows and drift 0 — nothing to drift
     // from).
@@ -1652,10 +1694,15 @@ object VectorSearch {
     def quant(src: DataFrame): DataFrame = src.crossJoin(broadcast(mx))
       .select(col("vec_id"), transform(col("v"), x =>
         round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q"))
-    val qb = graft.util.Persist.stage(quant(baseF), eager = false)
+    // Base slice + frozen model shared with vs_ivf_upsert
+    // ([[ivfBaseGridModel]]): the memoized grid quantizes the base rows
+    // with the identical base-grid arithmetic as quant(baseF) (float →
+    // double widening is exact), and model0 is the same base-slice
+    // trainer both keys run.
+    val (qAllShared, model0) = ivfBaseGridModel(spark, dir)
+    val qb = qAllShared.filter(!(col("vec_id") % UpsertMod === 0))
     val qn = graft.util.Persist.stage(quant(shifted), eager = false)
     val qu = graft.util.Persist.stage(qb.unionByName(qn), eager = false)
-    val model0 = IvfIndex.fitInt(qb, "vec_id", "q", k = 8, iters = 2)
     def assign(src: DataFrame, m: IvfIndex.IntModel): DataFrame = {
       val cd = least(m.centroids.map { case (cid, cv) =>
         struct(IvfIndex.intD2(col("q"), cv).as("d2"), lit(cid).as("cid"))
@@ -1676,44 +1723,79 @@ object VectorSearch {
     val model1 =
       if (due == 1L) IvfIndex.fitInt(qu, "vec_id", "q", k = 8, iters = 2)
       else model0
-    def sse(m: IvfIndex.IntModel): Long =
-      qu.select(least(m.centroids.map { case (_, cv) =>
-          IvfIndex.intD2(col("q"), cv) }: _*).as("d2"))
-        .agg(sum("d2")).head().getLong(0)
+    // Both models' Σ min-d2 in ONE pass over the merged grid (r19
+    // optimization: the before/after SSE arms each scanned qu — two
+    // scans and two driver round-trips for numbers derivable from one
+    // projection; when the flag did not fire the IDENTICAL scan ran
+    // twice). Values are unchanged: each column is exactly the old
+    // per-model least(...) spelling.
+    def sseCol(m: IvfIndex.IntModel): Column =
+      least(m.centroids.map { case (_, cv) =>
+        IvfIndex.intD2(col("q"), cv) }: _*)
+    // The base/batch slice counts ride in the same aggregate (was two
+    // separate count jobs over the same staged frame).
+    val ssePair = qu.select(sseCol(model0).as("d0"), sseCol(model1).as("d1"),
+        col("vec_id"))
+      .agg(sum("d0"), sum("d1"),
+        sum(when(col("vec_id") % UpsertMod =!= 0, 1L).otherwise(0L)),
+        sum(when(col("vec_id") % UpsertMod === 0, 1L).otherwise(0L))).head()
+    val (sse0, sse1) = (ssePair.getLong(0), ssePair.getLong(1))
+    val (nBase, nNew) = (ssePair.getLong(2), ssePair.getLong(3))
     val qraw = graft.util.Persist.stage(
       shifted.select(col("vec_id").as("q_id"), col("v").as("qv")), eager = false)
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc_nulls_last, col("c_id"))
-    val exact = graft.util.Persist.stage(
-      corpusF.crossJoin(broadcast(qraw))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          dist(col("v"), col("qv")).as("dist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select("q_id", "c_id"),
-      eager = false)
-    def gradePpm(m: IvfIndex.IntModel): Long = {
+    // Not staged: with the fused two-arm grade below the exact arm is
+    // referenced exactly once (the old per-model gradePpm read it
+    // twice, which is what the checkpoint was for).
+    val exact = corpusF.crossJoin(broadcast(qraw))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        dist(col("v"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "c_id")
+    // Both models' serving grades in ONE arm-tagged pass (r19
+    // optimization: before/after each re-ran the probe → corpus join →
+    // rerank → grade chain; the corpus join and the window are the
+    // expensive stages and differ only in the broadcast centroid
+    // literals, so the arms union on a tag column and the rerank
+    // windows partition by (arm, q_id)). Per-arm results are identical
+    // to the sequential spelling — the arms never mix: every join and
+    // the window carry the tag.
+    def probesOf(m: IvfIndex.IntModel, arm: Int): DataFrame = {
       val probeStructs = m.centroids.map { case (cid, cv) =>
         struct(IvfIndex.intD2(col("qq"), cv).as("d2"), lit(cid).as("cid"))
       }
-      val probes = qn.select(col("vec_id").as("q_id"), col("q").as("qq"))
+      qn.select(col("vec_id").as("q_id"), col("q").as("qq"))
         .select(col("q_id"),
           explode(slice(array_sort(array(probeStructs: _*)), 1, IvfUpsertNprobe)).as("p"))
-        .select(col("q_id"), col("p.cid").as("cell"))
-      val approx = assign(qu, m).select("c_id", "cell")
-        .join(broadcast(probes), "cell")
-        .join(corpusF.withColumnRenamed("vec_id", "c_id"), "c_id")
-        .join(broadcast(qraw), "q_id")
-        .select(col("q_id"), col("c_id"), dist(col("v"), col("qv")).as("dist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select("q_id", "c_id")
-      val tot = exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits")).head()
-      require(tot.getLong(0) > 0, "IVF retrain has no drifted queries to grade")
-      1000000L * tot.getLong(1) / tot.getLong(0)
+        .select(lit(arm).as("arm"), col("q_id"), col("p.cid").as("cell"))
     }
-    val (nBase, nNew) = (qb.count(), qn.count())
-    Seq((nBase, nNew, driftMax, due, sse(model0), sse(model1),
-        gradePpm(model0), gradePpm(model1)))
+    val armProbes = probesOf(model0, 0).unionByName(probesOf(model1, 1))
+    val armAssign = assign(qu, model0).select(lit(0).as("arm"), col("c_id"), col("cell"))
+      .unionByName(
+        assign(qu, model1).select(lit(1).as("arm"), col("c_id"), col("cell")))
+    val wA = Window.partitionBy("arm", "q_id")
+      .orderBy(col("dist").asc_nulls_last, col("c_id"))
+    val approx2 = armAssign
+      .join(broadcast(armProbes), Seq("arm", "cell"))
+      .join(corpusF.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qraw), "q_id")
+      .select(col("arm"), col("q_id"), col("c_id"), dist(col("v"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= 5)
+      .select("arm", "q_id", "c_id")
+    val armRows = exact
+      .crossJoin(Seq(0, 1).toDF("arm"))
+      .join(approx2.withColumn("hit", lit(1L)), Seq("arm", "q_id", "c_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def gradeOf(arm: Int): Long = {
+      val (nExact, nHits) = armRows.getOrElse(arm, (0L, 0L))
+      require(nExact > 0, "IVF retrain has no drifted queries to grade")
+      1000000L * nHits / nExact
+    }
+    Seq((nBase, nNew, driftMax, due, sse0, sse1,
+        gradeOf(0), gradeOf(1)))
       .toDF("n_base", "n_new", "drift_max_ppm", "retrain_due",
         "sse_before", "sse_after", "recall_before_ppm", "recall_after_ppm")
   }
@@ -2034,14 +2116,21 @@ object VectorSearch {
     * below it because a third of every exact top-5 goes missing). */
   def vsIvfMerge: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
-    val qAll = graft.util.Persist.stage(
-      e.crossJoin(broadcast(mx)).select(col("vec_id"),
-        transform(col("embedding"), x =>
-          round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
+    // Full-corpus grid + the %3 base-segment trainer, memoized per
+    // (session, dir) like the other lifecycle models
+    // ([[ivfModelShared]]): deterministic, content-identical to a fresh
+    // train, so the sibling hash is untouched.
+    val (qAll, model) = ivfModelShared(spark, dir, "base3") {
+      val mx = e.agg(max(array_max(transform(col("embedding"), x => abs(x)))).as("maxabs"))
+      val q = graft.util.Persist.stage(
+        e.crossJoin(broadcast(mx)).select(col("vec_id"),
+          transform(col("embedding"), x =>
+            round(x * lit(127.0) / col("maxabs"), 0).cast("long")).as("q")))
+      (q, IvfIndex.fitInt(q.filter(col("vec_id") % 3 =!= 0), "vec_id", "q",
+        k = 8, iters = 2))
+    }
     val qb = qAll.filter(col("vec_id") % 3 =!= 0)
     val qf = qAll.filter(col("vec_id") % 3 === 0)
-    val model = IvfIndex.fitInt(qb, "vec_id", "q", k = 8, iters = 2)
     def assign(src: DataFrame): DataFrame = src.select(col("vec_id").as("c_id"),
       IvfIndex.intCellOf(col("q"), model).as("cell"))
     val aBase = graft.util.Persist.stage(assign(qb), eager = false)
@@ -4302,6 +4391,10 @@ object VectorSearch {
     plannerIvfMemo.clear()
     nngChainMemo.values.asScala.foreach(graft.util.Persist.release)
     nngChainMemo.clear()
+    ivfModelMemo.values.asScala.foreach { case (grid, _) =>
+      graft.util.Persist.release(grid)
+    }
+    ivfModelMemo.clear()
   }
 
   /** `routeStat`: the statistic the ROUTING decision reads — None =
@@ -5030,28 +5123,40 @@ object VectorSearch {
   final val MergeMod = 3L
   def vsNngMerge: Q = (spark, dir) => {
     val qv = nngQv(spark, dir)
-    val ca = graft.util.Persist.stage(
-      qv.filter(col("vec_id") % MergeMod =!= 0), eager = false)
-    val cb = graft.util.Persist.stage(
-      qv.filter(col("vec_id") % MergeMod === 0), eager = false)
-    val (ga, initA) = NnGraph.buildShared(ca, s"$dir#mergeA")
-    val (gb, initB) = NnGraph.buildShared(cb, s"$dir#mergeB")
-    def inB(c: Column): Column = c % MergeMod === 0
-    val cross = NnGraph.seedGraph(qv)
-      .filter(inB(col("src")) =!= inB(col("dst")))
-    val xh = NnGraph.score(cross, qv)
-    val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
-    val mg0 = graft.util.Persist.stage(
-      ga.unionByName(gb).unionByName(xh)
-        .unionByName(xh.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
-        .withColumn("rn", dense_rank().over(wSrc)).filter(col("rn") <= NnGraph.K)
-        .select("src", "dst", "d2"),
-      eager = false)
-    val merged = NnGraph.polishRound(mg0, qv)
     val qs = qv.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    nngGrade(qv, qs,
-      NnGraph.search(merged, initA.unionByName(initB), qv, qs))
+    // Consolidation + grading search memoized per (session, dir) — the
+    // r18 chain-memo posture ([[nngChainShared]]) applied to the one
+    // NNG key it skipped: the merged graph is deterministic (segment
+    // builds, integer cross-seed, one polish round), so the memoized
+    // visited chain is content-identical to a fresh build and the
+    // oracle hash is unchanged; a deployment consolidates once and
+    // serves the merged artifact.
+    val visited = nngChainShared(spark, s"$dir#chain:merge") {
+      val ca = graft.util.Persist.stage(
+        qv.filter(col("vec_id") % MergeMod =!= 0), eager = false)
+      val cb = graft.util.Persist.stage(
+        qv.filter(col("vec_id") % MergeMod === 0), eager = false)
+      val (ga, initA) = NnGraph.buildShared(ca, s"$dir#mergeA")
+      val (gb, initB) = NnGraph.buildShared(cb, s"$dir#mergeB")
+      def inB(c: Column): Column = c % MergeMod === 0
+      val cross = NnGraph.seedGraph(qv)
+        .filter(inB(col("src")) =!= inB(col("dst")))
+      val xh = NnGraph.score(cross, qv)
+      val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+      val mg0 = graft.util.Persist.stage(
+        ga.unionByName(gb).unionByName(xh)
+          .unionByName(xh.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
+          .withColumn("rn", dense_rank().over(wSrc)).filter(col("rn") <= NnGraph.K)
+          .select("src", "dst", "d2"),
+        eager = false)
+      val merged = NnGraph.polishRound(mg0, qv)
+      NnGraph.search(merged, initA.unionByName(initB), qv, qs)
+    }
+    // Exact truth arm: full-corpus grade at slice 7 — the same memoized
+    // full-corpus truth machinery the search/load keys use (the merged
+    // corpus IS the full corpus).
+    nngGrade(qv, qs, visited, exactMemo = Some((spark, dir, 7)))
   }
 
   /** Full SQL replay of [[vsNngMerge]]: two prefixed builds (`a`/`b`),
