@@ -232,6 +232,7 @@ object Bench {
     graft.ops.VectorSearch.evictFrameMemos()
     graft.ops.NnGraph.evictMemos()
     graft.ops.Dedup.evictMemos()
+    graft.streaming.Streaming.evictSearchIvfMemo()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     // Serving-rate block (r14 verdict #7): the streaming keys are timed

@@ -761,7 +761,7 @@ object VectorSearch {
   private def pqAdcFrames(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, Array[Long]) = {
     def sq(c: Column): Column = c * c
-    val quant = int8Grid(spark, dir)
+    val quant = int8GridShared(spark, dir)
     // Codebook: quantized vectors of the PqK smallest hash-coin ranks
     // (order-free seed pick; codebook index c = rank), collected in
     // Spark's own arithmetic (re-quantizing on the driver could round
@@ -873,7 +873,7 @@ object VectorSearch {
     * (slice + MaxSim fold per row), top-10 is a TakeOrdered reduction —
     * no shuffle; at 100 TB the multi-vector frame is the stored index. */
   def vsMaxsimSearch: Q = (spark, dir) => {
-    val quant = int8Grid(spark, dir)
+    val quant = int8GridShared(spark, dir)
     val dsub = 64 / MsSlices
     val qRow = quant.filter(col("vec_id") === 0L).collect()
     require(qRow.length == 1, "query vector (vec 0) missing")
@@ -3302,7 +3302,7 @@ object VectorSearch {
   final val MmrK = 5
   def vsDiversify: Q = (spark, dir) => {
     def idot(a: Column, b: Column): Column = graft.functions.int_dot(a, b)
-    val grid = int8Grid(spark, dir)
+    val grid = int8GridShared(spark, dir)
     val q = grid.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
     val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
@@ -3425,6 +3425,14 @@ object VectorSearch {
     nngQvMemo.computeIfAbsent((spark, dir), _ =>
       graft.util.Persist.stage(int8Grid(spark, dir), eager = false))
   }
+  /** The same memoized staged grid under a family-neutral name (r19
+    * optimization: the PQ / sparse / MaxSim / MMR keys and the
+    * streaming serve twins each re-ran [[int8Grid]]'s maxabs pass +
+    * quantize transform per evaluation — identical content to this
+    * memo's frame, so they read it instead; only the repeated
+    * two-pass quantization goes away). */
+  private[graft] def int8GridShared(spark: SparkSession, dir: String): DataFrame =
+    nngQv(spark, dir)
   private val nngExactMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
   /** Staged exact top-K truth for a FULL-corpus grade at query slice
@@ -4274,6 +4282,9 @@ object VectorSearch {
       val existing = plannerMemo.get(key)
       if (existing != null) existing
       else {
+        // Deliberately its own staged copy, NOT the shared nngQv frame:
+        // releasePlannerArts releases qv on LRU eviction, which must
+        // never unpersist a frame another memo still serves.
         val qv = graft.util.Persist.stage(int8Grid(spark, dir), eager = false)
         val qs = qv.filter(col("vec_id") % 100 === 9)
           .select(col("vec_id").as("q_id"), col("qd").as("qq"))
@@ -5532,7 +5543,7 @@ object VectorSearch {
   final val SparseTopM = 12
   final val SparseTopK = 10
   def vsSparseSearch: Q = (spark, dir) => {
-    val quant = int8Grid(spark, dir)
+    val quant = int8GridShared(spark, dir)
     val thr = element_at(sort_array(transform(col("qd"), x => abs(x)), asc = false),
       SparseTopM)
     // The posting table is the stored index artifact (IVF-assignment

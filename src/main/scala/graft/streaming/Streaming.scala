@@ -982,7 +982,7 @@ object Streaming {
     * exact top-k over an unbounded query stream. */
   def vsSearchStream(spark: SparkSession, dir: String): DataFrame = {
     val ma = graft.ops.VectorSearch.gridMaxAbs(spark, dir)
-    val corpus = graft.ops.VectorSearch.int8Grid(spark, dir)
+    val corpus = graft.ops.VectorSearch.int8GridShared(spark, dir)
       .select(col("vec_id").as("c_id"), col("qd"), lit(0L).as("jk"))
     val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
     spark.readStream.schema(sch)
@@ -1006,7 +1006,7 @@ object Streaming {
     * stream serves with, and the spec proves stream ≡ batch. Output one
     * row per (query, rank). */
   def vsSearchServeBatch(spark: SparkSession, dir: String): DataFrame = {
-    val qv = graft.ops.VectorSearch.int8Grid(spark, dir)
+    val qv = graft.ops.VectorSearch.int8GridShared(spark, dir)
     val qs = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
     qv.crossJoin(broadcast(qs))
@@ -1055,17 +1055,33 @@ object Streaming {
     * twin at sf0.01/sf0.1 (see EventsStreamingSpec), with margin. */
   final val SearchIvfRecallFloorPpm = 600000L
 
-  /** The trained model + staged assignment table both legs share. */
+  /** The trained model + staged assignment table both legs share.
+    * Memoized per (session, dir) — r19: both serve legs re-trained the
+    * identical serving index per evaluation; the grid comes from the
+    * shared staged memo ([[graft.ops.VectorSearch.int8GridShared]])
+    * instead of a private re-quantize + re-stage. Deterministic, so
+    * content-identical to a fresh build (hashes unchanged). */
+  private val searchIvfIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.ops.IvfIndex.IntModel, DataFrame)]()
+  private[graft] def evictSearchIvfMemo(): Unit = {
+    import scala.jdk.CollectionConverters._
+    searchIvfIndexMemo.values.asScala.foreach { case (_, assigned) =>
+      graft.util.Persist.release(assigned)
+    }
+    searchIvfIndexMemo.clear()
+  }
   private def searchIvfIndex(spark: SparkSession, dir: String)
       : (graft.ops.IvfIndex.IntModel, DataFrame) = {
-    val qv = graft.util.Persist.stage(
-      graft.ops.VectorSearch.int8Grid(spark, dir), eager = false)
-    val model = graft.ops.IvfIndex.fitInt(qv, "vec_id", "qd", k = 8, iters = 2)
-    val assigned = graft.util.Persist.stage(
-      qv.select(col("vec_id").as("c_id"),
-        graft.ops.IvfIndex.intCellOf(col("qd"), model).as("cell"), col("qd")),
-      eager = false)
-    (model, assigned)
+    searchIvfIndexMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    searchIvfIndexMemo.computeIfAbsent((spark, dir), _ => {
+      val qv = graft.ops.VectorSearch.int8GridShared(spark, dir)
+      val model = graft.ops.IvfIndex.fitInt(qv, "vec_id", "qd", k = 8, iters = 2)
+      val assigned = graft.util.Persist.stage(
+        qv.select(col("vec_id").as("c_id"),
+          graft.ops.IvfIndex.intCellOf(col("qd"), model).as("cell"), col("qd")),
+        eager = false)
+      (model, assigned)
+    })
   }
   private def probeCells(model: graft.ops.IvfIndex.IntModel): Column = {
     val structs = model.centroids.map { case (cid, cv) =>
@@ -1167,7 +1183,7 @@ object Streaming {
   private def searchServeBatch(spark: SparkSession, dir: String,
       index: (graft.ops.IvfIndex.IntModel, DataFrame)): DataFrame = {
     val (model, assigned) = index
-    val qs = graft.ops.VectorSearch.int8Grid(spark, dir)
+    val qs = graft.ops.VectorSearch.int8GridShared(spark, dir)
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qd").as("qq"))
     qs.select(col("q_id"), col("qq"), explode(probeCells(model)).as("p"))
